@@ -1,0 +1,95 @@
+"""Table registry: map a scale-factor directory of parquet files to DataFrames.
+
+The reference opens each Parquet file with an explicit column subset
+(ParquetTable::Open, reference: cpp/src/lqf/data_model.h:482-484); in Spark
+column pruning is automatic, so the catalog just exposes the full tables and
+lets Catalyst prune.  Tables follow TESTDATA.md; `lineorder` and `dates` are
+derived views giving the SSB star schema over the same data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Driver testdata stores these as parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they surface as long nanos-since-epoch
+# and we convert to TimestampType here (integer `div` keeps full precision —
+# float division would lose it above 2^53 ns).  Production data written with
+# MICROS skips this branch entirely and keeps parquet filter pushdown.
+_NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def _fix_nanos(name: str, df: DataFrame) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every base table in `sf_dir` as a lazy DataFrame."""
+    return {
+        name: _fix_nanos(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+        for name in TABLES
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all base tables as temp views (for spark.sql entry point)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def lineorder(tables: dict[str, DataFrame]) -> DataFrame:
+    """SSB-style denormalized fact view: lineitem ⋈ orders.
+
+    The reference ships a separate SSB corpus (cpp/src/lqf/ssb/ssbquery.h:17-98,
+    fact table `lineorder`); the driver testdata has only the TPC-H-ish tables,
+    so SSB queries run over this derived view.  `lo_revenue` follows the SSB
+    definition revenue = extendedprice * (1 - discount).
+    """
+    li, o = tables["lineitem"], tables["orders"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("lo_orderkey"),
+            F.col("l_linenumber").alias("lo_linenumber"),
+            F.col("o_custkey").alias("lo_custkey"),
+            F.col("l_partkey").alias("lo_partkey"),
+            F.col("l_suppkey").alias("lo_suppkey"),
+            F.col("o_orderdate").alias("lo_orderdate"),
+            F.col("o_orderpriority").alias("lo_orderpriority"),
+            F.col("l_quantity").alias("lo_quantity"),
+            F.col("l_extendedprice").alias("lo_extendedprice"),
+            F.col("o_totalprice").alias("lo_ordtotalprice"),
+            F.col("l_discount").alias("lo_discount"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lo_revenue"),
+            F.col("l_tax").alias("lo_tax"),
+        )
+    )

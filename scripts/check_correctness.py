@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Run every queries() entry against its oracle_sql() at a given SF dir.
+
+Usage: python scripts/check_correctness.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from codecdb_queryengine_spark.oracle import compare
+from codecdb_queryengine_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+    spark = get_spark("correctness-check")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if name_filter and name not in name_filter:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                ok, detail = compare(df, oracles[name], sf_dir)
+            else:
+                n = df.count()
+                ok, detail = True, f"rows-only ({n} rows, no oracle)"
+        except Exception as e:  # noqa: BLE001
+            ok, detail = False, f"EXCEPTION {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:24s} {dt:6.2f}s  {detail}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed")
+    if failed:
+        print("failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
