@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from codecdb_queryengine_spark.queries import tpch
+from codecdb_queryengine_spark.queries import ssb, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
+    out.update(ssb.QUERIES)
     return out
 
 
@@ -35,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
+    out.update(ssb.ORACLE)
     return out

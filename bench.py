@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol (BASELINE.md): warm session — one untimed warmup pass of a small
+query excludes JVM/session startup; then each query is timed as the median
+of N_RUNS executions of a full materialization (collect of the result,
+which is small for every TPC-H/SSB aggregate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from codecdb_queryengine_spark.session import get_spark
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # parse sf from dir name, e.g. .../sf0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # warmup: session + IO path, untimed
+    queries["q6"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name, fn in queries.items():
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.collect()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_total_median_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
