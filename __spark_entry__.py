@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from codecdb_queryengine_spark.queries import ssb, tpch
+from codecdb_queryengine_spark.queries import pipeline, ssb, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
     out.update(ssb.QUERIES)
+    out.update(pipeline.QUERIES)
     return out
 
 
@@ -37,4 +38,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
     out.update(ssb.ORACLE)
+    out.update(pipeline.ORACLE)
     return out

@@ -1,0 +1,170 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+The reference engine has no scalar function library — its expressions are
+inline C++ lambdas (reference: cpp/src/lqf/tpch/query1.cc:29-41, util
+strnstr cpp/src/lqf/util.h:12).  This module is the extension surface the
+100-TB training-data mandate needs: language-ID, quality scoring, token
+counting, shingling, fingerprinting.
+
+Design rule: every function here returns a *Column expression* built from
+pyspark.sql.functions only — JVM-side, whole-stage-codegen friendly, zero
+Python row-at-a-time UDFs.  Each has an exact DuckDB-SQL mirror used by the
+correctness oracle (queries/pipeline.py), so the implementations are pinned
+cross-engine.
+
+All hashing is md5-based: md5 is bit-identical across Spark, DuckDB and
+Python's hashlib, which makes MinHash/LSH results reproducible across the
+engine and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list used by the language/quality heuristics.
+# Kept tiny and explicit so the oracle SQL regex stays identical.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+# Polynomial rolling-hash parameters (Rabin-Karp style): h = h*B + c mod P.
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def tokens(c: str) -> Column:
+    """Whitespace tokenization. Mirror SQL: string_split_regex(trim(c), '\\s+')."""
+    return F.split(F.trim(F.col(c)), r"\s+")
+
+
+def token_count(c: str) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def distinct_token_count(c: str) -> Column:
+    return F.size(F.array_distinct(tokens(c))).cast("long")
+
+
+def avg_token_length(c: str) -> Column:
+    """Mean token length in characters (0.0 for empty text)."""
+    t = tokens(c)
+    return (
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / F.greatest(F.size(t), F.lit(1))
+    ).cast("double")
+
+
+def stopword_count(c: str) -> Column:
+    r"""Occurrences of STOPWORDS as whole words.
+
+    Mirror SQL: length(regexp_extract_all(c, '\b(the|a|...)\b')).
+    """
+    # Spark SQL string literals consume one level of backslash escaping, so
+    # \b must be written \\b inside the expr text.
+    pat = r"\\b(" + "|".join(STOPWORDS) + r")\\b"
+    return F.size(F.expr(f"regexp_extract_all({c}, '{pat}', 0)")).cast("long")
+
+
+def stopword_ratio(c: str) -> Column:
+    return (stopword_count(c) / F.greatest(token_count(c), F.lit(1))).cast("double")
+
+
+def punct_ratio(c: str) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lower-cased text)."""
+    lc = F.lower(F.col(c))
+    stripped = F.regexp_replace(lc, "[a-z0-9 ]", "")
+    return (F.length(stripped) / F.greatest(F.length(lc), F.lit(1))).cast("double")
+
+
+def quality_score(c: str) -> Column:
+    """Composite document quality in [0,1]: length, lexical diversity,
+    stopword presence, low punctuation noise.  Weights are arbitrary but
+    fixed; the oracle recomputes the identical formula.
+    """
+    n_tok = token_count(c)
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    diversity = distinct_token_count(c) / F.greatest(n_tok, F.lit(1))
+    stop_term = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    noise_term = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    return (
+        0.3 * length_term + 0.3 * diversity + 0.2 * stop_term + 0.2 * noise_term
+    ).cast("double")
+
+
+def lang_guess(c: str) -> Column:
+    """N-gram/stopword language heuristic.
+
+    Real corpora: score per-language marker sets and argmax.  The testdata
+    corpus shares one vocabulary across its `lang` labels, so only the
+    English marker set fires; the operator still demonstrates the
+    scoring-argmax shape and is pinned by the oracle recomputing it.
+    """
+    return (
+        F.when(stopword_ratio(c) >= 0.05, F.lit("en_like"))
+        .when(punct_ratio(c) > 0.2, F.lit("symbolic"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def char_shingles(c: str, k: int = 8) -> Column:
+    """Distinct character k-gram shingles of lower-cased text.
+
+    Mirror SQL: list_distinct(list_transform(range(0, length-k+1),
+    i -> substring(lower(c), i+1, k))).  Guarded so text shorter than k
+    yields an empty array (Spark's sequence(0,-1) would DESCEND).
+    """
+    lc = f"lower({c})"
+    return F.expr(
+        f"CASE WHEN length({lc}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, length({lc}) - {k}), "
+        f"i -> substring({lc}, i + 1, {k}))) "
+        f"ELSE array() END"
+    )
+
+
+def word_shingles(c: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles joined by single spaces."""
+    return F.expr(
+        f"CASE WHEN size(split(trim({c}), '\\\\s+')) >= {k} THEN "
+        f"array_distinct(transform("
+        f"  sequence(0, size(split(trim({c}), '\\\\s+')) - {k}),"
+        f"  i -> array_join(slice(split(trim({c}), '\\\\s+'), i + 1, {k}), ' ')))"
+        f"ELSE array() END"
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature: element i = min over shingles of md5('i|'||s).
+
+    md5-as-string min is a valid uniform hash order and is engine-portable.
+    Stays entirely in array expressions — no explode, no shuffle; the
+    signature computes scan-side even at 100 TB.
+    """
+    # NB: the lambda must be single-argument — pyspark inspects lambda arity,
+    # and a `lambda s, i=i:` form is treated as the (element, index) binary
+    # variant, binding i to the array index Column.
+    def hash_with(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = [
+        F.array_min(F.transform(shingles, hash_with(f"{i}|"))) for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def fingerprint(c: str) -> Column:
+    """Rabin-Karp polynomial rolling hash of the full text (mod 1e9+7).
+
+    Mirror SQL: list_reduce over ascii codes.  Value fits in 32 bits so
+    h*131+c never overflows int64 cross-engine.
+    """
+    codes = F.expr(f"transform(split({c}, ''), ch -> ascii(ch))")
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, code: (h * FP_BASE + code) % FP_MOD,
+    )
+
+
+def sql_stopword_pattern() -> str:
+    """The regex the oracle SQL uses — kept next to STOPWORDS."""
+    return r"\b(" + "|".join(STOPWORDS) + r")\b"

@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+No counterpart exists in the reference engine (its world is TPC-H/SSB —
+SURVEY.md §2); these are the driver-mandated extensions, built Spark-first:
+
+- exact_dedup          hash-groupBy on a content digest (one shuffle)
+- minhash_lsh_*        shingle → MinHash signature (scan-side array expr,
+                       no explode) → band keys → bucket self-join → verified
+                       Jaccard.  The standard near-dup pipeline: candidate
+                       generation is O(n·bands) shuffle, verification runs
+                       only inside buckets — never the O(n²) cross join.
+- simhash              per-token 32-bit hash, per-bit majority vote folded
+                       into one aggregate pass (explode only over tokens).
+- ngram_jaccard_pairs  exact Jaccard via shingle inverted index self-join —
+                       the verification primitive; at scale it runs on LSH
+                       candidates, not the full corpus.
+- embedding_near_dups  cosine near-duplicate pairs over a vector column.
+
+Everything is built from pyspark.sql.functions so each operator has an
+exact DuckDB mirror in queries/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from codecdb_queryengine_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content digest.
+
+    100-TB note: groupBy on md5 digest is one hash shuffle with map-side
+    partial agg; digests are uniform so no skew.
+    """
+    return (
+        df.withColumn("digest", F.md5(F.col(content_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """id, shingles, MinHash signature — computed scan-side, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("mh_id"),
+        T.word_shingles(content_col, shingle_words).alias("shingles"),
+    ).withColumn("sig", T.minhash_signature(F.col("shingles"), num_hashes))
+
+
+def minhash_band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode the signature into (band_idx, band_key) rows.
+
+    band_key concatenates the band's signature slice; equal keys = candidate
+    bucket.  Output size = n_docs × bands.
+    """
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "mh_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("mh_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Distinct unordered candidate pairs sharing ≥1 LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_words)
+    bk = minhash_band_keys(sig, bands, rows_per_band)
+    left = bk.select(F.col("mh_id").alias("id_a"), "band", "band_key")
+    right = bk.select(F.col("mh_id").alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index self-join.
+
+    |A∩B| from the shingle-equality join, sizes from the per-doc shingle
+    counts; jaccard = c / (|A| + |B| - c).  At 100 TB this runs on LSH
+    candidates (minhash_candidate_pairs), not all pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("jid"),
+        F.explode(T.word_shingles(content_col, shingle_words)).alias("shingle"),
+    )
+    sizes = sh.groupBy("jid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("jid").alias("id_a"), "shingle")
+    b = sh.select(F.col("jid").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash: majority vote of per-token hash bits.
+
+    Token hash = first 8 hex chars of md5 (32-bit, engine-portable).  One
+    explode over tokens, one groupBy with `bits` conditional sums — no
+    per-bit explode, so the shuffle stays n_tokens wide, not n_tokens×bits.
+    """
+    tok = df.select(
+        F.col(id_col).alias("sh_id"),
+        F.explode(T.tokens(content_col)).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h div {2**j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = tok.groupBy("sh_id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return voted.select("sh_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance over the simhash.
+
+    Local/verification form is the all-pairs join; the scale path blocks by
+    bit-bands (split the hash into 4 bands — near-dups share ≥1 exact band
+    by pigeonhole when max_hamming < 4) before verifying.
+    """
+    a = sim_df.select(F.col("sh_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sim_df.select(F.col("sh_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an array<float> column.
+
+    Verification form: all-pairs cosine (fine ≤1e5 vectors); the scale path
+    is LSH bucketing first (operators/similarity.py hyperplane_buckets).
+    """
+    from codecdb_queryengine_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,118 @@
+"""Plan builder: the reference's operator vocabulary as a thin fluent API.
+
+The reference's primary entry point is a hand-assembled DAG of physical
+operators (ExecutionGraph, reference: cpp/src/lqf/parallel.cc:29-48; e.g.
+Q3's filter→semijoin→hashjoin→agg→top10, cpp/src/lqf/tpch/query3.cc:33-99).
+This builder preserves that "engine as a library" vocabulary — scan /
+filter / semi-join / join / agg / sort / topk / mat — while compiling every
+step to DataFrame operations, so Catalyst still performs the global
+optimization the reference does by hand.
+
+Physical idioms carried over deliberately:
+- `semi_join` / `anti_join`  — the reference's FilterJoin fact-pruning
+  (cpp/src/lqf/join.h:179-199): explicit left-semi before wide joins.
+- `join(..., broadcast=True)` — the reference always hashes the small side
+  (cpp/src/lqf/join.cc:221-229); broadcast() makes that explicit for dims.
+- `mat()` — FilterMat/HashMat shared-subplan reuse (cpp/src/lqf/mat.h:19-55):
+  Spark does not auto-cache shared subtrees, so the builder exposes persist.
+- `topk` — TopN's bounded heap (cpp/src/lqf/sort.h:95-112) maps to
+  orderBy+limit, which Spark plans as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Plan:
+    """Immutable-ish fluent wrapper; every method returns a new Plan."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- sources ----------------------------------------------------------
+    @staticmethod
+    def scan(df: DataFrame, columns: Iterable[str] | None = None) -> "Plan":
+        """ParquetTable::Open analog — optional explicit projection
+        (reference: cpp/src/lqf/data_model.h:482-484); Catalyst prunes
+        anyway, the explicit form documents intent."""
+        return Plan(df.select(*columns) if columns else df)
+
+    # --- filters ----------------------------------------------------------
+    def filter(self, *preds: Column) -> "Plan":
+        """ColFilter: conjunction of predicates (cpp/src/lqf/filter.h:304)."""
+        out = self.df
+        for p in preds:
+            out = out.filter(p)
+        return Plan(out)
+
+    def filter_union(self, *preds: Column) -> "Plan":
+        """FilterUnion: OR of predicate blocks over the same base table
+        (cpp/src/lqf/union.h:14-35, TPC-H Q19)."""
+        combined = None
+        for p in preds:
+            combined = p if combined is None else (combined | p)
+        return Plan(self.df.filter(combined))
+
+    # --- joins ------------------------------------------------------------
+    def semi_join(self, right: "Plan | DataFrame", on, broadcast: bool = True) -> "Plan":
+        """FilterJoin: prune with the (small) right side's keys
+        (cpp/src/lqf/join.h:179-199)."""
+        r = right.df if isinstance(right, Plan) else right
+        r = F.broadcast(r) if broadcast else r
+        return Plan(self.df.join(r, on, "left_semi"))
+
+    def anti_join(self, right: "Plan | DataFrame", on, broadcast: bool = True) -> "Plan":
+        """FilterJoin::useAnti (cpp/src/lqf/join.h:190-199)."""
+        r = right.df if isinstance(right, Plan) else right
+        r = F.broadcast(r) if broadcast else r
+        return Plan(self.df.join(r, on, "left_anti"))
+
+    def join(
+        self,
+        right: "Plan | DataFrame",
+        on,
+        how: str = "inner",
+        broadcast: bool = False,
+    ) -> "Plan":
+        """HashJoin / HashMultiJoin / outer variant (cpp/src/lqf/join.h:129-177);
+        broadcast=True = the reference's build-small-side convention."""
+        r = right.df if isinstance(right, Plan) else right
+        r = F.broadcast(r) if broadcast else r
+        return Plan(self.df.join(r, on, how))
+
+    # --- aggregation ------------------------------------------------------
+    def agg(self, *exprs: Column, by: Iterable[str | Column] = ()) -> "Plan":
+        """SimpleAgg (no keys) / HashAgg (cpp/src/lqf/agg.h:475-532)."""
+        by = list(by)
+        if by:
+            return Plan(self.df.groupBy(*by).agg(*exprs))
+        return Plan(self.df.agg(*exprs))
+
+    def having(self, pred: Column) -> "Plan":
+        """Agg dump predicate (cpp/src/lqf/agg.h:448,472)."""
+        return Plan(self.df.filter(pred))
+
+    # --- order / limit ----------------------------------------------------
+    def sort(self, *cols: Column) -> "Plan":
+        """SmallSort/SnapshotSort (cpp/src/lqf/sort.h:63-93)."""
+        return Plan(self.df.orderBy(*cols))
+
+    def topk(self, k: int, *cols: Column) -> "Plan":
+        """TopN bounded heap (cpp/src/lqf/sort.h:95-112) →
+        TakeOrderedAndProject."""
+        return Plan(self.df.orderBy(*cols).limit(k))
+
+    # --- materialization --------------------------------------------------
+    def mat(self) -> "Plan":
+        """FilterMat/HashMat shared-subplan reuse (cpp/src/lqf/mat.h:19-55)."""
+        return Plan(self.df.persist())
+
+    def select(self, *cols) -> "Plan":
+        return Plan(self.df.select(*cols))
+
+    def done(self) -> DataFrame:
+        return self.df

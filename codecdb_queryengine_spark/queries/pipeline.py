@@ -1,0 +1,427 @@
+"""Training-data pipeline query surface: dedup, similarity, text analysis,
+multimodal plumbing, event windows — each with a DuckDB oracle that
+recomputes the identical algorithm (md5-anchored, so hashes agree
+bit-for-bit across engines).
+
+These have no reference counterpart (SURVEY.md §2.8: the reference has no
+streaming, no text/vector functions); they are the driver-mandated
+extensions for the 100-TB corpus use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.functions import text as T
+from codecdb_queryengine_spark.operators import dedup as D
+from codecdb_queryengine_spark.operators import multimodal as M
+from codecdb_queryengine_spark.operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by the oracles (must mirror functions/text.py exactly)
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NTOK = f"len({_SQL_TOKENS})"
+_SQL_STOP = (
+    r"len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b'))"
+)
+_SQL_PUNCT = (
+    "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(lower(text)), 1)"
+)
+
+
+def _sql_word_shingles(k: int = 3) -> str:
+    toks = _SQL_TOKENS
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(0, len({toks}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting surface)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_uniq_tokens"),
+        T.avg_token_length("text").alias("avg_tok_len"),
+        T.stopword_count("text").alias("n_stopwords"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+    SELECT doc_id,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_uniq_tokens,
+           CAST(list_reduce([0] + list_transform({_SQL_TOKENS}, t -> length(t)),
+                            (a, b) -> a + b) AS DOUBLE)
+             / greatest({_SQL_NTOK}, 1) AS avg_tok_len,
+           CAST({_SQL_STOP} AS BIGINT) AS n_stopwords
+    FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+_TEXT_QUALITY_SQL = f"""
+    SELECT doc_id,
+           0.3 * least({_SQL_NTOK} / 64.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
+         + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
+         + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0)) AS quality
+    FROM documents
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion counts)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guess")
+    )
+
+
+_TEXT_LANGID_SQL = f"""
+    SELECT lang, guess, count(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1) >= 0.05
+                    THEN 'en_like'
+                    WHEN {_SQL_PUNCT} > 0.2 THEN 'symbolic'
+                    ELSE 'unknown' END AS guess
+        FROM documents)
+    GROUP BY lang, guess ORDER BY lang, guess
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+_TEXT_FP_SQL = f"""
+    SELECT doc_id,
+           list_reduce([CAST(0 AS BIGINT)] + list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+                       (h, c) -> (h * {T.FP_BASE} + c) % {T.FP_MOD}) AS fp
+    FROM documents
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 hashes, 2 bands of 4, 3-word shingles)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=8, bands=2)
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 2, k: int = 3) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', " + ", ".join(f"m{b * r + j}" for j in range(r)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT mh_id, {b} AS band, bk{b} AS band_key FROM sigs" for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents),
+        sig0 AS (SELECT mh_id, {mins} FROM sh),
+        sigs AS (SELECT *, {band_keys} FROM sig0),
+        bk AS ({band_union})
+        SELECT DISTINCT a.mh_id AS id_a, b.mh_id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.mh_id < b.mh_id
+    """
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.simhash(docs, "text", "doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fold = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS sh_id,
+                   ('0x' || substring(md5(t.tok), 1, 8))::BIGINT AS h
+            FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)),
+        votes AS (SELECT sh_id, {votes} FROM tok GROUP BY sh_id)
+        SELECT sh_id, CAST({fold} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs above threshold (verification primitive)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_words=3, threshold=0.12)
+
+
+_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id AS jid, unnest({_sql_word_shingles(3)}) AS shingle FROM documents),
+    sizes AS (SELECT jid, count(*) AS n_shingles FROM sh GROUP BY jid),
+    common AS (
+        SELECT a.jid AS id_a, b.jid AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.jid < b.jid
+        GROUP BY a.jid, b.jid)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.jid = id_a
+    JOIN sizes sb ON sb.jid = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+
+
+_EMB_DUP_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding, b.embedding) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 5
+
+
+def _query_vectors(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N vectors as queries."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.brute_force_topk(emb, _query_vectors(emb), k=_TOP_K)
+
+
+_SIM_TOPK_SQL = f"""
+    SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               list_cosine_similarity(q.embedding, n.embedding) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                            n.vec_id ASC) AS BIGINT) AS rk
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+    WHERE rk <= {_TOP_K}
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k (the scale path)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.lsh_bucket_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, num_planes=6)
+
+
+def _ann_sql(dim: int = 64, planes: int = 6) -> str:
+    def comp(p: int, d: int) -> str:
+        return (
+            f"(('0x' || substring(md5('{p}|{d}'), 1, 8))::BIGINT / 4294967296.0 - 0.5)"
+        )
+
+    def proj(p: int, col: str) -> str:
+        return " + ".join(f"CAST({col}[{d + 1}] AS DOUBLE) * {comp(p, d)}" for d in range(dim))
+
+    def sig(col: str) -> str:
+        return " + ".join(
+            f"CASE WHEN ({proj(p, col)}) >= 0 THEN {2**p} ELSE 0 END" for p in range(planes)
+        )
+
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, CAST({sig('embedding')} AS BIGINT) AS bucket
+            FROM embeddings)
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                   list_cosine_similarity(q.embedding, n.embedding) AS cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                n.vec_id ASC) AS BIGINT) AS rk
+            FROM sigs q JOIN sigs n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+            WHERE q.vec_id < {_N_QUERIES})
+        WHERE rk <= {_TOP_K}
+    """
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the mapInPandas path."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return M.extract_features(M.documents_as_media(docs))
+
+
+def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
+    feat = ", ".join(
+        f"('0x' || substring(md5(text), {2 * i + 1}, 2))::INT / 256.0" for i in range(dim)
+    )
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest,
+               [{feat}] AS feature
+        FROM documents
+    """
+
+
+# --- event windows (batch form; streaming variants in streaming/) ----------
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the events stream table."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+_EVENTS_WINDOW_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user via lag + running sum."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EVENTS_SESSION_SQL = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sid AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g),
+    per_session AS (
+        SELECT user_id, session_idx, count(*) AS n_events
+        FROM sid GROUP BY user_id, session_idx)
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+           max(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "sim_topk": sim_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+    "mm_features": mm_features,
+    "events_window": events_window,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE: dict[str, str] = {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_langid": _TEXT_LANGID_SQL,
+    "text_fingerprint": _TEXT_FP_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_embedding": _EMB_DUP_SQL,
+    "sim_topk": _SIM_TOPK_SQL,
+    "sim_ann_lsh": _ann_sql(),
+    "mm_features": _mm_sql(),
+    "events_window": _EVENTS_WINDOW_SQL,
+    "events_sessionize": _EVENTS_SESSION_SQL,
+}

@@ -1,0 +1,89 @@
+"""Sources and sinks.
+
+The reference reads exactly one format — Parquet, one file per table, one
+row group per parallel task (ParquetTable::Open, reference:
+cpp/src/lqf/data_model.h:457-489) — and its only sink is a stdout Printer
+(cpp/src/lqf/print.h:74-90).  Spark is a strict superset; this module pins
+the supported matrix behind one interface so engine users don't touch
+spark.read directly, and centralizes the scan-tuning knobs.
+
+Scale notes baked in:
+- Parquet scans get row-group-aligned splits via
+  spark.sql.files.maxPartitionBytes (session.py).
+- Writers default to snappy parquet with optional partitioning/bucketing —
+  bucketed tables make repeated fact-fact joins shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+READ_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    columns: Iterable[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Open a table; optional explicit projection (ParquetTable::Open's
+    column-subset argument, reference: cpp/src/lqf/data_model.h:482-484)."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    return df.select(*columns) if columns else df
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Iterable[str] = (),
+    compression: str = "snappy",
+    **options: str,
+) -> None:
+    """Write a result table; partition_by yields hive-style directories so
+    downstream scans partition-prune."""
+    writer = df.write.format(fmt).mode(mode).option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Iterable[str],
+    num_buckets: int = 32,
+    sort_by: Iterable[str] = (),
+) -> None:
+    """Persist as a bucketed managed table: co-partitions future equi-joins
+    on the bucket keys (no shuffle on either side) — the Spark analog of
+    pre-building the reference's hash containers (cpp/src/lqf/mat.h:30-55)."""
+    writer = df.write.format("parquet").mode("overwrite")
+    cols = list(bucket_by)
+    writer = writer.bucketBy(num_buckets, cols[0], *cols[1:])
+    s = list(sort_by)
+    if s:
+        writer = writer.sortBy(s[0], *s[1:])
+    writer.saveAsTable(table)
+
+
+def show(df: DataFrame, n: int = 20) -> None:
+    """The reference's Printer sink (cpp/src/lqf/print.h:74-90)."""
+    df.show(n, truncate=False)

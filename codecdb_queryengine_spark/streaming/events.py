@@ -1,0 +1,97 @@
+"""Structured Streaming surface over the events stream.
+
+The reference has no stream processing (SURVEY.md §2.8 — its `stream.h` is
+an internal lazy-iterator utility, reference: cpp/src/lqf/stream.h:149,229);
+this module is the driver-mandated extension.  Batch twins of these
+aggregations live in queries/pipeline.py (events_window / events_sessionize)
+so the correctness oracle still applies; here the same transformations run
+against an unbounded source with watermarks.
+
+Scale design: one streaming shuffle per windowed agg keyed on
+(window, event_type) — state store size is bounded by watermark horizon;
+`availableNow` triggers let the same pipeline run as incremental batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import _fix_nanos
+
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file-per-trigger).
+
+    The testdata's TIMESTAMP(NANOS) column surfaces as long under
+    nanosAsLong (catalog.py); the same conversion applies here.
+    """
+    # File stream sources require a directory; select the single events
+    # file out of the sf dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _fix_nanos("events", raw)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window average value per event type."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (gap-based), the streaming twin of
+    the batch lag/cumsum sessionization in queries/pipeline.py."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming DF with an availableNow trigger into a memory
+    sink; returns the completed result as a batch DataFrame.  Used by tests
+    to pin streaming output against the batch twin."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

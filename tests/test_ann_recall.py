@@ -1,0 +1,40 @@
+"""LSH-bucketed ANN quality gate: recall vs exact brute force.
+
+A single 6-plane signature partitions the space into 64 buckets; same-bucket
+candidates only.  Random 64-d embeddings make this adversarial (neighbors
+are not strongly clustered), so the gate is intentionally loose — it pins
+that bucketing returns sane, non-empty, correctly-ranked results, not SOTA
+recall."""
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.operators import similarity as S
+
+
+def test_lsh_topk_subset_of_bruteforce_order(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+    approx = S.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=6).collect()
+    assert len(approx) > 0
+    # every approx hit must carry the same cosine the exact search computed
+    exact_scores = {(r.q_id, r.n_id): r.cosine for r in exact}
+    all_pairs_exact = {
+        (r.q_id, r.n_id)
+        for r in S.brute_force_topk(emb, queries, k=10_000).collect()
+    }
+    for r in approx:
+        assert (r.q_id, r.n_id) in all_pairs_exact
+    # rank ordering within each query must be by descending cosine
+    by_q: dict[int, list] = {}
+    for r in sorted(approx, key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+    # recall floor: bucketed search finds at least one true top-10 neighbor
+    top_exact = {(r.q_id, r.n_id) for r in exact}
+    hits = sum(1 for r in approx if (r.q_id, r.n_id) in top_exact)
+    assert hits >= 1

@@ -1,0 +1,143 @@
+"""Operator unit tests in the reference's style: tiny inline fixtures,
+exact assertions (reference: cpp/src/lqf/join_test.cc:11-44,
+cpp/src/lqf/agg_test.cc:15-45)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.functions import text as T
+from codecdb_queryengine_spark.operators import dedup as D
+from codecdb_queryengine_spark.operators import similarity as S
+from codecdb_queryengine_spark.plans.builder import Plan
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["id", "txt"]
+    )
+    out = {r.digest: (r.keep_id, r.n_copies) for r in D.exact_dedup(df, "txt", "id").collect()}
+    aaa = hashlib.md5(b"aaa").hexdigest()
+    bbb = hashlib.md5(b"bbb").hexdigest()
+    assert out[aaa] == (1, 3)
+    assert out[bbb] == (2, 1)
+
+
+def test_word_shingles_and_minhash(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["id", "txt"])
+    rows = {
+        r.id: r.sh
+        for r in df.select("id", T.word_shingles("txt", 3).alias("sh")).collect()
+    }
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # shorter than k -> empty, not descending-sequence garbage
+    sig = df.select(
+        "id", T.minhash_signature(T.word_shingles("txt", 3), 4).alias("sig")
+    ).collect()
+    by_id = {r.id: r.sig for r in sig}
+    exp0 = min(hashlib.md5(b"0|a b c").hexdigest(), hashlib.md5(b"0|b c d").hexdigest())
+    assert by_id[1][0] == exp0
+    assert len(by_id[1]) == 4
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zz yy xx ww vv")],
+        ["id", "txt"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_candidate_pairs(df, "txt", "id", num_hashes=8, bands=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["id", "txt"])
+    # shingles k=2: doc1 {a b, b c, c d}, doc2 {a b, b c, c e}: common 2, union 4
+    rows = D.ngram_jaccard_pairs(df, "txt", "id", shingle_words=2, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].jaccard - 0.5) < 1e-12
+
+
+def test_simhash_identical_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zebra quokka")],
+        ["id", "txt"],
+    )
+    sims = D.simhash(df, "txt", "id")
+    vals = {r.sh_id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2]
+    dups = {(r.id_a, r.id_b) for r in D.simhash_near_dups(sims, max_hamming=0).collect()}
+    assert dups == {(1, 2)}
+
+
+def test_cosine_and_topk(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.0])], ["q_id", "q_vec"])
+    rows = S.brute_force_topk(vecs, q, k=2).orderBy("rk").collect()
+    assert [r.n_id for r in rows] == [2, 3]
+    assert abs(rows[0].cosine - 0.9 / (0.9**2 + 0.1**2) ** 0.5) < 1e-9
+
+
+def test_fingerprint_matches_python(spark):
+    df = spark.createDataFrame([(1, "abc")], ["id", "txt"])
+    fp = df.select(T.fingerprint("txt").alias("fp")).collect()[0].fp
+    h = 0
+    for ch in "abc":
+        h = (h * T.FP_BASE + ord(ch)) % T.FP_MOD
+    assert fp == h
+
+
+def test_plan_builder_q3_shape(spark, sf_dir):
+    """Plan-builder parity: reproduce TPC-H Q3's reference plan shape
+    (filter -> join -> join -> agg -> topk, cpp/src/lqf/tpch/query3.cc:33-99)
+    and pin it against the declarative q3."""
+    from codecdb_queryengine_spark.catalog import load_tables
+    from codecdb_queryengine_spark.queries.tpch import q3
+
+    t = load_tables(spark, sf_dir)
+    ts = F.lit("1998-03-15").cast("timestamp")
+    built = (
+        Plan.scan(t["lineitem"])
+        .filter(F.col("l_shipdate") > ts)
+        .join(
+            Plan.scan(t["orders"]).filter(F.col("o_orderdate") < ts),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            Plan.scan(t["customer"]).filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            broadcast=True,
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            by=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .topk(10, F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .done()
+    )
+    expected = q3(spark, sf_dir).collect()
+    got = built.collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_multimodal_feature_plumbing(spark):
+    from codecdb_queryengine_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(7, "hello")], ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = M.extract_features(M.documents_as_media(df)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.media_id == 7
+    assert r.n_bytes == 5
+    assert r.digest == hashlib.md5(b"hello").hexdigest()
+    assert len(r.feature) == M.FEATURE_DIM
+    assert r.feature == [hashlib.md5(b"hello").digest()[i] / 256.0 for i in range(M.FEATURE_DIM)]
