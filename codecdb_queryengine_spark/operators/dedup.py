@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame, functions as F
 from codecdb_queryengine_spark.functions import text as T
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before CPU-heavy
+    per-row hashing.  Local single-file parquet arrives as ONE partition,
+    serializing all md5 work; at cluster scale inputs already exceed the
+    target and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content digest.
 
@@ -47,7 +59,9 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """id, shingles, MinHash signature — computed scan-side, no shuffle."""
+    """id, shingles, MinHash signature — computed scan-side, no shuffle
+    (beyond the parallelism spread for pathological single-partition inputs)."""
+    df = _spread(df, id_col)
     return df.select(
         F.col(id_col).alias("mh_id"),
         T.word_shingles(content_col, shingle_words).alias("shingles"),
@@ -111,7 +125,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("jid"),
         F.explode(T.word_shingles(content_col, shingle_words)).alias("shingle"),
     )
-    sizes = sh.groupBy("jid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # per-doc sizes straight from the array length — avoids re-running the
+    # explode+shuffle a third time for a count the scan already knows
+    sizes = df.select(
+        F.col(id_col).alias("jid"),
+        F.size(T.word_shingles(content_col, shingle_words)).alias("n_shingles"),
+    )
     a = sh.select(F.col("jid").alias("id_a"), "shingle")
     b = sh.select(F.col("jid").alias("id_b"), "shingle")
     common = (
@@ -141,7 +160,7 @@ def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> Dat
     explode over tokens, one groupBy with `bits` conditional sums — no
     per-bit explode, so the shuffle stays n_tokens wide, not n_tokens×bits.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("sh_id"),
         F.explode(T.tokens(content_col)).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
@@ -177,20 +196,32 @@ def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_near_dups(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bands: int = 4,
+    planes_per_band: int = 4,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> column.
 
-    Verification form: all-pairs cosine (fine ≤1e5 vectors); the scale path
-    is LSH bucketing first (operators/similarity.py hyperplane_buckets).
+    With `dim` set (the scale path), candidates come from hyperplane-LSH
+    banding (n·bands rows) and only candidates pay the cosine; without it,
+    all-pairs brute force (verification form, ≤1e4 vectors only — at sf0.1
+    the all-pairs form was measured 30× slower).
     """
-    from codecdb_queryengine_spark.operators.similarity import cosine
+    from codecdb_queryengine_spark.operators.similarity import cosine, lsh_band_pairs
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if dim is not None:
+        cand = lsh_band_pairs(df, dim, vec_col, id_col, bands, planes_per_band)
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

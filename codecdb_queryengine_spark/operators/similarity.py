@@ -62,27 +62,75 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
+def hyperplane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
 
-    First 8 hex chars of md5('plane|dim') scaled — identical in DuckDB:
-    ('0x' || substring(md5(...), 1, 8))::BIGINT / 4294967296.0 - 0.5.
+    First 8 hex chars of md5('plane|dim') scaled.  Computed host-side with
+    hashlib (bit-identical to Spark/DuckDB md5), embedded as a double
+    literal — the oracle recomputes it in SQL as
+    ('0x' || substring(md5('p|d'), 1, 8))::BIGINT / 4294967296.0 - 0.5 and
+    both IEEE paths agree exactly.
     """
-    h = F.conv(F.substring(F.md5(F.lit(f"{plane}|{dim}")), 1, 8), 16, 10).cast("long")
-    return h / F.lit(4294967296.0) - F.lit(0.5)
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 - 0.5
 
 
-def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """LSH signature: bit p = sign(vec · hyperplane_p), packed into a long."""
+def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8, base_plane: int = 0) -> Column:
+    """LSH signature: bit p = sign(vec · hyperplane_p), packed into a long.
+
+    One zip_with/aggregate dot product per plane against a literal
+    hyperplane array — O(planes) small expressions instead of the
+    O(planes × dim) md5 tree, which chokes codegen.  Summation order is
+    element order, matching the oracle's left-to-right SQL sum.
+    """
     sig = None
     for p in range(num_planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(vec, d + 1).cast("double") * _hyperplane_component(p, d)
-            proj = term if proj is None else proj + term
+        plane = F.array(
+            *[F.lit(hyperplane_component(base_plane + p, d)) for d in range(dim)]
+        )
+        proj = dot(vec, plane)
         bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sig.cast("long")
+
+
+def lsh_band_pairs(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 hyperplane band (random-projection LSH).
+
+    The vector analog of MinHash banding: each band is an independent
+    planes_per_band-bit signature; near vectors collide in some band with
+    high probability.  Candidate generation is n·bands rows — never the
+    O(n²) cross join.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(
+                F.col(vec_col), dim, planes_per_band, base_plane=b * planes_per_band
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    bk = vectors.select(
+        F.col(id_col).alias("bid"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("bid", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    left = bk.select(F.col("bid").alias("id_a"), "band", "band_key")
+    right = bk.select(F.col("bid").alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def lsh_bucket_topk(

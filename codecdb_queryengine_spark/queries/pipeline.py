@@ -214,17 +214,51 @@ _JACCARD_SQL = f"""
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs."""
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH banding
+    (the scale path: candidates = same band signature, then cosine-verify)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+    return D.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, bands=4, planes_per_band=4
+    )
 
 
-_EMB_DUP_SQL = """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding, b.embedding) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-"""
+def _sql_comp(p: int, d: int) -> str:
+    """Hyperplane component p,d — must equal similarity.hyperplane_component."""
+    return f"(('0x' || substring(md5('{p}|{d}'), 1, 8))::BIGINT / 4294967296.0 - 0.5)"
+
+
+def _sql_proj(p: int, col: str, dim: int) -> str:
+    return " + ".join(f"CAST({col}[{d + 1}] AS DOUBLE) * {_sql_comp(p, d)}" for d in range(dim))
+
+
+def _sql_band_sig(col: str, base_plane: int, planes: int, dim: int) -> str:
+    return " + ".join(
+        f"CASE WHEN ({_sql_proj(base_plane + p, col, dim)}) >= 0 THEN {2**p} ELSE 0 END"
+        for p in range(planes)
+    )
+
+
+def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str:
+    band_cols = ", ".join(
+        f"CAST({_sql_band_sig('embedding', b * planes_per_band, planes_per_band, dim)} AS BIGINT) AS k{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT bid, {b} AS band, k{b} AS band_key FROM sigs" for b in range(bands)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id AS bid, {band_cols} FROM embeddings),
+        bk AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.bid AS id_a, b.bid AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.bid < b.bid)
+        SELECT id_a, id_b, list_cosine_similarity(va.embedding, vb.embedding) AS cosine
+        FROM cand
+        JOIN embeddings va ON va.vec_id = id_a
+        JOIN embeddings vb ON vb.vec_id = id_b
+        WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.4
+    """
 
 
 # --- similarity search -----------------------------------------------------
@@ -418,7 +452,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
-    "dedup_embedding": _EMB_DUP_SQL,
+    "dedup_embedding": _emb_dup_sql(),
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
     "mm_features": _mm_sql(),
