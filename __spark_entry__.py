@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from codecdb_queryengine_spark.queries import pipeline, ssb, tpch
+from codecdb_queryengine_spark.queries import extensions, pipeline, ssb, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch.QUERIES)
     out.update(ssb.QUERIES)
     out.update(pipeline.QUERIES)
+    out.update(extensions.QUERIES)
     return out
 
 
@@ -39,4 +40,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch.ORACLE)
     out.update(ssb.ORACLE)
     out.update(pipeline.ORACLE)
+    out.update(extensions.ORACLE)
     return out

@@ -106,6 +106,22 @@ class Plan:
         TakeOrderedAndProject."""
         return Plan(self.df.orderBy(*cols).limit(k))
 
+    # --- set operations -----------------------------------------------------
+    # The reference only has bitmap FilterUnion/FilterAnd over one base table
+    # (cpp/src/lqf/union.h:14-35); these expose the general table-level forms
+    # Spark supports natively (SURVEY.md §2.6).
+    def union_all(self, other: "Plan | DataFrame") -> "Plan":
+        o = other.df if isinstance(other, Plan) else other
+        return Plan(self.df.unionByName(o))
+
+    def intersect(self, other: "Plan | DataFrame") -> "Plan":
+        o = other.df if isinstance(other, Plan) else other
+        return Plan(self.df.intersect(o))
+
+    def except_all(self, other: "Plan | DataFrame") -> "Plan":
+        o = other.df if isinstance(other, Plan) else other
+        return Plan(self.df.exceptAll(o))
+
     # --- materialization --------------------------------------------------
     def mat(self) -> "Plan":
         """FilterMat/HashMat shared-subplan reuse (cpp/src/lqf/mat.h:19-55)."""

@@ -1,0 +1,215 @@
+"""Analytics extensions beyond the reference's operator surface.
+
+The reference has no grouping sets / rollup / cube, no window functions, no
+stddev/percentile, no collect_list, no approx-distinct, and no general set
+operations (SURVEY.md §2.4 "Not present", §2.6, §2.8).  Spark provides all
+of them natively; these queries pin each one against a DuckDB oracle so the
+widened surface is correctness-gated like everything else.
+
+Scale notes: rollup/cube compile to a single Expand+HashAggregate (one
+shuffle); window functions shuffle once on the partition key; the set ops
+are hash-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import load_tables
+
+
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup over (returnflag, linestatus) — subtotals + grand total."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count cube over (orderstatus, orderpriority)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_CUBE_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def ext_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: rank, lag delta, running total.
+
+    The reference's closest shape is Recording arg-max (SURVEY.md §2.8);
+    this is the general windowed form it lacks.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("order_seq"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+            F.sum("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           o_totalprice - lag(o_totalprice) OVER w AS price_delta,
+           sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, order_seq
+"""
+
+
+def ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per return flag: stddev, variance, median."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("price_median"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STATS_SQL = """
+    SELECT l_returnflag,
+           stddev_samp(l_extendedprice) AS price_stddev,
+           var_samp(l_extendedprice) AS price_var,
+           quantile_cont(l_extendedprice, 0.5) AS price_median,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def ext_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array aggregation: sorted distinct ship modes per flag-pair
+    (collect_set — absent from the reference, SURVEY.md §2.4)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_COLLECT_SQL = """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT between distinct derived tables —
+    the general forms of the reference's same-table bitmap union
+    (cpp/src/lqf/union.h:14-35, SURVEY.md §2.6)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 100)
+        .select("l_orderkey")
+    )
+    both = returned.intersect(big)
+    either = returned.union(big).distinct()
+    only_returned = returned.exceptAll(both)
+    return (
+        both.withColumn("set_kind", F.lit("both"))
+        .unionByName(either.withColumn("set_kind", F.lit("either")))
+        .unionByName(only_returned.withColumn("set_kind", F.lit("returned_not_big")))
+        .groupBy("set_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("set_kind")
+    )
+
+
+_SETOPS_SQL = """
+    WITH returned AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100),
+    both_t AS (SELECT * FROM returned INTERSECT SELECT * FROM big),
+    either_t AS (SELECT * FROM returned UNION SELECT * FROM big),
+    only_r AS (SELECT * FROM returned EXCEPT ALL SELECT * FROM both_t)
+    SELECT set_kind, count(*) AS n FROM (
+        SELECT l_orderkey, 'both' AS set_kind FROM both_t
+        UNION ALL SELECT l_orderkey, 'either' FROM either_t
+        UNION ALL SELECT l_orderkey, 'returned_not_big' FROM only_r)
+    GROUP BY set_kind ORDER BY set_kind
+"""
+
+
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx-distinct (sketch aggregation; the reference's
+    IntDistinctCount is exact-only, cpp/src/lqf/agg.h:74-89).  No SQL
+    oracle — HLL estimates are engine-specific; gated rows-only plus the
+    accuracy assertion in tests/."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+QUERIES = {
+    "ext_rollup": ext_rollup,
+    "ext_cube": ext_cube,
+    "ext_window_funcs": ext_window_funcs,
+    "ext_stats": ext_stats,
+    "ext_collect": ext_collect,
+    "ext_setops": ext_setops,
+    "ext_approx_distinct": ext_approx_distinct,
+}
+
+ORACLE: dict[str, str] = {
+    "ext_rollup": _ROLLUP_SQL,
+    "ext_cube": _CUBE_SQL,
+    "ext_window_funcs": _WINDOW_SQL,
+    "ext_stats": _STATS_SQL,
+    "ext_collect": _COLLECT_SQL,
+    "ext_setops": _SETOPS_SQL,
+    # ext_approx_distinct intentionally omitted (rows-only check).
+}

@@ -58,6 +58,8 @@ def write(
     """Write a result table; partition_by yields hive-style directories so
     downstream scans partition-prune."""
     writer = df.write.format(fmt).mode(mode).option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
     for k, v in options.items():
         writer = writer.option(k, v)
     if partition_by:

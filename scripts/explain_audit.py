@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: execute each query, inspect the FINAL (post-AQE)
+plan and verify the properties the 100-TB design depends on.
+
+Checks per query:
+- pushed:  parquet PushedFilters count (predicate pushdown reached the scan)
+- codegen: WholeStageCodegen spans present (the `*(n)` markers) — under AQE
+           only the executed plan shows them, so the audit runs the query
+- bcast:   BroadcastHashJoin used for dimension joins
+- NESTED-LOOP!: CartesianProduct / BroadcastNestedLoopJoin outside the
+           queries whose algorithm is intentionally all-pairs / 1-row-probe
+- readcols: ReadSchema widths (projection pruning evidence)
+
+Usage: python scripts/explain_audit.py [sf_dir] [name...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from codecdb_queryengine_spark.session import get_spark
+
+# Queries where a nested-loop/cartesian shape is the intended algorithm:
+# scalar-threshold probes broadcast a 1-row aggregate (q11/q15/q22, the
+# reference's KeyFinder/TotalAggNode pattern) and verification forms are
+# deliberately all-pairs (dedup_simhash pairs, brute-force sim_topk).
+EXPECT_NESTED = {"q11", "q15", "q17", "q22", "dedup_simhash", "sim_topk"}
+
+
+def audit(name: str, plan: str) -> tuple[bool, str]:
+    notes = []
+    ok = True
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+    notes.append(f"pushed={pushed}")
+    if re.search(r"\*\(\d+\)", plan):
+        notes.append("codegen")
+    else:
+        notes.append("NO-CODEGEN")
+        ok = False
+    if "BroadcastHashJoin" in plan:
+        notes.append("bcast")
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if name in EXPECT_NESTED:
+            notes.append("nested(expected)")
+        else:
+            notes.append("NESTED-LOOP!")
+            ok = False
+    reads = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    if reads:
+        widths = [len(r.split(",")) for r in reads if r]
+        notes.append(f"readcols={widths}")
+    return ok, " ".join(notes)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:]
+    spark = get_spark("explain-audit")
+    queries = entry_mod.queries()
+    bad = []
+    for name, fn in queries.items():
+        if names and name not in names:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()  # drive to completion so AQE finalizes the plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            ok, notes = audit(name, plan)
+        except Exception as e:  # noqa: BLE001
+            ok, notes = False, f"EXCEPTION {e}"
+        print(f"{'OK ' if ok else 'BAD'} {name:22s} {notes}", flush=True)
+        if not ok:
+            bad.append(name)
+    if bad:
+        print("bad:", ", ".join(bad))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Extension surface tests: set ops in the plan builder, approx-distinct
+accuracy, source/sink round-trips."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.plans.builder import Plan
+from codecdb_queryengine_spark.sources import io
+
+
+def test_builder_set_ops(spark):
+    a = Plan(spark.createDataFrame([(1,), (2,), (3,)], ["x"]))
+    b = Plan(spark.createDataFrame([(2,), (3,), (4,)], ["x"]))
+    assert sorted(r.x for r in a.union_all(b).done().collect()) == [1, 2, 2, 3, 3, 4]
+    assert sorted(r.x for r in a.intersect(b).done().collect()) == [2, 3]
+    assert sorted(r.x for r in a.except_all(b).done().collect()) == [1]
+
+
+def test_builder_filter_union_and_mat(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    p = (
+        Plan(df)
+        .filter_union(F.col("x") < 2, F.col("x") > 7)
+        .mat()
+        .sort(F.col("x").asc())
+        .done()
+    )
+    assert [r.x for r in p.collect()] == [0, 1, 8, 9]
+    p.unpersist()
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1  # HLL default rsd 5%
+
+
+def test_io_roundtrip_formats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ["parquet", "csv", "json", "orc"]:
+            path = os.path.join(d, fmt)
+            io.write(df, path, fmt=fmt)
+            schema = "id long, name string, v double" if fmt in ("csv", "json") else None
+            back = io.read(spark, path, fmt=fmt, schema=schema)
+            got = sorted((r.id, r.name, r.v) for r in back.collect())
+            assert got == [(1, "a", 1.5), (2, "b", 2.5)], fmt
+
+
+def test_io_partitioned_write_prunes(spark):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)], ["id", "par"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        io.write(df, path, partition_by=["par"])
+        back = io.read(spark, path).filter(F.col("par") == "even")
+        assert back.count() == 50
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(par" in plan or "par#" in plan
