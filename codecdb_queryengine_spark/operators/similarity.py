@@ -133,6 +133,68 @@ def lsh_band_pairs(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 29,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN scale
+    path next to LSH bucketing.
+
+    Coarse quantizer: centroids are the vectors whose id ≡ 0 mod
+    `centroid_mod` — a deterministic, training-free stand-in for KMeans
+    (production swaps in pyspark.ml KMeans centers; the plumbing is
+    identical).  Every vector joins its nearest centroid's inverted list
+    via one broadcast pass + map-side max_by (no N×C shuffle); queries
+    probe the `nprobe` nearest lists and score exactly within them, so
+    the scored candidate set is ~nprobe/C of the corpus.
+    """
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    # Nearest-centroid assignment; tie-break toward the smaller centroid id.
+    pref = lambda: F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))  # noqa: E731
+    assigned = (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("n_id"),
+            "c_id",
+            cosine(F.col(vec_col), F.col("c_vec")).alias("sim"),
+        )
+        .groupBy("n_id")
+        .agg(F.max_by("c_id", pref()).alias("c_id"))
+    )
+    inv_lists = assigned.join(
+        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")), "n_id"
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_vec", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    probe_lists = (
+        probes.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "q_vec", "c_id")
+    )
+    scored = (
+        F.broadcast(probe_lists)
+        .join(inv_lists, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.operators.encsel import SORT_WINDOW
 
 
 def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,6 +195,66 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encsel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-selection column features (reference parity:
+    cpp/src/lqf/encsel/feature.h:28-105) — string-column profile of
+    documents.text plus sortedness of orders.o_totalprice."""
+    from codecdb_queryengine_spark.operators import encsel as E
+
+    t = load_tables(spark, sf_dir)
+    prof = E.column_profile(t["documents"], "text", "doc_id")
+    srt = E.sortedness(t["orders"], "o_totalprice", "o_orderkey").select(
+        F.lit("o_totalprice").alias("col_name"), "feature", "value"
+    )
+    return prof.unionByName(srt).orderBy("col_name", "feature")
+
+
+_ENCSEL_SQL = f"""
+    WITH chars AS (
+        SELECT doc_id AS _id, ch
+        FROM documents, unnest(string_split(text, '')) AS t(ch)
+        WHERE ch <> ''),
+    basic AS (
+        SELECT avg(CASE WHEN length(text) = 0 THEN 1.0 ELSE 0.0 END) AS sparsity_ratio,
+               CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS distinct_ratio,
+               CAST(min(length(text)) AS DOUBLE) AS len_min,
+               CAST(max(length(text)) AS DOUBLE) AS len_max,
+               avg(length(text)) AS len_mean,
+               var_pop(length(text)) AS len_var
+        FROM documents),
+    gent AS (
+        SELECT log2(sum(n)) - sum(n * log2(n)) / sum(n) AS value
+        FROM (SELECT ch, CAST(count(*) AS DOUBLE) AS n FROM chars GROUP BY ch)),
+    lent AS (
+        SELECT min(h) AS lmin, max(h) AS lmax, avg(h) AS lmean, var_pop(h) AS lvar
+        FROM (SELECT _id, log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
+              FROM (SELECT _id, ch, CAST(count(*) AS DOUBLE) AS n
+                    FROM chars GROUP BY _id, ch)
+              GROUP BY _id)),
+    sortw AS (
+        SELECT sum(CASE WHEN a.o_totalprice > b.o_totalprice THEN 1.0 ELSE 0.0 END)
+                 / count(*) AS value
+        FROM orders a JOIN orders b
+          ON (a.o_orderkey // {SORT_WINDOW}) = (b.o_orderkey // {SORT_WINDOW})
+         AND a.o_orderkey < b.o_orderkey)
+    SELECT 'text' AS col_name, feature, value FROM (
+        SELECT 'sparsity_ratio' AS feature, sparsity_ratio AS value FROM basic
+        UNION ALL SELECT 'distinct_ratio', distinct_ratio FROM basic
+        UNION ALL SELECT 'len_min', len_min FROM basic
+        UNION ALL SELECT 'len_max', len_max FROM basic
+        UNION ALL SELECT 'len_mean', len_mean FROM basic
+        UNION ALL SELECT 'len_var', len_var FROM basic
+        UNION ALL SELECT 'entropy', value FROM gent
+        UNION ALL SELECT 'line_entropy_min', lmin FROM lent
+        UNION ALL SELECT 'line_entropy_max', lmax FROM lent
+        UNION ALL SELECT 'line_entropy_mean', lmean FROM lent
+        UNION ALL SELECT 'line_entropy_var', lvar FROM lent)
+    UNION ALL
+    SELECT 'o_totalprice', 'sort_inverted_ratio', value FROM sortw
+    ORDER BY col_name, feature
+"""
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_cube": ext_cube,
@@ -202,6 +263,7 @@ QUERIES = {
     "ext_collect": ext_collect,
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
+    "encsel_features": encsel_features,
 }
 
 ORACLE: dict[str, str] = {
@@ -212,4 +274,5 @@ ORACLE: dict[str, str] = {
     "ext_collect": _COLLECT_SQL,
     "ext_setops": _SETOPS_SQL,
     # ext_approx_distinct intentionally omitted (rows-only check).
+    "encsel_features": _ENCSEL_SQL,
 }

@@ -330,6 +330,50 @@ def _ann_sql(dim: int = 64, planes: int = 6) -> str:
     """
 
 
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (deterministic mod-centroids)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, centroid_mod=29, nprobe=2)
+
+
+def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2) -> str:
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {centroid_mod} = 0),
+        assign AS (
+            SELECT n_id, c_id FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.embedding, c.c_vec) DESC,
+                                    c.c_id ASC) AS r
+                FROM embeddings v, cents c) WHERE r = 1),
+        probe AS (
+            SELECT q_id, c_id FROM (
+                SELECT q.vec_id AS q_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.c_vec) DESC,
+                                    c.c_id ASC) AS r
+                FROM embeddings q, cents c WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe}),
+        cand AS (
+            SELECT p.q_id, a.n_id FROM probe p JOIN assign a ON p.c_id = a.c_id
+            WHERE p.q_id <> a.n_id)
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT c.q_id, c.n_id,
+                   list_cosine_similarity(q.embedding, n.embedding) AS cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY c.q_id
+                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                c.n_id ASC) AS BIGINT) AS rk
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.q_id
+            JOIN embeddings n ON n.vec_id = c.n_id)
+        WHERE rk <= {_TOP_K}
+    """
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -350,6 +394,80 @@ def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
                [{feat}] AS feature
         FROM documents
     """
+
+
+# --- temporal joins --------------------------------------------------------
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (inclusive).  Union+running-last formulation — one shuffle on
+    user_id, no inequality-join blowup."""
+    from codecdb_queryengine_spark.operators import temporal as TJ
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = TJ.asof_join(purchases, clicks, on=["user_id"], ts="ts", payload=["click_value"])
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("ts_matched")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+_EVENTS_ASOF_SQL = """
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.user_id, purchase_id, p.ts, c.click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-range join: views by the same user within ±30 min of each
+    error.  Bucketed candidate equi-join — at most two bins probed per
+    left row, never a cartesian."""
+    from codecdb_queryengine_spark.operators import temporal as TJ
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    half_hour_us = 1800 * 1_000_000
+    pairs = TJ.range_join(
+        errors, views, on=["user_id"], ts="ts", lower_us=-half_hour_us, upper_us=half_hour_us
+    )
+    return (
+        pairs.groupBy("user_id", "error_id")
+        .agg(F.count(F.lit(1)).alias("n_views"), F.min("event_id_r").alias("first_view_id"))
+        .orderBy("error_id")
+    )
+
+
+_EVENTS_RANGE_SQL = """
+    WITH e AS (SELECT user_id, event_id AS error_id, ts
+               FROM events WHERE event_type = 'error'),
+    v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+    SELECT e.user_id, error_id, count(*) AS n_views, min(v.event_id) AS first_view_id
+    FROM e JOIN v ON e.user_id = v.user_id
+     AND epoch_us(v.ts) BETWEEN epoch_us(e.ts) - 1800000000
+                            AND epoch_us(e.ts) + 1800000000
+    GROUP BY e.user_id, error_id ORDER BY error_id
+"""
 
 
 # --- event windows (batch form; streaming variants in streaming/) ----------
@@ -438,9 +556,12 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "mm_features": mm_features,
     "events_window": events_window,
     "events_sessionize": events_sessionize,
+    "events_asof": events_asof,
+    "events_range_join": events_range_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -455,7 +576,10 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
+    "sim_ann_ivf": _ivf_sql(),
     "mm_features": _mm_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
+    "events_asof": _EVENTS_ASOF_SQL,
+    "events_range_join": _EVENTS_RANGE_SQL,
 }

@@ -82,14 +82,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) maintained in
+    arbitrary state with applyInPandasWithState — the escape hatch for
+    stateful logic windowed aggs can't express (the batch twin is a plain
+    groupBy, pinned in tests/test_streaming.py).
+
+    State per key is two scalars — O(distinct users) store size, no
+    per-event retention; Arrow-batched, never row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, sum_value double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DF with an availableNow trigger into a memory
     sink; returns the completed result as a batch DataFrame.  Used by tests
     to pin streaming output against the batch twin."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

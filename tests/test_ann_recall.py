@@ -38,3 +38,24 @@ def test_lsh_topk_subset_of_bruteforce_order(spark, sf_dir):
     top_exact = {(r.q_id, r.n_id) for r in exact}
     hits = sum(1 for r in approx if (r.q_id, r.n_id) in top_exact)
     assert hits >= 1
+
+
+def test_ivf_topk_ranked_and_within_corpus(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = S.ivf_topk(emb, queries, k=10, centroid_mod=29, nprobe=2).collect()
+    assert len(approx) > 0
+    # every query returns results and ranks are dense from 1
+    by_q: dict[int, list] = {}
+    for r in sorted(approx, key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # probing more lists can only widen the candidate set
+    wide = S.ivf_topk(emb, queries, k=10, centroid_mod=29, nprobe=4).collect()
+    assert len(wide) >= len(approx)

@@ -33,3 +33,21 @@ def test_session_windows_run(spark, sf_dir):
     assert len(rows) > 0
     # session windows must be disjoint per user and ordered start < end
     assert all(r.session_start < r.session_end for r in rows)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    stream = E.read_events_stream(spark, sf_dir)
+    result = E.run_to_memory(
+        E.running_user_totals(stream), "t_running_totals", output_mode="update"
+    )
+    # Last emitted row per user = final state; with one input file there is
+    # one batch, but dedupe by latest anyway to stay trigger-count agnostic.
+    final = {}
+    for r in result.collect():
+        final[r.user_id] = (r.n_events, round(r.sum_value, 6))
+    ev = load_tables(spark, sf_dir)["events"]
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    exp = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert final == exp
