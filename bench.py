@@ -49,6 +49,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.collect()
             times.append(time.perf_counter() - t0)
+            # Queries with mat() points persist a NEW DataFrame per run;
+            # without this the executor cache accumulates dead entries all
+            # suite long and GC pressure skews later queries' timings.
+            spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)

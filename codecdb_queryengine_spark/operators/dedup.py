@@ -211,17 +211,32 @@ def embedding_near_dups(
     all-pairs brute force (verification form, ≤1e4 vectors only — at sf0.1
     the all-pairs form was measured 30× slower).
     """
-    from codecdb_queryengine_spark.operators.similarity import cosine, lsh_band_pairs
+    from codecdb_queryengine_spark.operators.similarity import (
+        cosine_pre,
+        lsh_band_pairs,
+        norm,
+    )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
+    )
     if dim is not None:
         cand = lsh_band_pairs(df, dim, vec_col, id_col, bands, planes_per_band)
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn(
+            "cosine",
+            cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -84,6 +84,77 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", LongType()),
+        StructField("meta_height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: (payload, w, h) -> payload', w', h' via
+    mapInPandas.  The pixel transform itself is STUBBED (no PIL in this
+    container): the stand-in deterministically truncates/pads the payload
+    to w·h bytes so output size tracks the requested dims and tests can
+    pin the contract.  Swap `_resize_stub` for a real decoder in prod."""
+
+    def _resize_stub(payload: bytes) -> bytes:
+        target = width * height
+        if payload is None:
+            raise NotImplementedError("resize of NULL payload")
+        return payload[:target].ljust(target, b"\0")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(_resize_stub),
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: one media row explodes to ≤max_frames
+    frame rows via mapInPandas (1→N fan-out inside the Arrow batch — no
+    shuffle; downstream repartitions if frames need re-balancing).  Frame
+    extraction is STUBBED as fixed-stride byte slices standing in for
+    decoded frames; signature (payload → indexed frame payloads) is the
+    real contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    raise NotImplementedError("frame_sample of NULL payload")
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat documents.text utf-8 bytes as an opaque payload.
 

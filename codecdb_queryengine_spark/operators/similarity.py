@@ -34,6 +34,13 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (norm(a) * norm(b))).cast("double")
 
 
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine with per-row precomputed norms: pair-wise work drops from
+    three dot products to one (the norms are O(n) once instead of O(pairs));
+    IEEE-identical to `cosine` since the same sqrt results are multiplied."""
+    return (dot(a, b) / (norm_a * norm_b)).cast("double")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -47,12 +54,19 @@ def brute_force_topk(
     n_queries × n_vectors similarity evaluations, embarrassingly parallel;
     queries side broadcasts.  Deterministic tiebreak on neighbor id.
     """
-    cand = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    cand = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
     scored = (
-        F.broadcast(queries)
+        F.broadcast(queries.withColumn("q_norm", norm(F.col("q_vec"))))
         .crossJoin(cand)
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine",
+            cosine_pre(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
@@ -154,38 +168,56 @@ def ivf_topk(
     the scored candidate set is ~nprobe/C of the corpus.
     """
     cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
-    # Nearest-centroid assignment; tie-break toward the smaller centroid id.
+    # Nearest-centroid choice ranks dot/|c| — the probe vector's own norm is
+    # a positive per-row constant, so dropping it preserves the cosine argmax
+    # and removes two of three dot products per (vector, centroid) pair.
+    # Tie-break toward the smaller centroid id.
     pref = lambda: F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))  # noqa: E731
     assigned = (
         vectors.crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col).alias("n_id"),
             "c_id",
-            cosine(F.col(vec_col), F.col("c_vec")).alias("sim"),
+            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
         )
         .groupBy("n_id")
         .agg(F.max_by("c_id", pref()).alias("c_id"))
     )
     inv_lists = assigned.join(
-        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")), "n_id"
+        vectors.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_norm"),
+        ),
+        "n_id",
     )
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .select("q_id", "q_vec", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select(
+            "q_id",
+            "q_vec",
+            "c_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
     )
     wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     probe_lists = (
         probes.withColumn("r", F.row_number().over(wp))
         .filter(F.col("r") <= nprobe)
-        .select("q_id", "q_vec", "c_id")
+        .select("q_id", "q_vec", F.col("c_id"), norm(F.col("q_vec")).alias("q_norm"))
     )
     scored = (
         F.broadcast(probe_lists)
         .join(inv_lists, "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine",
+            cosine_pre(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
@@ -212,14 +244,20 @@ def lsh_bucket_topk(
     cand = vectors.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
         hyperplane_signature(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
-    q = queries.withColumn("bucket", hyperplane_signature(F.col("q_vec"), dim, num_planes))
+    q = queries.withColumn(
+        "bucket", hyperplane_signature(F.col("q_vec"), dim, num_planes)
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     scored = (
         F.broadcast(q)
         .join(cand, "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine",
+            cosine_pre(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (

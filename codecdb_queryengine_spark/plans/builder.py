@@ -84,6 +84,20 @@ class Plan:
         r = F.broadcast(r) if broadcast else r
         return Plan(self.df.join(r, on, how))
 
+    def exist_join(self, probe: "Plan | DataFrame", on, broadcast: bool = False) -> "Plan":
+        """HashExistJoin: keep THIS (build) side's rows having ≥1 probe
+        match (cpp/src/lqf/join.h:216-250, TPC-H Q21) — a semi join with
+        the reference's build/probe sides made explicit."""
+        p = probe.df if isinstance(probe, Plan) else probe
+        p = F.broadcast(p) if broadcast else p
+        return Plan(self.df.join(p, on, "left_semi"))
+
+    def not_exist_join(self, probe: "Plan | DataFrame", on, broadcast: bool = False) -> "Plan":
+        """HashNotExistJoin (cpp/src/lqf/join.h:252-265, TPC-H Q22)."""
+        p = probe.df if isinstance(probe, Plan) else probe
+        p = F.broadcast(p) if broadcast else p
+        return Plan(self.df.join(p, on, "left_anti"))
+
     # --- aggregation ------------------------------------------------------
     def agg(self, *exprs: Column, by: Iterable[str | Column] = ()) -> "Plan":
         """SimpleAgg (no keys) / HashAgg (cpp/src/lqf/agg.h:475-532)."""
@@ -95,6 +109,35 @@ class Plan:
     def having(self, pred: Column) -> "Plan":
         """Agg dump predicate (cpp/src/lqf/agg.h:448,472)."""
         return Plan(self.df.filter(pred))
+
+    def arg_max(self, keys: Iterable[str], of: Column) -> "Plan":
+        """RecordingMax: ALL rows achieving the per-group maximum —
+        the reference keeps the full tie set (cpp/src/lqf/agg.h:346-427,
+        TPC-H Q15's max-revenue suppliers), so this is rank()==1, not
+        max_by (which keeps one arbitrary row)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*list(keys)).orderBy(of.desc())
+        return Plan(
+            self.df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+        )
+
+    def arg_min(self, keys: Iterable[str], of: Column) -> "Plan":
+        """RecordingMin (cpp/src/lqf/agg.h:346-427, TPC-H Q2)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*list(keys)).orderBy(of.asc())
+        return Plan(
+            self.df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+        )
+
+    def key_find(self, pred: Column, key_col: str):
+        """KeyFinder scalar probe: the key of the single row matching pred,
+        consumed while building the enclosing plan (cpp/src/lqf/filter.h:
+        403-416; Q8 binds a nation key into a later lambda).  Forces a tiny
+        job — use only for dimension lookups."""
+        row = self.df.filter(pred).select(key_col).first()
+        return None if row is None else row[0]
 
     # --- order / limit ----------------------------------------------------
     def sort(self, *cols: Column) -> "Plan":

@@ -37,6 +37,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
+        spark.catalog.clearCache()  # drop per-query mat() persists
         print(f"{'PASS' if ok else 'FAIL'} {name:24s} {dt:6.2f}s  {detail}")
         if not ok:
             failed.append(name)

@@ -141,3 +141,46 @@ def test_multimodal_feature_plumbing(spark):
     assert r.digest == hashlib.md5(b"hello").hexdigest()
     assert len(r.feature) == M.FEATURE_DIM
     assert r.feature == [hashlib.md5(b"hello").digest()[i] / 256.0 for i in range(M.FEATURE_DIM)]
+
+
+def test_builder_arg_max_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 10.0), ("g1", 3, 5.0), ("g2", 4, 1.0)],
+        ["g", "id", "v"],
+    )
+    rows = sorted(
+        (r.g, r.id) for r in Plan(df).arg_max(["g"], F.col("v")).done().collect()
+    )
+    # RecordingMax keeps the full tie set (cpp/src/lqf/agg.h:346-427)
+    assert rows == [("g1", 1), ("g1", 2), ("g2", 4)]
+
+
+def test_builder_exist_joins_and_key_find(spark):
+    build = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "s"])
+    probe = spark.createDataFrame([(2,), (2,), (9,)], ["k"])
+    p = Plan(build)
+    assert [r.k for r in p.exist_join(probe, "k").done().collect()] == [2]
+    assert sorted(r.k for r in p.not_exist_join(probe, "k").done().collect()) == [1, 3]
+    assert p.key_find(F.col("s") == "b", "k") == 2
+    assert p.key_find(F.col("s") == "zzz", "k") is None
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from codecdb_queryengine_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x" * 100), 10, 10), (2, "video", bytearray(b"y" * 300), 0, 0)],
+        M.MEDIA_SCHEMA,
+    )
+    resized = {r.media_id: r for r in M.resize(media, 4, 4).collect()}
+    assert len(resized[1].payload) == 16 and resized[1].meta_width == 4
+    assert len(resized[2].payload) == 16
+
+    frames = M.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 100 bytes // 64 -> 1 frame; 300 // 64 -> 4 frames
+    assert len(by_id[1]) == 1 and len(by_id[2]) == 4
+    assert sorted(r.frame_idx for r in by_id[2]) == [0, 1, 2, 3]
+    assert bytes(by_id[2][0].frame_payload) == b"y" * 64
