@@ -82,6 +82,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, within: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps ids only for the watermark horizon,
+    so state is O(events per horizon) — the streaming face of the batch
+    exact_dedup operator (operators/dedup.py)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def purchases_with_recent_click(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same user's
+    clicks in the preceding `lookback`.  Both sides watermarked so the
+    join state expires; the time-range predicate bounds how long a click
+    waits for a matching purchase."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (count, sum) maintained in
     arbitrary state with applyInPandasWithState — the escape hatch for

@@ -51,3 +51,43 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     )
     exp = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
     assert final == exp
+
+
+def test_stream_dedup_drops_reinjected_duplicates(spark, sf_dir):
+    # two readers of the same file unioned = every event seen twice
+    doubled = E.read_events_stream(spark, sf_dir).unionByName(
+        E.read_events_stream(spark, sf_dir)
+    )
+    result = E.run_to_memory(
+        E.dedup_stream(doubled), "t_stream_dedup", output_mode="append"
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    assert result.count() == ev.count()
+    assert result.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    stream = E.read_events_stream(spark, sf_dir)
+    result = E.run_to_memory(
+        E.purchases_with_recent_click(stream), "t_ss_join", output_mode="append"
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    )
+    got = sorted((r.purchase_id, r.click_id) for r in result.collect())
+    exp = sorted((r.purchase_id, r.click_id) for r in batch.collect())
+    assert got == exp and len(got) > 0
