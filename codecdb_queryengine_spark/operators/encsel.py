@@ -124,3 +124,38 @@ def column_profile(df: DataFrame, col: str, id_col: str) -> DataFrame:
     return string_features(df, col, id_col).select(
         F.lit(col).alias("col_name"), "feature", "value"
     )
+
+
+def recommend_encoding(features: dict[str, float]) -> str:
+    """Map a feature profile to a Parquet encoding — the decision the
+    reference extracts these features FOR (CodecDB's encoding-selection
+    line; the repo ships extraction + a timing harness,
+    cpp/src/lqf/encsel/encsel_featuretime.cc, with the trained model
+    external).  This is a transparent heuristic stand-in with the same
+    inputs/outputs:
+
+    - near-empty column                  → RLE (runs of empties)
+    - few distinct values                → DICTIONARY
+    - near-sorted numeric                → DELTA_BINARY_PACKED
+    - low char entropy (repetitive text) → DICTIONARY
+    - otherwise                          → PLAIN
+    """
+    if features.get("sparsity_ratio", 0.0) > 0.5:
+        return "RLE"
+    if features.get("distinct_ratio", 1.0) < 0.1:
+        return "DICTIONARY"
+    srt = features.get("sort_inverted_ratio")
+    if srt is not None and (srt < 0.05 or srt > 0.95):
+        return "DELTA_BINARY_PACKED"
+    if features.get("entropy", 8.0) < 3.0:
+        return "DICTIONARY"
+    return "PLAIN"
+
+
+def writer_options(recommendations: dict[str, str]) -> dict[str, str]:
+    """Parquet writer options honoring the recommendations as far as the
+    Spark writer exposes (dictionary encoding is a file-level toggle;
+    delta/rle are chosen by the parquet writer automatically when
+    dictionary is off and pages compress well)."""
+    any_dict = any(v == "DICTIONARY" for v in recommendations.values())
+    return {"parquet.enable.dictionary": "true" if any_dict else "false"}

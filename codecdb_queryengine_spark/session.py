@@ -70,6 +70,8 @@ def get_spark(app_name: str = "codecdb-queryengine-spark", **extra_conf: str) ->
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed writes) land outside the repo
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)

@@ -28,7 +28,16 @@ from codecdb_queryengine_spark.session import get_spark
 # scalar-threshold probes broadcast a 1-row aggregate (q11/q15/q22, the
 # reference's KeyFinder/TotalAggNode pattern) and verification forms are
 # deliberately all-pairs (dedup_simhash pairs, brute-force sim_topk).
-EXPECT_NESTED = {"q11", "q15", "q17", "q22", "dedup_simhash", "sim_topk"}
+EXPECT_NESTED = {
+    "q11",
+    "q15",
+    "q17",
+    "q22",
+    "dedup_simhash",
+    "sim_topk",
+    # IVF assignment is definitionally all-vectors × broadcast(centroids)
+    "sim_ann_ivf",
+}
 
 
 def audit(name: str, plan: str) -> tuple[bool, str]:

@@ -38,3 +38,31 @@ def test_sortedness(spark, values, expected):
     )
     got = encsel.sortedness(df, "v", "seq", window=4).collect()[0].value
     assert got == pytest.approx(expected)
+
+
+def test_recommend_encoding_heuristics():
+    assert encsel.recommend_encoding({"sparsity_ratio": 0.9}) == "RLE"
+    assert encsel.recommend_encoding({"distinct_ratio": 0.01}) == "DICTIONARY"
+    assert (
+        encsel.recommend_encoding({"distinct_ratio": 0.9, "sort_inverted_ratio": 0.0})
+        == "DELTA_BINARY_PACKED"
+    )
+    assert (
+        encsel.recommend_encoding({"distinct_ratio": 0.9, "entropy": 1.5})
+        == "DICTIONARY"
+    )
+    assert (
+        encsel.recommend_encoding(
+            {"distinct_ratio": 0.9, "sort_inverted_ratio": 0.5, "entropy": 6.0}
+        )
+        == "PLAIN"
+    )
+
+
+def test_profile_to_recommendation_roundtrip(spark):
+    # a repetitive column profiles into a DICTIONARY recommendation
+    df = spark.createDataFrame([(i, "ab") for i in range(50)], ["id", "s"])
+    feats = _fmap(encsel.string_features(df, "s", "id"))
+    assert encsel.recommend_encoding(feats) == "DICTIONARY"
+    opts = encsel.writer_options({"s": "DICTIONARY"})
+    assert opts["parquet.enable.dictionary"] == "true"

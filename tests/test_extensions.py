@@ -66,3 +66,27 @@ def test_io_partitioned_write_prunes(spark):
         assert back.count() == 50
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(par" in plan or "par#" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Bucketed tables co-partition equi-joins: neither side shuffles —
+    the Spark analog of the reference pre-building reusable hash
+    containers (cpp/src/lqf/mat.h:30-55).  At 100 TB this turns repeated
+    fact-fact joins into zero-exchange map-side joins."""
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+    io.write_bucketed(a, "t_bucket_a", bucket_by=["k"], num_buckets=8, sort_by=["k"])
+    io.write_bucketed(b, "t_bucket_b", bucket_by=["k"], num_buckets=8, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
