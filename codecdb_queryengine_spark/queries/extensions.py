@@ -97,7 +97,12 @@ _WINDOW_SQL = """
 
 
 def ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution statistics per return flag: stddev, variance, median."""
+    """Distribution statistics per return flag: stddev, variance, median.
+
+    Scale note: exact `percentile` collects per-group values and is kept
+    here to stay oracle-exact; the 100-TB form swaps in
+    `percentile_approx` (t-digest, mergeable partial aggregation).
+    """
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.groupBy("l_returnflag")
