@@ -168,3 +168,21 @@ def fingerprint(c: str) -> Column:
 def sql_stopword_pattern() -> str:
     """The regex the oracle SQL uses — kept next to STOPWORDS."""
     return r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style split classes reduced to a
+# Java+RE2-portable pattern — contraction-free: letter runs, digit runs,
+# single non-alnum-non-space marks.  The real byte-pair merge table is a
+# model artifact; for corpus accounting the pre-tokenizer piece count is
+# the standard proxy.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_pieces(c: str) -> Column:
+    """All BPE-ish pieces of a text column (regexp_extract_all, JVM-side;
+    pattern passed as a Column literal to dodge SQL-string escaping)."""
+    return F.regexp_extract_all(F.col(c), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_piece_count(c: str) -> Column:
+    return F.size(bpe_pieces(c)).cast("long")

@@ -260,6 +260,28 @@ _ENCSEL_SQL = f"""
 """
 
 
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over lineitem by
+    suppkey — the skew-safe form must equal the plain GROUP BY, which is
+    exactly what the oracle checks."""
+    from codecdb_queryengine_spark.operators import skew
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return skew.salted_agg(
+        li,
+        ["l_suppkey"],
+        sums={"sum_qty": F.col("l_quantity")},
+        count_alias="n",
+        salt=16,
+    ).orderBy("l_suppkey")
+
+
+_SALTED_AGG_SQL = """
+    SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_cube": ext_cube,
@@ -269,6 +291,7 @@ QUERIES = {
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
     "encsel_features": encsel_features,
+    "ext_salted_agg": ext_salted_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -280,4 +303,5 @@ ORACLE: dict[str, str] = {
     "ext_setops": _SETOPS_SQL,
     # ext_approx_distinct intentionally omitted (rows-only check).
     "encsel_features": _ENCSEL_SQL,
+    "ext_salted_agg": _SALTED_AGG_SQL,
 }

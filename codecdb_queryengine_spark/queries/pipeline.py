@@ -123,6 +123,27 @@ _TEXT_FP_SQL = f"""
 """
 
 
+def text_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece counts per document (tokenizer-style corpus accounting:
+    letter runs / digit runs / punctuation marks, the GPT-2 pre-tokenizer
+    classes without the merge table)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.bpe_piece_count("text").alias("n_pieces"),
+        F.size(F.array_distinct(T.bpe_pieces("text"))).cast("long").alias("n_uniq_pieces"),
+    )
+
+
+_TEXT_BPE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT) AS n_pieces,
+           CAST(len(list_distinct(regexp_extract_all(text, '{T.BPE_PATTERN}'))) AS BIGINT)
+             AS n_uniq_pieces
+    FROM documents
+"""
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -549,6 +570,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_stats": text_bpe_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -569,6 +591,7 @@ ORACLE: dict[str, str] = {
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FP_SQL,
+    "text_bpe_stats": _TEXT_BPE_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -184,3 +184,9 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_id[1]) == 1 and len(by_id[2]) == 4
     assert sorted(r.frame_idx for r in by_id[2]) == [0, 1, 2, 3]
     assert bytes(by_id[2][0].frame_payload) == b"y" * 64
+
+
+def test_bpe_pieces_classes(spark):
+    df = spark.createDataFrame([(1, "Hello, world42! x3")], ["id", "txt"])
+    pieces = df.select(T.bpe_pieces("txt").alias("p")).collect()[0].p
+    assert pieces == ["Hello", ",", "world", "42", "!", "x", "3"]
