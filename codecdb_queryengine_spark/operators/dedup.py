@@ -108,6 +108,47 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed production dedup pipeline: LSH candidate generation
+    followed by exact Jaccard verification on candidates ONLY.
+
+    Verification is a per-pair array_intersect on the two shingle sets —
+    JVM-side, O(|A|+|B|) per candidate — instead of the corpus-wide
+    inverted-index self-join (ngram_jaccard_pairs), whose pair stream is
+    quadratic in shingle document-frequency.  Cost scales with the number
+    of LSH candidates, i.e. with the true near-duplicate density.
+    """
+    cand = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_words)
+    sets = df.select(
+        F.col(id_col).alias("jid"),
+        T.word_shingles(content_col, shingle_words).alias("shingles"),
+    )
+    a = sets.select(F.col("jid").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("jid").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                n_common
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,

@@ -234,6 +234,51 @@ _JACCARD_SQL = f"""
 """
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scale-path dedup: LSH candidates -> exact Jaccard verify
+    on candidates only (per-pair array intersect, no inverted-index join)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_verified_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
+    )
+
+
+def _minhash_verified_sql(num_hashes: int = 8, bands: int = 2, k: int = 3, thr: float = 0.12) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', " + ", ".join(f"m{b * r + j}" for j in range(r)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT mh_id, {b} AS band, bk{b} AS band_key FROM sigs" for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents),
+        sig0 AS (SELECT mh_id, shingles, {mins} FROM sh),
+        sigs AS (SELECT *, {band_keys} FROM sig0),
+        bk AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.mh_id AS id_a, b.mh_id AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.mh_id < b.mh_id)
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))))
+                     AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.mh_id = id_a
+            JOIN sh sb ON sb.mh_id = id_b)
+        WHERE jaccard >= {thr}
+    """
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH banding
     (the scale path: candidates = same band signature, then cosine-verify)."""
@@ -565,6 +610,49 @@ _EVENTS_SESSION_SQL = """
 """
 
 
+# --- streaming, oracle-gated ----------------------------------------------
+# These EXECUTE the Structured Streaming pipeline (availableNow trigger,
+# memory sink) and return the completed result as a batch DataFrame — so the
+# stream path itself goes through the DuckDB oracle gate, not just its
+# batch twin.
+
+
+def events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation, driven to
+    completion and gated against the batch SQL oracle."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(E.windowed_counts(stream), "q_events_stream_window")
+    return res.orderBy("window_start", "event_type")
+
+
+_EVENTS_STREAM_WINDOW_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals, driven to completion — the
+    custom stateful operator's final state must equal the batch GROUP BY."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(
+        E.running_user_totals(stream), "q_events_stream_totals", output_mode="update"
+    )
+    # one input file -> one trigger -> one emitted row per user (final state)
+    return res.orderBy("user_id")
+
+
+_EVENTS_STREAM_TOTALS_SQL = """
+    SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -575,6 +663,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_embedding": dedup_embedding,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -584,6 +673,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
     "events_range_join": events_range_join,
+    "events_stream_window": events_stream_window,
+    "events_stream_totals": events_stream_totals,
 }
 
 ORACLE: dict[str, str] = {
@@ -596,6 +687,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_embedding": _emb_dup_sql(),
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
@@ -605,4 +697,6 @@ ORACLE: dict[str, str] = {
     "events_sessionize": _EVENTS_SESSION_SQL,
     "events_asof": _EVENTS_ASOF_SQL,
     "events_range_join": _EVENTS_RANGE_SQL,
+    "events_stream_window": _EVENTS_STREAM_WINDOW_SQL,
+    "events_stream_totals": _EVENTS_STREAM_TOTALS_SQL,
 }
