@@ -19,5 +19,8 @@ Structured Streaming transformers.
 
 from codecdb_queryengine_spark.session import get_spark  # noqa: F401
 from codecdb_queryengine_spark.catalog import load_tables, register_views  # noqa: F401
+from codecdb_queryengine_spark.plans.builder import Plan  # noqa: F401
 
 __version__ = "0.1.0"
+
+__all__ = ["get_spark", "load_tables", "register_views", "Plan"]

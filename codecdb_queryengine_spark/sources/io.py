@@ -89,3 +89,36 @@ def write_bucketed(
 def show(df: DataFrame, n: int = 20) -> None:
     """The reference's Printer sink (cpp/src/lqf/print.h:74-90)."""
     df.show(n, truncate=False)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table directory into ~target-sized files; returns the new
+    file count.
+
+    Long-running ingestion (micro-batch sinks, per-trigger appends) leaves
+    thousands of small files whose open/footer costs dominate scans at
+    100 TB; periodic compaction keeps one file ≈ one row group ≈ one task.
+    Rewrites into a temp dir then swaps, so a concurrent reader sees either
+    the old or the new layout, never a partial mix.
+    """
+    import math
+    import pathlib
+    import shutil
+
+    df = read(spark, path, fmt=fmt)
+    total_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*") if f.is_file()
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -40,3 +40,28 @@ def read_parquet_sink(spark: SparkSession, path: str) -> DataFrame:
     """Read back what the streaming sink committed (respects the sink's
     _spark_metadata commit log, so uncommitted files are invisible)."""
     return spark.read.parquet(path)
+
+
+def materialize_rollup(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Hypertable-style continuous aggregate: the events stream rolls up
+    into per-(window, event_type) rows appended to a parquet table as each
+    window finalizes (append mode emits a window only once its end passes
+    the watermark — so every materialized row is immutable and re-runs
+    append nothing twice).
+
+    The sink is the serving table: time-ordered, pre-aggregated,
+    partition-prunable — the standard continuous-rollup pattern a
+    TimescaleDB/Druid user expects, built from watermark + append + file
+    commit log.  Windows newer than the watermark horizon stay pending in
+    the state store until more data arrives.
+    """
+    from codecdb_queryengine_spark.streaming.events import windowed_counts
+
+    rolled = windowed_counts(events, window=window, watermark=watermark)
+    return stream_to_parquet(rolled, path, checkpoint)

@@ -90,3 +90,19 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
+    import pathlib
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(50).write.parquet(path)
+    n_before = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_before == 50
+    n_target = io.compact(spark, path, target_file_bytes=512 * 1024)
+    n_after = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_after == n_target < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2

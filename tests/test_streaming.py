@@ -116,3 +116,43 @@ def test_parquet_sink_exactly_once_restart(spark, sf_dir, tmp_path):
     # partition pruning works on the sink layout
     clicks = sinks.read_parquet_sink(spark, out).filter(F.col("event_type") == "click")
     assert 0 < clicks.count() < n_events
+
+
+def test_materialized_rollup_emits_finalized_windows(spark, sf_dir, tmp_path):
+    import datetime
+
+    from codecdb_queryengine_spark.streaming import sinks
+
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "rollup_ckpt")
+    stream = E.read_events_stream(spark, sf_dir)
+    q = sinks.materialize_rollup(stream, out, ckpt)
+    q.awaitTermination()
+
+    ev = load_tables(spark, sf_dir)["events"]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    # append mode materializes exactly the windows finalized by the watermark
+    expected = {
+        (r.window_start, r.event_type, r.n, round(r.sum_value, 6))
+        for r in batch.filter(F.col("window_end") < F.lit(horizon)).collect()
+    }
+    got = {
+        (r.window_start, r.event_type, r.n, round(r.sum_value, 6))
+        for r in sinks.read_parquet_sink(spark, out).collect()
+    }
+    assert got == expected and len(got) > 0
+    # re-running the finished trigger appends nothing (immutable rollup rows)
+    q2 = sinks.materialize_rollup(E.read_events_stream(spark, sf_dir), out, ckpt)
+    q2.awaitTermination()
+    assert sinks.read_parquet_sink(spark, out).count() == len(got)
