@@ -50,6 +50,46 @@ def _fix_nanos(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+# Runtime-settable SQL confs every query depends on.  The caller may hand us
+# ANY SparkSession (the correctness driver builds its own, without our
+# session.py defaults), so these are (re-)applied per session rather than
+# relying on builder-time config:
+# - nanosAsLong: driver testdata is parquet TIMESTAMP(NANOS), which Spark 4
+#   rejects outright without this legacy flag (PARQUET_TYPE_ILLEGAL).
+# - UTC + ansi off: match DuckDB's timezone-naive, permissive semantics so
+#   date-derived results (year(), date_trunc, windows) are session-independent.
+# - the rest are the scale-oriented defaults from session.py that happen to be
+#   runtime-settable; harmless if already set.
+_SESSION_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.ansi.enabled", "false"),
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+    ("spark.sql.parquet.filterPushdown", "true"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+)
+
+_conf_applied: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs to a caller-provided session (idempotent)."""
+    if id(spark) in _conf_applied:
+        return
+    for k, v in _SESSION_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be non-settable on some builds; every one above is a
+            # runtime SQL conf in Spark 4.x, but never let a tightened conf
+            # surface as a table-load failure.
+            pass
+    _conf_applied.add(id(spark))
+
+
 # DataFrame handles are lazy plans — caching them per (session, dir) skips
 # re-reading 10 parquet footers on every query construction (a fixed ~0.5 s
 # tax per query in the bench loop).  Invalidated implicitly when the session
@@ -59,6 +99,7 @@ _table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every base table in `sf_dir` as a lazy DataFrame (cached)."""
+    ensure_session_confs(spark)
     key = (id(spark), sf_dir)
     cached = _table_cache.get(key)
     if cached is None:

@@ -62,10 +62,19 @@ def minhash_signatures(
     """id, shingles, MinHash signature — computed scan-side, no shuffle
     (beyond the parallelism spread for pathological single-partition inputs)."""
     df = _spread(df, id_col)
-    return df.select(
-        F.col(id_col).alias("mh_id"),
-        T.word_shingles(content_col, shingle_words).alias("shingles"),
-    ).withColumn("sig", T.minhash_signature(F.col("shingles"), num_hashes))
+    return (
+        df.select(
+            F.col(id_col).alias("mh_id"),
+            T.word_shingles(content_col, shingle_words).alias("shingles"),
+        )
+        # Docs shorter than shingle_words words have NO shingles: their
+        # signature would be all-null and every such doc would share the one
+        # empty band_key per band, collapsing into a single giant LSH bucket
+        # whose candidate join is quadratic in the short-doc count.  They can
+        # never pass Jaccard verification anyway — drop them before banding.
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", T.minhash_signature(F.col("shingles"), num_hashes))
+    )
 
 
 def minhash_band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

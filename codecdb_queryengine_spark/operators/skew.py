@@ -42,7 +42,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left (large, skewed) side salted and the right
     (small) side replicated `salt` times.  Result equals
-    left.join(right, on, how) row-for-row."""
+    left.join(right, on, how) row-for-row for the supported join types.
+
+    Right/full outer variants are rejected: an unmatched right row exists
+    `salt` times after replication and would be emitted once per salt value,
+    duplicating the null-extended output."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right-side replication "
+            "duplicates unmatched right rows under right/full outer joins. "
+            f"Supported: {sorted(allowed)}"
+        )
     on = list(on)
     l_s = left.withColumn("_salt", _salt_col(left, salt))
     r_s = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

@@ -179,7 +179,9 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2, k: int = 3) -> str:
     )
     return f"""
         WITH sh AS (
-            SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents),
+            SELECT mh_id, shingles FROM (
+                SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents)
+            WHERE len(shingles) > 0),
         sig0 AS (SELECT mh_id, {mins} FROM sh),
         sigs AS (SELECT *, {band_keys} FROM sig0),
         bk AS ({band_union})
@@ -258,7 +260,9 @@ def _minhash_verified_sql(num_hashes: int = 8, bands: int = 2, k: int = 3, thr: 
     )
     return f"""
         WITH sh AS (
-            SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents),
+            SELECT mh_id, shingles FROM (
+                SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles FROM documents)
+            WHERE len(shingles) > 0),
         sig0 AS (SELECT mh_id, shingles, {mins} FROM sh),
         sigs AS (SELECT *, {band_keys} FROM sig0),
         bk AS ({band_union}),

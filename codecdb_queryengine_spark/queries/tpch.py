@@ -385,7 +385,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Q15 — top supplier: arg-max over an aggregated view, keeping ties.
 # Reference: RecordingSimpleAgg over the revenue view (query15.cc:61-62);
-# the view is used twice -> persist, matching the reference's Mat point.
+# the view is used twice.  No persist needed: both uses sit in ONE plan, so
+# Spark's exchange reuse (spark.sql.exchange.reuse, on by default) computes
+# the revenue shuffle once and wires it into both consumers — the reference's
+# Mat point without a leaked cache entry.
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     revenue = (
@@ -395,7 +398,6 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
-        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """Run every queries() entry against its oracle_sql() at a given SF dir.
 
+Uses a BARE SparkSession (no session.py defaults) to mirror the driver's
+correctness gate: catalog.ensure_session_confs must make every query work on
+any caller-provided session.  Set CHECK_TUNED_SESSION=1 to use get_spark()
+instead.
+
 Usage: python scripts/check_correctness.py [sf_dir] [name_filter...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -19,7 +25,17 @@ from codecdb_queryengine_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
-    spark = get_spark("correctness-check")
+    if os.environ.get("CHECK_TUNED_SESSION"):
+        spark = get_spark("correctness-check")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("correctness-check-bare")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
