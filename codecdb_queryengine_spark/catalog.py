@@ -67,6 +67,8 @@ _SESSION_CONFS = (
     ("spark.sql.adaptive.enabled", "true"),
     ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
     ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    # no runtime SMJ->broadcast re-plan (see session.py rationale)
+    ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
     ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
     ("spark.sql.parquet.filterPushdown", "true"),
     ("spark.sql.execution.arrow.pyspark.enabled", "true"),

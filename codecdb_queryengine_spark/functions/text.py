@@ -122,7 +122,13 @@ def char_shingles(c: str, k: int = 8) -> Column:
 
 
 def word_shingles(c: str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles joined by single spaces."""
+    """Distinct word k-gram shingles joined by single spaces.
+
+    NOTE: re-evaluates the regex split for every shingle index inside the
+    interpreted transform lambda — O(tokens²) per doc.  Hot paths should
+    bind tokens in their own projection and use `word_shingles_from_tokens`
+    (identical output).
+    """
     return F.expr(
         f"CASE WHEN size(split(trim({c}), '\\\\s+')) >= {k} THEN "
         f"array_distinct(transform("
@@ -130,6 +136,25 @@ def word_shingles(c: str, k: int = 3) -> Column:
         f"  i -> array_join(slice(split(trim({c}), '\\\\s+'), i + 1, {k}), ' ')))"
         f"ELSE array() END"
     )
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles over a pre-bound token-array column.
+
+    Same output as `word_shingles(c, k)` when toks = tokens(c); the regex
+    split runs once per row (in the projection that bound `toks`) instead of
+    once per shingle index — higher-order-function lambdas are interpreted,
+    so Catalyst's subexpression elimination can't rescue the inline form.
+    """
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:

@@ -63,9 +63,13 @@ def minhash_signatures(
     (beyond the parallelism spread for pathological single-partition inputs)."""
     df = _spread(df, id_col)
     return (
-        df.select(
-            F.col(id_col).alias("mh_id"),
-            T.word_shingles(content_col, shingle_words).alias("shingles"),
+        # tokens bound in their own projection so the regex split runs once
+        # per row; the shingle lambda then slices the bound array (the
+        # single-projection form re-split per shingle index — O(tokens²))
+        df.select(F.col(id_col).alias("mh_id"), T.tokens(content_col).alias("__toks"))
+        .select(
+            "mh_id",
+            T.word_shingles_from_tokens(F.col("__toks"), shingle_words).alias("shingles"),
         )
         # Docs shorter than shingle_words words have NO shingles: their
         # signature would be all-null and every such doc would share the one
@@ -106,6 +110,15 @@ def minhash_candidate_pairs(
     """Distinct unordered candidate pairs sharing ≥1 LSH band."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_words)
+    return _candidate_pairs_from_sig(sig, bands, rows_per_band)
+
+
+def _candidate_pairs_from_sig(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Band self-join over a precomputed signature frame.
+
+    Left/right branches are the same subplan shuffled on the same keys, so
+    Spark's ReuseExchange materializes the banding once.
+    """
     bk = minhash_band_keys(sig, bands, rows_per_band)
     left = bk.select(F.col("mh_id").alias("id_a"), "band", "band_key")
     right = bk.select(F.col("mh_id").alias("id_b"), "band", "band_key")
@@ -135,11 +148,15 @@ def minhash_verified_pairs(
     quadratic in shingle document-frequency.  Cost scales with the number
     of LSH candidates, i.e. with the true near-duplicate density.
     """
-    cand = minhash_candidate_pairs(df, content_col, id_col, num_hashes, bands, shingle_words)
-    sets = df.select(
-        F.col(id_col).alias("jid"),
-        T.word_shingles(content_col, shingle_words).alias("shingles"),
-    )
+    # One signature frame feeds BOTH candidate generation and verification:
+    # the banding branches and the two verify lookups are shuffles of the
+    # same subplan, so the shingle+md5 scan work is shared via exchange
+    # reuse instead of recomputed four times.  (Zero-shingle docs are
+    # filtered inside minhash_signatures; they can't reach verification
+    # because candidates are generated from the same filtered frame.)
+    sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_words)
+    cand = _candidate_pairs_from_sig(sig, bands, num_hashes // bands)
+    sets = sig.select(F.col("mh_id").alias("jid"), "shingles")
     a = sets.select(F.col("jid").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col("jid").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -171,16 +188,16 @@ def ngram_jaccard_pairs(
     counts; jaccard = c / (|A| + |B| - c).  At 100 TB this runs on LSH
     candidates (minhash_candidate_pairs), not all pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("jid"),
-        F.explode(T.word_shingles(content_col, shingle_words)).alias("shingle"),
+    sets = df.select(
+        F.col(id_col).alias("jid"), T.tokens(content_col).alias("__toks")
+    ).select(
+        "jid",
+        T.word_shingles_from_tokens(F.col("__toks"), shingle_words).alias("shingles"),
     )
+    sh = sets.select("jid", F.explode("shingles").alias("shingle"))
     # per-doc sizes straight from the array length — avoids re-running the
     # explode+shuffle a third time for a count the scan already knows
-    sizes = df.select(
-        F.col(id_col).alias("jid"),
-        F.size(T.word_shingles(content_col, shingle_words)).alias("n_shingles"),
-    )
+    sizes = sets.select("jid", F.size("shingles").alias("n_shingles"))
     a = sh.select(F.col("jid").alias("id_a"), "shingle")
     b = sh.select(F.col("jid").alias("id_b"), "shingle")
     common = (

@@ -94,20 +94,31 @@ def hyperplane_component(plane: int, dim: int) -> float:
 def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8, base_plane: int = 0) -> Column:
     """LSH signature: bit p = sign(vec · hyperplane_p), packed into a long.
 
-    One zip_with/aggregate dot product per plane against a literal
-    hyperplane array — O(planes) small expressions instead of the
-    O(planes × dim) md5 tree, which chokes codegen.  Summation order is
-    element order, matching the oracle's left-to-right SQL sum.
+    All planes ride in ONE nested-array literal (a single Catalyst Literal
+    node); projections come from a `transform` over it, and the bit-packing
+    folds with a weighted zip_with/aggregate.  The per-plane literal-array
+    formulation this replaces produced O(planes × dim) expression nodes,
+    dominating analysis/codegen time on self-joined LSH plans.  IEEE
+    semantics are unchanged: each dot is the same left-to-right
+    zip_with/aggregate sum the oracle SQL mirrors, and bit weights are
+    exact small powers of two in doubles.
     """
-    sig = None
-    for p in range(num_planes):
-        plane = F.array(
-            *[F.lit(hyperplane_component(base_plane + p, d)) for d in range(dim)]
+    planes = F.lit(
+        [
+            [hyperplane_component(base_plane + p, d) for d in range(dim)]
+            for p in range(num_planes)
+        ]
+    )
+    weights = F.lit([float(2**p) for p in range(num_planes)])
+    projs = F.transform(planes, lambda plane: dot(vec, plane))
+    return (
+        F.aggregate(
+            F.zip_with(projs, weights, lambda x, w: F.when(x >= 0, w).otherwise(F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        proj = dot(vec, plane)
-        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+        .cast("long")
+    )
 
 
 def lsh_band_pairs(

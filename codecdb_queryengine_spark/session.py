@@ -45,6 +45,14 @@ def get_spark(app_name: str = "codecdb-queryengine-spark", **extra_conf: str) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ->broadcast re-planning is disabled: the static 64 MB
+        # threshold below already broadcasts every dimension, so the runtime
+        # conversion's only residual effect is re-collecting mid-query at the
+        # driver — measured locally it destabilizes heavy expression plans
+        # (5-25s spikes on the LSH dedup suite; steady ~4s without).
+        # Coalescing and skew-splitting (the AQE wins that matter at 100 TB)
+        # stay on.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         # --- semi-join reduction, Spark-native (lqf FilterJoin analog).
         # NOTE: runtimeFilter.semiJoinReduction.enabled is deliberately NOT set:
         # enabling it together with the bloom filter hangs Spark 4.1 session
