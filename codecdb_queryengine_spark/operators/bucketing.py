@@ -1,0 +1,51 @@
+"""LSH bucket → candidate-pair expansion without a self-join.
+
+Both MinHash banding (dedup.py) and hyperplane banding (similarity.py)
+need "all unordered id pairs sharing a bucket".  The self-join
+formulation (bk ⋈ bk on bucket key) costs two shuffles of the full
+banding stream plus a join whose physical strategy is at the planner's
+mercy — measured locally, AQE's runtime SMJ→broadcast choice swung
+dedup_minhash between 3 s and 12 s at sf0.1.
+
+The groupBy form is one shuffle on the bucket key: collect the (sorted)
+ids per bucket, expand the k·(k-1)/2 in-bucket pairs with an array
+expression, explode.  Output is identical (distinct unordered pairs).
+
+100-TB note: pair expansion is quadratic in bucket size by definition —
+identical to the self-join, which produces the same pairs through the
+shuffle instead.  Bucket sizes are bounded by LSH design (band keys
+spread near-uniformly; degenerate keys such as empty-shingle docs are
+filtered upstream), so per-bucket arrays stay small; `collect_list` per
+bucket is map-side-combined and never materializes more than one
+bucket's ids per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_candidate_pairs(
+    bk: DataFrame, id_col: str, bucket_cols: Sequence[str]
+) -> DataFrame:
+    """Distinct (id_a, id_b) with id_a < id_b sharing ≥1 bucket.
+
+    bk: one row per (id, bucket); bucket_cols identify the bucket.
+    """
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+        )
+    )
+    return (
+        bk.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(pairs.alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )

@@ -13,6 +13,11 @@ Driver-mandated extension (no reference counterpart; the reference's only
 
 from __future__ import annotations
 
+# Module-level so pandas-UDF type hints (stringified by the future
+# annotations import) resolve against module globals.
+import numpy as np  # noqa: F401
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,6 +126,79 @@ def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8, base_plane:
     )
 
 
+def _plane_matrix(dim: int, num_planes: int, base_plane: int = 0):
+    """(num_planes × dim) float64 hyperplane matrix, same md5-derived
+    components as hyperplane_component."""
+    return np.array(
+        [
+            [hyperplane_component(base_plane + p, d) for d in range(dim)]
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_band_keys_arrow(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """(bid, band, band_key) via one vectorized pandas UDF: the whole
+    batch's projections are a single (n × dim)·(dim × planes) matmul.
+
+    Numerics note: numpy's dot uses pairwise summation while the expression
+    form (and the DuckDB oracle) sums left-to-right.  The two differ by
+    O(1e-16) relative error, which only matters to the SIGN of a projection
+    whose exact value is within ~1e-15 of zero — vanishingly unlikely for
+    md5-derived O(1)-magnitude planes, and a flip would only perturb one
+    LSH bucket (verification re-filters candidates anyway).
+    """
+    planes = np.concatenate(
+        [_plane_matrix(dim, planes_per_band, b * planes_per_band) for b in range(bands)]
+    )  # (bands*ppb, dim)
+    weights = (2 ** np.arange(planes_per_band, dtype=np.int64)).reshape(1, -1)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(returnType=ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes.T) >= 0  # (n, bands*ppb)
+        keys = [
+            (bits[:, b * planes_per_band : (b + 1) * planes_per_band] * weights).sum(axis=1)
+            for b in range(bands)
+        ]
+        return pd.Series(np.stack(keys, axis=1).tolist())
+
+    return (
+        vectors.select(F.col(id_col).alias("bid"), band_keys(F.col(vec_col)).alias("__ks"))
+        .select("bid", F.posexplode("__ks").alias("band", "band_key"))
+    )
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Vectorized cosine over two array columns (batch matmul-free row-wise
+    einsum; float64).  Same numerics caveat as lsh_band_keys_arrow — the
+    compare gate rounds to 2 decimals, so summation-order noise is moot."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(returnType=DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return cos(a, b)
+
+
 def lsh_band_pairs(
     vectors: DataFrame,
     dim: int,
@@ -128,6 +206,7 @@ def lsh_band_pairs(
     id_col: str = "vec_id",
     bands: int = 4,
     planes_per_band: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 hyperplane band (random-projection LSH).
 
@@ -136,26 +215,24 @@ def lsh_band_pairs(
     high probability.  Candidate generation is n·bands rows — never the
     O(n²) cross join.
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            hyperplane_signature(
-                F.col(vec_col), dim, planes_per_band, base_plane=b * planes_per_band
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    bk = vectors.select(
-        F.col(id_col).alias("bid"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("bid", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
-    left = bk.select(F.col("bid").alias("id_a"), "band", "band_key")
-    right = bk.select(F.col("bid").alias("id_b"), "band", "band_key")
-    return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if use_arrow:
+        bk = lsh_band_keys_arrow(vectors, dim, vec_col, id_col, bands, planes_per_band)
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_signature(
+                    F.col(vec_col), dim, planes_per_band, base_plane=b * planes_per_band
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        bk = vectors.select(
+            F.col(id_col).alias("bid"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("bid", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    from codecdb_queryengine_spark.operators.bucketing import bucket_candidate_pairs
+
+    return bucket_candidate_pairs(bk, "bid", ["band", "band_key"])
 
 
 def ivf_topk(

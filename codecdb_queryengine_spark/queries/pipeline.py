@@ -164,12 +164,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=8, bands=2)
 
 
+def _sql_minhash_mins(num_hashes: int = 8) -> str:
+    """Mirror of text.minhash_signature_from_digests: element i = min of an
+    8-hex-char slice of md5(prefix_{i//4} || s).  (DuckDB re-derives the
+    digest per slice; the oracle is correctness-only.)"""
+    parts = []
+    for i in range(num_hashes):
+        j, slot = divmod(i, T.HASHES_PER_DIGEST)
+        p = T.minhash_digest_prefix(j)
+        digest = f"md5('{p}' || s)" if p else "md5(s)"
+        parts.append(
+            f"list_min(list_transform(shingles, "
+            f"s -> substring({digest}, {slot * 8 + 1}, 8))) AS m{i}"
+        )
+    return ", ".join(parts)
+
+
 def _minhash_sql(num_hashes: int = 8, bands: int = 2, k: int = 3) -> str:
     r = num_hashes // bands
-    mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS m{i}"
-        for i in range(num_hashes)
-    )
+    mins = _sql_minhash_mins(num_hashes)
     band_keys = ", ".join(
         "concat_ws('_', " + ", ".join(f"m{b * r + j}" for j in range(r)) + f") AS bk{b}"
         for b in range(bands)
@@ -247,10 +260,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_verified_sql(num_hashes: int = 8, bands: int = 2, k: int = 3, thr: float = 0.12) -> str:
     r = num_hashes // bands
-    mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS m{i}"
-        for i in range(num_hashes)
-    )
+    mins = _sql_minhash_mins(num_hashes)
     band_keys = ", ".join(
         "concat_ws('_', " + ", ".join(f"m{b * r + j}" for j in range(r)) + f") AS bk{b}"
         for b in range(bands)

@@ -190,3 +190,65 @@ def test_bpe_pieces_classes(spark):
     df = spark.createDataFrame([(1, "Hello, world42! x3")], ["id", "txt"])
     pieces = df.select(T.bpe_pieces("txt").alias("p")).collect()[0].p
     assert pieces == ["Hello", ",", "world", "42", "!", "x", "3"]
+
+
+def test_minhash_arrow_matches_expression_path(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "x y"),  # too short -> dropped by both paths
+            (4, ""),
+            (5, "  spaced   out   tokens   here   now "),
+        ],
+        ["id", "txt"],
+    )
+    a = {
+        r.mh_id: (list(r.shingles), list(r.sig))
+        for r in D.minhash_signatures(df, "txt", "id", 8, 3, use_arrow=True).collect()
+    }
+    b = {
+        r.mh_id: (list(r.shingles), list(r.sig))
+        for r in D.minhash_signatures(df, "txt", "id", 8, 3, use_arrow=False).collect()
+    }
+    assert a == b
+    assert 3 not in a and 4 not in a
+
+
+def test_lsh_band_keys_arrow_matches_expression_signature(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    arrow = {
+        (r.bid, r.band): r.band_key
+        for r in S.lsh_band_keys_arrow(df, 16, "embedding", "vec_id", 2, 4).collect()
+    }
+    for b in range(2):
+        expr = {
+            (r.bid, b): r.key
+            for r in df.select(
+                F.col("vec_id").alias("bid"),
+                S.hyperplane_signature(F.col("embedding"), 16, 4, base_plane=b * 4).alias("key"),
+            ).collect()
+        }
+        for k, v in expr.items():
+            assert arrow[k] == v, k
+
+
+def test_cosine_arrow_matches_expression(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0], [0.5, 1.0, -2.0]), (2, [0.1, 0.2, 0.3], [0.1, 0.2, 0.3])],
+        ["id", "va", "vb"],
+    )
+    got = {
+        r.id: (r.a, r.e)
+        for r in df.select(
+            "id",
+            S.cosine_arrow(F.col("va"), F.col("vb")).alias("a"),
+            S.cosine(F.col("va"), F.col("vb")).alias("e"),
+        ).collect()
+    }
+    for a, e in got.values():
+        assert abs(a - e) < 1e-12
