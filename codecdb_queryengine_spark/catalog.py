@@ -72,6 +72,12 @@ _SESSION_CONFS = (
     ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
     ("spark.sql.parquet.filterPushdown", "true"),
     ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    # Streaming stateful operators take their state-store partition count
+    # from shuffle.partitions at query start and get NO AQE coalescing: a
+    # bare session's default 200 means 200 state stores per stateful stage
+    # (measured 3-4x slowdown on the stream queries at sf0.01).  Batch
+    # queries are insensitive (AQE coalesces either way).
+    ("spark.sql.shuffle.partitions", str(2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))),
 )
 
 _conf_applied: set[int] = set()

@@ -667,6 +667,95 @@ _EVENTS_STREAM_TOTALS_SQL = """
 """
 
 
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (30-min gap) driven to
+    completion; complete output mode emits every closed-over session, so
+    the result equals gap-based batch sessionization.
+
+    Session semantics pinned by the oracle: a session covers events whose
+    inter-arrival gap is < 30 min (an event at exactly start+gap falls
+    outside the [start, end) window and opens a new session); session_end =
+    last event + gap.
+    """
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(E.session_windows(stream, "30 minutes"), "q_events_stream_sessions")
+    return res.orderBy("user_id", "session_start")
+
+
+_EVENTS_STREAM_SESSIONS_SQL = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sid AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events
+    FROM sid GROUP BY user_id, session_idx
+    ORDER BY user_id, session_start
+"""
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on event_id)
+    driven to completion, then rolled up per event type batch-side.  State
+    is bounded by the watermark horizon — the streaming face of the batch
+    exact_dedup operator."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    deduped = E.run_to_memory(
+        E.dedup_stream(stream), "q_events_stream_dedup", output_mode="append"
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_STREAM_DEDUP_SQL = """
+    WITH d AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        FROM events)
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: purchases matched to the same user's
+    clicks within the preceding hour, driven to completion (append mode —
+    inner-join matches emit as both sides arrive)."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(
+        E.purchases_with_recent_click(stream), "q_events_stream_join", output_mode="append"
+    )
+    return res.select("user_id", "purchase_id", "click_id").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+_EVENTS_STREAM_JOIN_SQL = """
+    SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    ORDER BY user_id, purchase_id, click_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -689,6 +778,9 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_stream_window": events_stream_window,
     "events_stream_totals": events_stream_totals,
+    "events_stream_sessions": events_stream_sessions,
+    "events_stream_dedup": events_stream_dedup,
+    "events_stream_join": events_stream_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -713,4 +805,7 @@ ORACLE: dict[str, str] = {
     "events_range_join": _EVENTS_RANGE_SQL,
     "events_stream_window": _EVENTS_STREAM_WINDOW_SQL,
     "events_stream_totals": _EVENTS_STREAM_TOTALS_SQL,
+    "events_stream_sessions": _EVENTS_STREAM_SESSIONS_SQL,
+    "events_stream_dedup": _EVENTS_STREAM_DEDUP_SQL,
+    "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
 }

@@ -30,6 +30,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata's TIMESTAMP(NANOS) column surfaces as long under
     nanosAsLong (catalog.py); the same conversion applies here.
     """
+    # Session confs normally applied by catalog.load_tables — the streaming
+    # entry points don't go through the catalog, so apply here as well
+    # (notably shuffle.partitions: state-store count, no AQE coalescing).
+    from codecdb_queryengine_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     # File stream sources require a directory; select the single events
     # file out of the sf dir with a glob filter.
     raw = (
@@ -164,12 +170,28 @@ def run_to_memory(
     """Execute a streaming DF with an availableNow trigger into a memory
     sink; returns the completed result as a batch DataFrame.  Used by tests
     to pin streaming output against the batch twin."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = stream_df.sparkSession
+    # A streaming query snapshots shuffle.partitions at start as its
+    # state-store partition count, with no AQE coalescing ever after; local
+    # stateful stages run fastest at one partition per core (measured: the
+    # stream-stream join at sf0.01 takes 14s at 64 partitions, 8s at 32).
+    # Scoped to the stream start so batch plans keep the higher AQE-friendly
+    # initial partition count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # microbatches plan asynchronously after start() — only restore the
+        # conf once the query has fully drained
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
