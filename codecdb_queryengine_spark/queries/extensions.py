@@ -282,8 +282,58 @@ _SALTED_AGG_SQL = """
 """
 
 
+def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 assembled through the Plan builder — entry point B of the
+    reference (imperative operator chaining, cpp/src/lqf/tpch/query3.cc:
+    102-167), mirroring the hand plan's physical shape: dimension filter →
+    semi-join reduction of orders → fact join → agg → TopN.  Same oracle
+    as q3; proves the builder vocabulary composes to the identical result.
+    """
+    from codecdb_queryengine_spark.plans.builder import Plan
+    from codecdb_queryengine_spark.queries.tpch import _ts
+
+    t = load_tables(spark, sf_dir)
+    cust = Plan.scan(t["customer"], ["c_custkey", "c_mktsegment"]).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = (
+        Plan.scan(t["orders"], ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .filter(F.col("o_orderdate") < _ts("1998-03-15"))
+        .semi_join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = Plan.scan(
+        t["lineitem"], ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            by=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .topk(10, F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .done()
+    )
+
+
+def q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL-text entry point (spark.sql over registered
+    views) — the declarative surface the reference ships as committed SQL
+    (cpp/tpch_sql/presto/query/q6.sql) but cannot execute itself.  The
+    dialect-neutral text runs verbatim on Spark AND DuckDB (it IS the
+    oracle string), pinning the SQL path end-to-end.
+    """
+    from codecdb_queryengine_spark.catalog import register_views
+    from codecdb_queryengine_spark.queries.tpch import ORACLE as TPCH_ORACLE
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_ORACLE["q6"])
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
+    "q3_plan": q3_plan,
+    "q6_sql": q6_sql,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
     "ext_stats": ext_stats,
@@ -294,8 +344,12 @@ QUERIES = {
     "ext_salted_agg": ext_salted_agg,
 }
 
+from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noqa: E402
+
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
+    "q3_plan": _TPCH_ORACLE["q3"],
+    "q6_sql": _TPCH_ORACLE["q6"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,
     "ext_stats": _STATS_SQL,
