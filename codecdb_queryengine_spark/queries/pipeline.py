@@ -738,8 +738,13 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import events as E
 
     stream = E.read_events_stream(spark, sf_dir)
+    # 4 state stores per partition (two sides x key/keyWithIndex): halve the
+    # store count again vs the single-store aggs (see run_to_memory).
     res = E.run_to_memory(
-        E.purchases_with_recent_click(stream), "q_events_stream_join", output_mode="append"
+        E.purchases_with_recent_click(stream),
+        "q_events_stream_join",
+        output_mode="append",
+        state_partitions=max(4, spark.sparkContext.defaultParallelism // 4),
     )
     return res.select("user_id", "purchase_id", "click_id").orderBy(
         "user_id", "purchase_id", "click_id"

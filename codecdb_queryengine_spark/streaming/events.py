@@ -165,22 +165,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DF with an availableNow trigger into a memory
     sink; returns the completed result as a batch DataFrame.  Used by tests
-    to pin streaming output against the batch twin."""
+    to pin streaming output against the batch twin.
+
+    `state_partitions` sets the state-store partition count (a streaming
+    query snapshots shuffle.partitions at start, with no AQE coalescing
+    ever after).  Size it to the STATE, not the core count: every store
+    pays a fixed load/commit cost per microbatch — including the empty
+    watermark-advance batch availableNow always appends — so oversizing
+    multiplies pure overhead (measured sf0.01: windowed agg 1.2 s at 16
+    stores vs 1.4 s at 32; stream-stream join, which keeps 4 stores per
+    partition, 4.7 s at 8 vs 15 s at 32).  At cluster scale pass the
+    spark_graft.streaming.statePartitions conf instead — state that
+    spans executors needs one store per concurrent task, and the count
+    is fixed for the checkpoint's lifetime.
+    """
     spark = stream_df.sparkSession
-    # A streaming query snapshots shuffle.partitions at start as its
-    # state-store partition count, with no AQE coalescing ever after; local
-    # stateful stages run fastest at one partition per core (measured: the
-    # stream-stream join at sf0.01 takes 14s at 64 partitions, 8s at 32).
-    # Scoped to the stream start so batch plans keep the higher AQE-friendly
-    # initial partition count.
+    if state_partitions is None:
+        conf_v = spark.conf.get("spark_graft.streaming.statePartitions", None)
+        state_partitions = (
+            int(conf_v)
+            if conf_v
+            else max(8, spark.sparkContext.defaultParallelism // 2)
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
