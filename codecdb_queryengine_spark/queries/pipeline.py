@@ -731,6 +731,38 @@ _EVENTS_STREAM_DEDUP_SQL = """
 """
 
 
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 30 min slide) streaming average per
+    event type, driven to completion.  Each event lands in exactly two
+    overlapping windows; the oracle replicates rows to both covering
+    window starts batch-side."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(E.sliding_avg(stream), "q_events_stream_sliding")
+    # Gate on the algebraic partials (count, sum): an avg of 2-decimal
+    # values can land exactly on a .xx5 boundary (e.g. 220.49/2), where
+    # cross-engine FP noise flips the oracle's 2-decimal rounding; sums of
+    # 2-decimal values never sit on a boundary.
+    return res.select("window_start", "event_type", "n", "sum_value").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_EVENTS_STREAM_SLIDING_SQL = """
+    WITH b AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL 30 MINUTE, ts) AS bucket
+        FROM events),
+    x AS (
+        SELECT event_type, value, bucket AS window_start FROM b
+        UNION ALL
+        SELECT event_type, value, bucket - INTERVAL 30 MINUTE FROM b)
+    SELECT window_start, event_type, count(*) AS n, sum(value) AS sum_value
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join: purchases matched to the same user's
     clicks within the preceding hour, driven to completion (append mode —
@@ -785,6 +817,7 @@ QUERIES = {
     "events_stream_totals": events_stream_totals,
     "events_stream_sessions": events_stream_sessions,
     "events_stream_dedup": events_stream_dedup,
+    "events_stream_sliding": events_stream_sliding,
     "events_stream_join": events_stream_join,
 }
 
@@ -812,5 +845,6 @@ ORACLE: dict[str, str] = {
     "events_stream_totals": _EVENTS_STREAM_TOTALS_SQL,
     "events_stream_sessions": _EVENTS_STREAM_SESSIONS_SQL,
     "events_stream_dedup": _EVENTS_STREAM_DEDUP_SQL,
+    "events_stream_sliding": _EVENTS_STREAM_SLIDING_SQL,
     "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
 }

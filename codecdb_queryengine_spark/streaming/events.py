@@ -63,12 +63,23 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def sliding_avg(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
-    """Sliding-window average value per event type."""
+    """Sliding-window average value per event type (count and sum emitted
+    alongside — the algebraic partials the average folds over)."""
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", window, slide), "event_type")
-        .agg(F.avg("value").alias("avg_value"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
     )
 
 
