@@ -476,6 +476,31 @@ def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
     """
 
 
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through mapInPandas: each payload fans
+    out to ≤8 fixed-stride 64-byte frames (operators/multimodal.py
+    frame_sample).  Gated on per-frame digests; the oracle re-slices in
+    SQL — byte slice == char slice because the corpus is ASCII."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    frames = M.frame_sample(M.documents_as_media(docs))
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame_payload").alias("frame_digest")
+    )
+
+
+_MM_FRAMES_SQL = """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS nb FROM documents),
+    f AS (
+        SELECT media_id, text,
+               unnest(range(0, least(8, greatest(1, nb // 64)))) AS frame_idx
+        FROM m)
+    SELECT media_id, frame_idx,
+           md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_digest
+    FROM f
+"""
+
+
 # --- temporal joins --------------------------------------------------------
 
 
@@ -809,6 +834,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "mm_features": mm_features,
+    "mm_frames": mm_frames,
     "events_window": events_window,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
@@ -837,6 +863,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
     "mm_features": _mm_sql(),
+    "mm_frames": _MM_FRAMES_SQL,
     "events_window": _EVENTS_WINDOW_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "events_asof": _EVENTS_ASOF_SQL,
