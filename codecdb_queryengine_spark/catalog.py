@@ -62,6 +62,12 @@ def _fix_nanos(name: str, df: DataFrame) -> DataFrame:
 #   runtime-settable; harmless if already set.
 _SESSION_CONFS = (
     ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # MICROS testdata is written isAdjustedToUTC=false; by default Spark 4
+    # infers TIMESTAMP_NTZ, which watermarks/window ops reject
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Read as regular TimestampType —
+    # with the UTC session tz below the values are identical to DuckDB's
+    # timezone-naive reading.
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ("spark.sql.session.timeZone", "UTC"),
     ("spark.sql.ansi.enabled", "false"),
     ("spark.sql.adaptive.enabled", "true"),

@@ -70,6 +70,9 @@ def get_spark(app_name: str = "codecdb-queryengine-spark", **extra_conf: str) ->
         # rejects; read as long and convert in the catalog (catalog.py).  Real
         # deployments write MICROS and keep full pushdown.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ-annotated MICROS parquet must read as regular timestamps for
+        # watermarks/windows (see catalog._SESSION_CONFS rationale)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python boundary: Arrow everywhere we cross it
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -19,27 +19,29 @@ from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import _fix_nanos
 
-EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file-per-trigger).
 
-    The testdata's TIMESTAMP(NANOS) column surfaces as long under
-    nanosAsLong (catalog.py); the same conversion applies here.
+    readStream requires an explicit schema, and the testdata's `ts` column
+    has shipped both as TIMESTAMP(MICROS) (a real timestamp) and as
+    TIMESTAMP(NANOS) (surfaces as long under nanosAsLong, catalog.py) —
+    take the schema from a batch read of the same file so the stream always
+    matches the data, then apply the same nanos fix the catalog uses.
     """
     # Session confs normally applied by catalog.load_tables — the streaming
     # entry points don't go through the catalog, so apply here as well
     # (notably shuffle.partitions: state-store count, no AQE coalescing).
+    import os
+
     from codecdb_queryengine_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # File stream sources require a directory; select the single events
     # file out of the sf dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
