@@ -53,6 +53,8 @@ def main() -> None:
             # without this the executor cache accumulates dead entries all
             # suite long and GC pressure skews later queries' timings.
             spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+            print(f"{name}: {[round(t, 2) for t in times]}", file=sys.stderr)
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)

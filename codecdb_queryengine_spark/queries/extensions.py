@@ -316,6 +316,100 @@ def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 through the Plan builder: semi-join reduction of the fact
+    by the filtered dimension, a correlated-avg subplan joined back with a
+    theta residual, and a mat() point where the reference materializes the
+    filtered lineitem for its two consumers (FilterMat,
+    cpp/src/lqf/tpch/query17.cc:53-68).  Same oracle as q17."""
+    from codecdb_queryengine_spark.plans.builder import Plan
+
+    t = load_tables(spark, sf_dir)
+    pp = (
+        Plan.scan(t["part"], ["p_partkey", "p_brand"])
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = (
+        Plan.scan(t["lineitem"], ["l_partkey", "l_quantity", "l_extendedprice"])
+        .semi_join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .mat()
+    )
+    avg_q = Plan.scan(t["lineitem"], ["l_partkey", "l_quantity"]).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"),
+        by=[F.col("l_partkey").alias("ap_partkey")],
+    )
+    out = (
+        li.join(avg_q, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .done()
+    )
+    return out
+
+
+def q21_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 through the Plan builder: the reference's
+    HashExistJoin + HashNotExistJoin chain (cpp/src/lqf/tpch/query21.cc:
+    141, cpp/src/lqf/join.h:216-265) expressed as exist_join/
+    not_exist_join over the late-lineitem subplans, then the semi-joined
+    supplier rollup and TopN.  Same oracle as q21."""
+    from codecdb_queryengine_spark.plans.builder import Plan
+
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        Plan.scan(t["lineitem"], ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .join(
+            Plan.scan(t["orders"], ["o_orderkey", "o_orderdate", "o_orderstatus"]).filter(
+                F.col("o_orderstatus") == "F"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = Plan.scan(t["lineitem"]).select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = (
+        Plan.scan(t["lineitem"], ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .join(
+            Plan.scan(t["orders"], ["o_orderkey", "o_orderdate"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select(F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey"))
+    )
+    america = (
+        Plan.scan(t["nation"], ["n_nationkey", "n_regionkey"])
+        .semi_join(
+            Plan.scan(t["region"], ["r_regionkey", "r_name"]).filter(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    waiting = l1.exist_join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+    ).not_exist_join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+    )
+    return (
+        waiting.join(
+            Plan.scan(t["supplier"], ["s_suppkey", "s_name", "s_nationkey"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .semi_join(america, F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"), by=["s_name"])
+        .topk(100, F.col("numwait").desc(), F.col("s_name").asc())
+        .done()
+    )
+
+
 def q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 through the SQL-text entry point (spark.sql over registered
     views) — the declarative surface the reference ships as committed SQL
@@ -333,6 +427,8 @@ def q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ext_rollup": ext_rollup,
     "q3_plan": q3_plan,
+    "q17_plan": q17_plan,
+    "q21_plan": q21_plan,
     "q6_sql": q6_sql,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
@@ -349,6 +445,8 @@ from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noq
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
     "q3_plan": _TPCH_ORACLE["q3"],
+    "q17_plan": _TPCH_ORACLE["q17"],
+    "q21_plan": _TPCH_ORACLE["q21"],
     "q6_sql": _TPCH_ORACLE["q6"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,

@@ -649,6 +649,151 @@ _EVENTS_SESSION_SQL = """
 """
 
 
+# --- dedup clustering ------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: minhash-verified pairs become edges of a
+    similarity graph; connected components assigns each involved doc its
+    cluster id (min doc_id in the component).  This is the form a corpus
+    dedup job consumes — keep min-id doc per cluster, drop the rest.
+    """
+    from codecdb_queryengine_spark.operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_verified_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    # reachability closure over the same verified pairs; component = min
+    # reachable node (including self) — identical labeling to min-propagation
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_verified_sql()}) v),
+        und AS (SELECT id_a AS n, id_b AS m FROM pairs
+                UNION SELECT id_b AS n, id_a AS m FROM pairs),
+        reach AS (
+            SELECT n, m FROM und
+            UNION
+            SELECT r.n, u.m FROM reach r JOIN und u ON r.m = u.n
+        )
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+        FROM reach GROUP BY n ORDER BY doc_id
+    """
+
+
+# --- corpus term statistics ------------------------------------------------
+
+
+def docs_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by document frequency (distinct docs containing the
+    term).  Explode of per-doc DISTINCT tokens -> one count shuffle with
+    map-side combine; TopN is a TakeOrderedAndProject, never a full sort.
+    Tie-break on term keeps the result deterministic for the oracle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.array_distinct(T.tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+_DOCS_TOPTERMS_SQL = f"""
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents)
+    GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
+"""
+
+
+# --- event funnels / retention ---------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: a user advances a
+    stage only with an event at-or-after their first event of the previous
+    stage.  Three chained (filter -> per-user min-ts agg -> join) steps,
+    each one shuffle keyed on user_id; stage counts union into one row per
+    stage."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    spark_stage = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return (
+        spark_stage(v, "1_view")
+        .unionAll(spark_stage(c, "2_click"))
+        .unionAll(spark_stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts >= v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts >= c_ts GROUP BY e.user_id)
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    ORDER BY stage
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day; for each
+    (cohort_day, day_offset) the count of cohort users active that day.
+    Two shuffles total — per-user min-day, then (cohort, offset) count —
+    both on uniform keys."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # to_date, not date_trunc: Spark's date_trunc yields midnight TIMESTAMPs
+    # while the oracle's date_trunc yields DATEs — DateType matches.
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_EVENTS_RETENTION_SQL = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+    FROM days d JOIN cohort USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- streaming, oracle-gated ----------------------------------------------
 # These EXECUTE the Structured Streaming pipeline (availableNow trigger,
 # memory sink) and return the completed result as a batch DataFrame — so the
@@ -830,6 +975,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
+    "docs_topterms": docs_topterms,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -859,6 +1008,10 @@ ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_embedding": _emb_dup_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
+    "docs_topterms": _DOCS_TOPTERMS_SQL,
+    "events_funnel": _EVENTS_FUNNEL_SQL,
+    "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
