@@ -40,6 +40,14 @@ def main() -> None:
 
     # warmup: session + IO path, untimed
     queries["q6"](spark, sf_dir).collect()
+    # warm the Python worker pool + Arrow serialization path too: the first
+    # pandas-UDF stage otherwise pays worker spawn + pandas import inside a
+    # TIMED query (measured 10-15 s extra on the first dedup_minhash run).
+    # mapInPandas, not pandas_udf: `from __future__ import annotations`
+    # turns hints into strings, which pandas_udf's hint resolver rejects.
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     per_query: dict[str, float] = {}
     for name, fn in queries.items():

@@ -109,8 +109,16 @@ def ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.stddev_samp("l_extendedprice").alias("price_stddev"),
             F.var_samp("l_extendedprice").alias("price_var"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("price_median"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
+            # one percentile() call with both fractions: the per-group value
+            # buffer is built and sorted ONCE, not once per quantile
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "price_stddev",
+            "price_var",
+            F.col("_pcts")[0].alias("price_median"),
+            F.col("_pcts")[1].alias("price_p95"),
         )
         .orderBy("l_returnflag")
     )
