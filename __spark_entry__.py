@@ -16,7 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from codecdb_queryengine_spark.queries import extensions, pipeline, ssb, tpch
+from codecdb_queryengine_spark.queries import extensions, pipeline, sqltext, ssb, tpch
+
+# Queries bench.py does NOT time (correctness-gated like everything else):
+# the SQL-text variants compile to the same Catalyst physical plans as the
+# DataFrame forms already in the bench, so timing all of them would just
+# double-count the same execution.  Three representatives stay timed to
+# pin the SQL path's overhead (parse/analyze) itself.
+BENCH_SKIP = {
+    name
+    for name in sqltext.QUERIES
+    if name not in ("q1_sql", "q6_sql", "ssb_q2_1_sql")
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ssb.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(extensions.QUERIES)
+    out.update(sqltext.QUERIES)
     return out
 
 
@@ -41,4 +53,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ssb.ORACLE)
     out.update(pipeline.ORACLE)
     out.update(extensions.ORACLE)
+    out.update(sqltext.ORACLE)
     return out

@@ -49,8 +49,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).collect()
 
+    skip = getattr(entry_mod, "BENCH_SKIP", set())
     per_query: dict[str, float] = {}
     for name, fn in queries.items():
+        if name in skip:
+            continue
         times = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()

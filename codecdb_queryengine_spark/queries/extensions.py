@@ -418,26 +418,15 @@ def q21_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 through the SQL-text entry point (spark.sql over registered
-    views) — the declarative surface the reference ships as committed SQL
-    (cpp/tpch_sql/presto/query/q6.sql) but cannot execute itself.  The
-    dialect-neutral text runs verbatim on Spark AND DuckDB (it IS the
-    oracle string), pinning the SQL path end-to-end.
-    """
-    from codecdb_queryengine_spark.catalog import register_views
-    from codecdb_queryengine_spark.queries.tpch import ORACLE as TPCH_ORACLE
-
-    register_views(spark, sf_dir)
-    return spark.sql(TPCH_ORACLE["q6"])
-
+# The SQL-text entry point (spark.sql over registered views) lives in
+# queries/sqltext.py, which generates an oracle-gated *_sql variant for the
+# ENTIRE TPC-H + SSB corpus from the oracle strings themselves.
 
 QUERIES = {
     "ext_rollup": ext_rollup,
     "q3_plan": q3_plan,
     "q17_plan": q17_plan,
     "q21_plan": q21_plan,
-    "q6_sql": q6_sql,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
     "ext_stats": ext_stats,
@@ -455,7 +444,6 @@ ORACLE: dict[str, str] = {
     "q3_plan": _TPCH_ORACLE["q3"],
     "q17_plan": _TPCH_ORACLE["q17"],
     "q21_plan": _TPCH_ORACLE["q21"],
-    "q6_sql": _TPCH_ORACLE["q6"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,
     "ext_stats": _STATS_SQL,

@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
 
+
+def _money_sum(term, alias: str):
+    """Money aggregation: sum DECIMAL(18,4) terms, emit double.
+
+    Double summation is order-dependent; when a 2-decimal-rounded total
+    lands on a half boundary, any plan change (shuffle order, AQE
+    coalescing, SQL-text vs DataFrame form) flips the last cent and the
+    oracle hash (observed: ssb q2_2/q3_2).  Decimal addition is exact and
+    associative, so every plan and engine produces the bit-identical
+    total; the final cast keeps the public schema double.  Mirrors the
+    oracle's CAST(sum(CAST(term AS DECIMAL(18,4))) AS DOUBLE).
+    """
+    return F.sum(term.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
 def _fact(t: dict[str, DataFrame]) -> DataFrame:
     """lineitem ⋈ orders with derived SSB date attributes and lo_revenue."""
     return (
@@ -102,7 +117,7 @@ def q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_year") == 1996)
         & F.col("l_discount").between(0.01, 0.03)
         & (F.col("l_quantity") < 25)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 def q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +126,7 @@ def q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_yearmonthnum") == 199704)
         & F.col("l_discount").between(0.04, 0.06)
         & F.col("l_quantity").between(26, 35)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 def q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +136,7 @@ def q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("d_year") == 1997)
         & F.col("l_discount").between(0.05, 0.07)
         & F.col("l_quantity").between(26, 35)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 # --- Q2.x: fact ⋈ part ⋈ supplier, group by year × brand ------------------
@@ -136,7 +151,7 @@ def _q2(spark: SparkSession, sf_dir: str, part_pred, supp_region: str) -> DataFr
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("d_year", "p_brand")
-        .agg(F.sum("lo_revenue").alias("revenue"))
+        .agg(_money_sum(F.col("lo_revenue"), "revenue"))
         .orderBy("d_year", "p_brand")
     )
 
@@ -155,7 +170,7 @@ def q2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_q2(part_cond: str, supp_region: str) -> str:
     return f"""
-        SELECT d_year, p_brand, sum(lo_revenue) AS revenue
+        SELECT d_year, p_brand, CAST(sum(CAST(lo_revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM ({_SQL_FACT}) f
         JOIN part ON l_partkey = p_partkey
         WHERE {part_cond}
@@ -184,7 +199,7 @@ def _q3(
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("c_nation", "s_nation", "d_year")
-        .agg(F.sum("lo_revenue").alias("revenue"))
+        .agg(_money_sum(F.col("lo_revenue"), "revenue"))
         .orderBy(F.col("d_year").asc(), F.col("revenue").desc())
     )
 
@@ -233,7 +248,7 @@ def q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_q3(cust_cond: str, supp_cond: str, year_cond: str) -> str:
     return f"""
-        SELECT c_nation, s_nation, d_year, sum(lo_revenue) AS revenue
+        SELECT c_nation, s_nation, d_year, CAST(sum(CAST(lo_revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM ({_SQL_FACT}) f
         JOIN ({_SQL_CUST}) c ON o_custkey = c_custkey
         JOIN ({_SQL_SUPP}) s ON l_suppkey = s_suppkey
@@ -268,7 +283,7 @@ def q4_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("d_year", "c_nation")
-        .agg(F.sum(_profit()).alias("profit"))
+        .agg(_money_sum(_profit(), "profit"))
         .orderBy("d_year", "c_nation")
     )
 
@@ -287,7 +302,7 @@ def q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("d_year", "s_nation", "p_type")
-        .agg(F.sum(_profit()).alias("profit"))
+        .agg(_money_sum(_profit(), "profit"))
         .orderBy("d_year", "s_nation", "p_type")
     )
 
@@ -302,7 +317,7 @@ def q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("d_year", "p_brand")
-        .agg(F.sum(_profit()).alias("profit"))
+        .agg(_money_sum(_profit(), "profit"))
         .orderBy("d_year", "p_brand")
     )
 
@@ -325,18 +340,18 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "ssb_q1_1": f"""
-        SELECT sum(l_extendedprice * l_discount) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM ({_SQL_FACT}) f
         WHERE d_year = 1996 AND l_discount BETWEEN 0.01 AND 0.03 AND l_quantity < 25
     """,
     "ssb_q1_2": f"""
-        SELECT sum(l_extendedprice * l_discount) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM ({_SQL_FACT}) f
         WHERE d_yearmonthnum = 199704 AND l_discount BETWEEN 0.04 AND 0.06
           AND l_quantity BETWEEN 26 AND 35
     """,
     "ssb_q1_3": f"""
-        SELECT sum(l_extendedprice * l_discount) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM ({_SQL_FACT}) f
         WHERE d_weeknuminyear = 6 AND d_year = 1997
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity BETWEEN 26 AND 35
@@ -361,7 +376,7 @@ ORACLE: dict[str, str] = {
         "d_yearmonthnum = 199712",
     ),
     "ssb_q4_1": f"""
-        SELECT d_year, c_nation, sum({_SQL_PROFIT}) AS profit
+        SELECT d_year, c_nation, CAST(sum(CAST({_SQL_PROFIT} AS DECIMAL(18,4))) AS DOUBLE) AS profit
         FROM ({_SQL_FACT}) f
         JOIN part ON l_partkey = p_partkey
         JOIN ({_SQL_CUST}) c ON o_custkey = c_custkey
@@ -371,7 +386,7 @@ ORACLE: dict[str, str] = {
         ORDER BY d_year, c_nation
     """,
     "ssb_q4_2": f"""
-        SELECT d_year, s_nation, p_type, sum({_SQL_PROFIT}) AS profit
+        SELECT d_year, s_nation, p_type, CAST(sum(CAST({_SQL_PROFIT} AS DECIMAL(18,4))) AS DOUBLE) AS profit
         FROM ({_SQL_FACT}) f
         JOIN part ON l_partkey = p_partkey
         JOIN ({_SQL_SUPP}) s ON l_suppkey = s_suppkey
@@ -382,7 +397,7 @@ ORACLE: dict[str, str] = {
         ORDER BY d_year, s_nation, p_type
     """,
     "ssb_q4_3": f"""
-        SELECT d_year, p_brand, sum({_SQL_PROFIT}) AS profit
+        SELECT d_year, p_brand, CAST(sum(CAST({_SQL_PROFIT} AS DECIMAL(18,4))) AS DOUBLE) AS profit
         FROM ({_SQL_FACT}) f
         JOIN part ON l_partkey = p_partkey
         WHERE d_year IN (1997, 1998) AND p_type = 'ECONOMY'
