@@ -324,6 +324,53 @@ def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): per
+    (flag, status), per flag alone, and per status alone — one shuffle,
+    Spark expands sets map-side exactly like rollup/cube."""
+    from codecdb_queryengine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q2_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 through the Plan builder: the RecordingMin arg-min keeps
+    the full tie set per nation (cpp/src/lqf/agg.h:346-427,
+    cpp/src/lqf/tpch/query2.cc) — Plan.arg_min is the rank()==1
+    formulation, not max_by's arbitrary single row.  Same oracle as q2."""
+    from codecdb_queryengine_spark.plans.builder import Plan
+
+    t = load_tables(spark, sf_dir)
+    eur = (
+        Plan.scan(t["nation"], ["n_nationkey", "n_name", "n_regionkey"])
+        .semi_join(
+            Plan.scan(t["region"], ["r_regionkey", "r_name"]).filter(
+                F.col("r_name") == "EUROPE"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        Plan.scan(t["supplier"], ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+        .join(eur, F.col("s_nationkey") == F.col("n_nationkey"), broadcast=True)
+        .arg_min(["n_nationkey"], F.col("s_acctbal"))
+        .select("n_name", "s_name", "s_acctbal")
+        .sort(F.col("n_name").asc(), F.col("s_name").asc())
+        .done()
+    )
+
+
 def q17_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 through the Plan builder: semi-join reduction of the fact
     by the filtered dimension, a correlated-avg subplan joined back with a
@@ -424,6 +471,8 @@ def q21_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ext_rollup": ext_rollup,
+    "ext_grouping_sets": ext_grouping_sets,
+    "q2_plan": q2_plan,
     "q3_plan": q3_plan,
     "q17_plan": q17_plan,
     "q21_plan": q21_plan,
@@ -441,6 +490,8 @@ from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noq
 
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
+    "ext_grouping_sets": _GROUPING_SETS_SQL,
+    "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],
     "q17_plan": _TPCH_ORACLE["q17"],
     "q21_plan": _TPCH_ORACLE["q21"],
