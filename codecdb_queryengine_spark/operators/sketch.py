@@ -1,0 +1,93 @@
+"""Mergeable frequency sketches for corpus-scale term statistics.
+
+The reference has no sketch/approximate structures (SURVEY.md §2.4: its
+distinct count is exact); this is the driver-mandated "novel sketch"
+extension.  A Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms
+2005) summarizes item frequencies in a fixed (depth × width) counter
+matrix: update adds 1 at (d, h_d(x)) for each of `depth` hash rows; the
+estimate min_d counter[d][h_d(x)] never under-counts and over-counts by
+at most εN with probability 1-δ (width = e/ε, depth = ln 1/δ).
+
+Spark-first shape: the sketch IS a (row, pos, cnt) DataFrame — built with
+one explode + one counting shuffle (map-side combined, key space bounded
+by depth·width regardless of corpus size), merged across corpora by
+unioning and re-summing, and probed with a broadcast join.  Hashes are
+md5-slice (functions/text.py convention), so DuckDB recomputes the sketch
+bit-identically for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_position(item: Column, row: int, width: int) -> Column:
+    """Counter column for hash row `row`: first 32 bits of md5('row|item').
+
+    Mirror SQL: ('0x' || substring(md5(concat('{row}|', item)), 1, 8))::BIGINT % width
+    """
+    h32 = F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}|"), item)), 1, 8), 16, 10)
+    return F.pmod(h32.cast("long"), F.lit(width))
+
+
+def count_min_build(items: DataFrame, item_col: str, depth: int = 4, width: int = 64) -> DataFrame:
+    """Build the sketch from an item stream: (row, pos, cnt).
+
+    One pass: each item emits `depth` (row, pos) updates via a single
+    array+explode (no per-row Python, no depth× re-scan), then one
+    groupBy whose key space is ≤ depth·width — constant-size state and
+    shuffle regardless of input size.
+    """
+    item = F.col(item_col)
+    updates = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("row"),
+                    cms_position(item, d, width).alias("pos"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("u")
+    return (
+        items.select(updates)
+        .select("u.row", "u.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Estimate each probe item's frequency: min over rows of its counter.
+
+    The probe side explodes to (item, row, pos) and broadcast-joins the
+    sketch (≤ depth·width rows — always broadcastable); absent counters
+    mean the item was never seen (estimate 0).
+    """
+    item = F.col(item_col)
+    probe_pos = (
+        probes.select(
+            item,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("row"),
+                            cms_position(item, d, width).alias("pos"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("u"),
+        )
+        .select(item_col, "u.row", "u.pos")
+    )
+    return (
+        probe_pos.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

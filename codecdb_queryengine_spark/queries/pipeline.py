@@ -712,6 +712,58 @@ _DOCS_TOPTERMS_SQL = f"""
 """
 
 
+def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy probe: sketch all token occurrences
+    (depth 4 × width 64 — deliberately small so collisions are visible),
+    then estimate the 10 most frequent terms; est_count >= true_count
+    always, equality when a term's counters escaped collisions.  The
+    sketch itself is a ≤256-row DataFrame regardless of corpus size."""
+    from codecdb_queryengine_spark.operators import sketch as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    cms = SK.count_min_build(toks, "term", depth=4, width=64)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    est = SK.count_min_estimate(cms, top.select("term"), "term", depth=4, width=64)
+    return (
+        top.join(est, "term")
+        .select("term", "true_count", "est_count")
+        .orderBy(F.col("true_count").desc(), F.col("term").asc())
+    )
+
+
+def _countmin_sql(depth: int = 4, width: int = 64) -> str:
+    rows = ", ".join(f"({d})" for d in range(depth))
+    pos = (
+        "('0x' || substring(md5(concat(CAST(d.row AS VARCHAR), '|', term)), 1, 8))::BIGINT"
+        f" % {width}"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+        sketch AS (
+            SELECT row, pos, count(*) AS cnt FROM (
+                SELECT d.row AS row, {pos} AS pos
+                FROM tok, (VALUES {rows}) d(row)) u
+            GROUP BY row, pos),
+        top AS (
+            SELECT term, count(*) AS true_count FROM tok
+            GROUP BY term ORDER BY true_count DESC, term ASC LIMIT 10),
+        probe AS (
+            SELECT term, true_count, d.row AS row, {pos} AS pos
+            FROM top, (VALUES {rows}) d(row))
+        SELECT term, true_count, min(coalesce(cnt, 0)) AS est_count
+        FROM probe LEFT JOIN sketch USING (row, pos)
+        GROUP BY term, true_count
+        ORDER BY true_count DESC, term ASC
+    """
+
+
 # --- event funnels / retention ---------------------------------------------
 
 
@@ -963,6 +1015,44 @@ _EVENTS_STREAM_JOIN_SQL = """
 """
 
 
+def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-sink path through the oracle gate: the events stream appends
+    to a checkpointed parquet sink partitioned by event_type (exactly-once
+    via the file-sink commit log), the committed files are read back
+    through the same commit log, and their rollup must equal the batch
+    aggregate of the source table — proving no event was lost, duplicated,
+    or left uncommitted by the sink.  Output lands in a fresh tempdir per
+    run (left for the OS to reap: the returned DataFrame reads it lazily).
+    """
+    import tempfile
+
+    from codecdb_queryengine_spark.streaming import events as E
+    from codecdb_queryengine_spark.streaming import sinks
+
+    stream = E.read_events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_stream_files_")
+    q = sinks.stream_to_parquet(
+        stream, f"{base}/out", f"{base}/ckpt", partition_by=("event_type",)
+    )
+    q.awaitTermination()
+    return (
+        sinks.read_parquet_sink(spark, f"{base}/out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_STREAM_FILES_SQL = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -977,6 +1067,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "docs_topterms": docs_topterms,
+    "text_countmin": text_countmin,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
@@ -994,6 +1085,7 @@ QUERIES = {
     "events_stream_dedup": events_stream_dedup,
     "events_stream_sliding": events_stream_sliding,
     "events_stream_join": events_stream_join,
+    "events_stream_files": events_stream_files,
 }
 
 ORACLE: dict[str, str] = {
@@ -1010,6 +1102,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "docs_topterms": _DOCS_TOPTERMS_SQL,
+    "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
@@ -1027,4 +1120,5 @@ ORACLE: dict[str, str] = {
     "events_stream_dedup": _EVENTS_STREAM_DEDUP_SQL,
     "events_stream_sliding": _EVENTS_STREAM_SLIDING_SQL,
     "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
+    "events_stream_files": _EVENTS_STREAM_FILES_SQL,
 }
