@@ -764,6 +764,46 @@ def _countmin_sql(depth: int = 4, width: int = 64) -> str:
     """
 
 
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content-stable
+    hash bucket: bucket = first 32 md5 bits of the doc id, mod 100.  The
+    split is a pure projection — no shuffle, no sampling state, stable
+    under re-runs, repartitioning, and incremental appends (a doc's split
+    never changes when the corpus grows; TABLESAMPLE/random sampling give
+    none of these).  Output: per-(split, lang) doc counts and mean length.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_DOCS_SPLIT_SQL = """
+    SELECT split, lang, count(*) AS n_docs, avg(n_chars) AS avg_chars FROM (
+        SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+               lang, n_chars
+        FROM (SELECT ('0x' || substring(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 100 AS b,
+                     lang, n_chars
+              FROM documents))
+    GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 # --- event funnels / retention ---------------------------------------------
 
 
@@ -1067,6 +1107,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "docs_topterms": docs_topterms,
+    "docs_train_split": docs_train_split,
     "text_countmin": text_countmin,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -1102,6 +1143,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "docs_topterms": _DOCS_TOPTERMS_SQL,
+    "docs_train_split": _DOCS_SPLIT_SQL,
     "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
