@@ -257,6 +257,16 @@ def sql_stopword_pattern() -> str:
     return r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
+def md5_slice32(prefix: str, c: Column) -> Column:
+    """First 32 md5 bits of prefix||value, as a non-negative long — THE
+    engine-portable hash this codebase keys sketches, LSH salts, and
+    split buckets on.  Keep every Spark-side use on this helper so its
+    shape can never drift from the oracle mirror:
+        ('0x' || substring(md5(concat('<prefix>', value)), 1, 8))::BIGINT
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 8), 16, 10).cast("long")
+
+
 # BPE-ish pre-tokenizer: the GPT-2-style split classes reduced to a
 # Java+RE2-portable pattern — contraction-free: letter runs, digit runs,
 # single non-alnum-non-space marks.  The real byte-pair merge table is a

@@ -72,4 +72,14 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if not changed:
             break
+    else:
+        # Exhausting the loop without a no-change round means some
+        # component's diameter exceeds max_iter and its labels are still
+        # intermediate — silently returning them would split one real
+        # component into several.  Fail loudly; the caller can raise
+        # max_iter or switch to the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds: "
+            "a component's diameter exceeds max_iter (labels would be wrong)"
+        )
     return labels.select(F.col("n").alias("node"), F.col("comp").alias("component"))

@@ -27,8 +27,9 @@ def cms_position(item: Column, row: int, width: int) -> Column:
 
     Mirror SQL: ('0x' || substring(md5(concat('{row}|', item)), 1, 8))::BIGINT % width
     """
-    h32 = F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}|"), item)), 1, 8), 16, 10)
-    return F.pmod(h32.cast("long"), F.lit(width))
+    from codecdb_queryengine_spark.functions.text import md5_slice32
+
+    return F.pmod(md5_slice32(f"{row}|", item), F.lit(width))
 
 
 def count_min_build(items: DataFrame, item_col: str, depth: int = 4, width: int = 64) -> DataFrame:

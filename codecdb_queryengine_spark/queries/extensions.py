@@ -373,10 +373,11 @@ def q2_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 through the Plan builder: semi-join reduction of the fact
-    by the filtered dimension, a correlated-avg subplan joined back with a
-    theta residual, and a mat() point where the reference materializes the
-    filtered lineitem for its two consumers (FilterMat,
-    cpp/src/lqf/tpch/query17.cc:53-68).  Same oracle as q17."""
+    by the filtered dimension, then a correlated-avg subplan joined back
+    with a theta residual (the reference's FilterMat + avg-subquery shape,
+    cpp/src/lqf/tpch/query17.cc:53-68; no mat() here — this plan consumes
+    the filtered lineitem once, so a persist would be pure overhead).
+    Same oracle as q17."""
     from codecdb_queryengine_spark.plans.builder import Plan
 
     t = load_tables(spark, sf_dir)
@@ -385,10 +386,8 @@ def q17_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
-    li = (
-        Plan.scan(t["lineitem"], ["l_partkey", "l_quantity", "l_extendedprice"])
-        .semi_join(pp, F.col("l_partkey") == F.col("p_partkey"))
-        .mat()
+    li = Plan.scan(t["lineitem"], ["l_partkey", "l_quantity", "l_extendedprice"]).semi_join(
+        pp, F.col("l_partkey") == F.col("p_partkey")
     )
     avg_q = Plan.scan(t["lineitem"], ["l_partkey", "l_quantity"]).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"),

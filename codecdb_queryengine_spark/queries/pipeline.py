@@ -773,12 +773,7 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     none of these).  Output: per-(split, lang) doc counts and mean length.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    bucket = F.pmod(T.md5_slice32("split|", F.col("doc_id").cast("string")), F.lit(100))
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
@@ -1062,15 +1057,25 @@ def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same commit log, and their rollup must equal the batch
     aggregate of the source table — proving no event was lost, duplicated,
     or left uncommitted by the sink.  Output lands in a fresh tempdir per
-    run (left for the OS to reap: the returned DataFrame reads it lazily).
+    run (bounded: the previous invocation's directory is deleted first, so
+    repeated bench/gate runs hold at most one events-table copy on disk).
     """
+    import os
+    import shutil
     import tempfile
 
     from codecdb_queryengine_spark.streaming import events as E
     from codecdb_queryengine_spark.streaming import sinks
 
     stream = E.read_events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="sg_stream_files_")
+    # Fixed location per (process, sf_dir): wipe the last run's output +
+    # checkpoint before streaming again — the prior result DataFrame has
+    # been collected by then (bench/gate are sequential), and a fresh
+    # checkpoint makes each run a full re-stream, not a no-op resume.
+    base = os.path.join(
+        tempfile.gettempdir(), f"sg_stream_files_{os.getpid()}_{abs(hash(sf_dir))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
     q = sinks.stream_to_parquet(
         stream, f"{base}/out", f"{base}/ckpt", partition_by=("event_type",)
     )
