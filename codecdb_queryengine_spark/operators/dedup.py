@@ -405,6 +405,7 @@ def embedding_near_dups(
     dim: int | None = None,
     bands: int = 4,
     planes_per_band: int = 4,
+    verify: str = "expr",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> column.
 
@@ -412,21 +413,48 @@ def embedding_near_dups(
     banding (n·bands rows) and only candidates pay the cosine; without it,
     all-pairs brute force (verification form, ≤1e4 vectors only — at sf0.1
     the all-pairs form was measured 30× slower).
+
+    `verify` picks the candidate-scoring cosine:
+    - "expr" (default): JVM zip_with/aggregate left-to-right double sum
+      with per-side precomputed norms — bit-identical to an oracle that
+      unrolls the same left-deep sum in SQL, so a 2-decimal-rounding
+      boundary can never flip the compare hash (the r2 `dedup_embedding`
+      failure was exactly that: numpy pairwise summation vs the oracle's
+      summation order differing in the last ulp ON a .xx5 boundary).
+    - "arrow": numpy einsum batch path — fastest for bulky candidate sets,
+      but pairwise-summed, so only for consumers that don't hash-compare
+      against an order-sensitive oracle.
+    Candidate-set cost is identical either way; only candidates pay it.
     """
     from codecdb_queryengine_spark.operators.similarity import (
         cosine_arrow,
+        cosine_pre,
         lsh_band_pairs,
+        norm,
     )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    with_norm = verify == "expr"
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([norm(F.col(vec_col)).alias("norm_a")] if with_norm else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([norm(F.col(vec_col)).alias("norm_b")] if with_norm else []),
+    )
     if dim is not None:
         cand = lsh_band_pairs(df, dim, vec_col, id_col, bands, planes_per_band)
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if with_norm:
+        cos = cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"))
+    else:
+        cos = cosine_arrow(F.col("vec_a"), F.col("vec_b"))
     return (
-        pairs.withColumn("cosine", cosine_arrow(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

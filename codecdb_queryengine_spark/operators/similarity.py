@@ -182,8 +182,12 @@ def lsh_band_keys_arrow(
 
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Vectorized cosine over two array columns (batch matmul-free row-wise
-    einsum; float64).  Same numerics caveat as lsh_band_keys_arrow — the
-    compare gate rounds to 2 decimals, so summation-order noise is moot."""
+    einsum; float64).  Numerics: einsum sums pairwise, NOT left-to-right —
+    when a value lands exactly on a rounding boundary the last-ulp
+    difference vs an order-sensitive oracle flips the rounded hash
+    (observed: r2 dedup_embedding).  Use for bulk scoring; for
+    oracle-hash-gated outputs use the expression-form `cosine`/`cosine_pre`
+    whose summation order the oracle SQL can mirror exactly."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

@@ -318,6 +318,16 @@ def _sql_band_sig(col: str, base_plane: int, planes: int, dim: int) -> str:
     )
 
 
+def _sql_dot(ca: str, cb: str, dim: int) -> str:
+    """Unrolled Σ CAST(ca[i] AS DOUBLE)*CAST(cb[i] AS DOUBLE) — SQL's
+    left-deep `+` parse tree reproduces the engine's zip_with/aggregate
+    left fold addition-for-addition, so both IEEE paths agree bit-exactly
+    (same trick as _sql_proj for the hyperplane signatures)."""
+    return " + ".join(
+        f"CAST({ca}[{d + 1}] AS DOUBLE) * CAST({cb}[{d + 1}] AS DOUBLE)" for d in range(dim)
+    )
+
+
 def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str:
     band_cols = ", ".join(
         f"CAST({_sql_band_sig('embedding', b * planes_per_band, planes_per_band, dim)} AS BIGINT) AS k{b}"
@@ -326,18 +336,29 @@ def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str
     band_union = " UNION ALL ".join(
         f"SELECT bid, {b} AS band, k{b} AS band_key FROM sigs" for b in range(bands)
     )
+    # Verification cosine mirrors dedup.embedding_near_dups(verify="expr"):
+    # per-side sqrt-of-unrolled-sum norms, one unrolled dot per pair,
+    # dot / (norm_a * norm_b) — bit-identical to the Spark expression form,
+    # so the gate's 2-decimal rounding can never flip (r2's hash flake came
+    # from list_cosine_similarity's different summation order).
     return f"""
         WITH sigs AS (SELECT vec_id AS bid, {band_cols} FROM embeddings),
         bk AS ({band_union}),
         cand AS (
             SELECT DISTINCT a.bid AS id_a, b.bid AS id_b
             FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-            WHERE a.bid < b.bid)
-        SELECT id_a, id_b, list_cosine_similarity(va.embedding, vb.embedding) AS cosine
-        FROM cand
-        JOIN embeddings va ON va.vec_id = id_a
-        JOIN embeddings vb ON vb.vec_id = id_b
-        WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.4
+            WHERE a.bid < b.bid),
+        nv AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding', dim)}) AS nrm
+               FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+            SELECT id_a, id_b,
+                   ({_sql_dot('va.embedding', 'vb.embedding', dim)})
+                     / (va.nrm * vb.nrm) AS cosine
+            FROM cand
+            JOIN nv va ON va.vec_id = id_a
+            JOIN nv vb ON vb.vec_id = id_b)
+        WHERE cosine >= 0.4
     """
 
 
