@@ -380,18 +380,55 @@ def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> Dat
     return voted.select("sh_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance over the simhash.
+def simhash_near_dups(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Pairs within Hamming distance over the simhash, via bit-band
+    blocking (never an all-pairs join).
 
-    Local/verification form is the all-pairs join; the scale path blocks by
-    bit-bands (split the hash into 4 bands — near-dups share ≥1 exact band
-    by pigeonhole when max_hamming < 4) before verifying.
+    Pigeonhole: split the `bits`-bit hash into `bands` equal bands — a
+    pair differing in ≤ bands-1 bits must agree EXACTLY on ≥1 band, so
+    band-bucket candidates are a superset of the answer whenever
+    max_hamming < bands (asserted).  Candidate generation is n·bands rows
+    into ONE bucket-key shuffle (bucketing.bucket_candidate_pairs — same
+    machinery as MinHash/hyperplane banding); only candidates pay the
+    hamming verification.  At 100 TB the all-pairs formulation this
+    replaces is O(n²); banding is O(n·bands + Σ bucket²), and 2^(bits/bands)
+    buckets per band keep buckets small.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole blocking requires max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands}): a pair can "
+            f"differ in every band and still be within distance"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    band_bits = bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash div {2 ** (b * band_bits)}) % {2 ** band_bits}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    bk = sim_df.select(
+        F.col("sh_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("sh_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    from codecdb_queryengine_spark.operators.bucketing import bucket_candidate_pairs
+
+    cand = bucket_candidate_pairs(bk, "sh_id", ["band", "band_key"])
     a = sim_df.select(F.col("sh_id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = sim_df.select(F.col("sh_id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -226,6 +226,38 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3) via 4-band pigeonhole
+    blocking — candidates share ≥1 exact 8-bit band, verified with
+    bit_count(xor); never the all-pairs join."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sim = D.simhash(docs, "text", "doc_id")
+    return D.simhash_near_dups(sim, max_hamming=3, bands=4)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4, bits: int = 32) -> str:
+    band_bits = bits // bands
+    band_union = " UNION ALL ".join(
+        f"SELECT sh_id, {b} AS band, (simhash // {2 ** (b * band_bits)}) % {2 ** band_bits}"
+        f" AS band_key FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sim AS ({_simhash_sql(bits)}),
+        bk AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.sh_id AS id_a, b.sh_id AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.sh_id < b.sh_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sim sa ON sa.sh_id = id_a
+        JOIN sim sb ON sb.sh_id = id_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs above threshold (verification primitive)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1128,6 +1160,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_embedding": dedup_embedding,
@@ -1164,6 +1197,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_embedding": _emb_dup_sql(),

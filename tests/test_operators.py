@@ -73,6 +73,49 @@ def test_simhash_identical_and_hamming(spark):
     assert dups == {(1, 2)}
 
 
+def test_simhash_banding_equals_all_pairs(spark):
+    """Band-blocked near-dups must equal the brute-force answer (pigeonhole:
+    hamming ≤ bands-1 ⇒ ≥1 exact shared band) and must not plan an
+    all-pairs join (no cartesian/non-equi self-join in the physical plan)."""
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+
+    def flip(h, k, seed):
+        r = random.Random(seed)
+        for bit in r.sample(range(32), k):
+            h ^= 1 << bit
+        return h
+
+    rows = [(i, flip(base, i % 6, i)) for i in range(40)] + [
+        (100 + i, rng.getrandbits(32)) for i in range(40)
+    ]
+    sims = spark.createDataFrame(rows, ["sh_id", "simhash"])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dups(sims, max_hamming=3, bands=4).collect()
+    }
+    import pyspark.sql.functions as F
+
+    a = sims.select(F.col("sh_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sims.select(F.col("sh_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    plan = D.simhash_near_dups(sims, max_hamming=3, bands=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash_near_dups(sims, max_hamming=4, bands=4)
+
+
 def test_cosine_and_topk(spark):
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
