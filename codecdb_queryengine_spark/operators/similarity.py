@@ -239,6 +239,36 @@ def lsh_band_pairs(
     return bucket_candidate_pairs(bk, "bid", ["band", "band_key"])
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 13,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train a coarse quantizer with pyspark.ml KMeans and return it in
+    ivf_topk's centroid contract: (c_id, c_vec, c_norm).
+
+    KMeans|| init + Lloyd iterations run distributed (one pass per
+    iteration, model state broadcast); the returned frame is k rows, built
+    driver-side from the fitted centers — exactly what ivf_topk broadcasts
+    anyway.  Trained centers adapt the inverted lists to the corpus
+    distribution, which is what makes IVF recall hold on clustered real
+    embeddings (vs the deterministic mod-id stand-in the oracle pins).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cents = spark.createDataFrame(rows, "c_id long, c_vec array<double>")
+    return cents.select("c_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -247,23 +277,28 @@ def ivf_topk(
     k: int = 5,
     centroid_mod: int = 29,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other classic ANN scale
     path next to LSH bucketing.
 
-    Coarse quantizer: centroids are the vectors whose id ≡ 0 mod
-    `centroid_mod` — a deterministic, training-free stand-in for KMeans
-    (production swaps in pyspark.ml KMeans centers; the plumbing is
-    identical).  Every vector joins its nearest centroid's inverted list
-    via one broadcast pass + map-side max_by (no N×C shuffle); queries
+    Coarse quantizer: by default centroids are the vectors whose id ≡ 0 mod
+    `centroid_mod` — a deterministic, training-free stand-in the DuckDB
+    oracle can recompute exactly; pass `centroids` (c_id, c_vec, c_norm —
+    e.g. from kmeans_centroids) to use a trained quantizer through the
+    identical plumbing.  Every vector joins its nearest centroid's inverted
+    list via one broadcast pass + map-side max_by (no N×C shuffle); queries
     probe the `nprobe` nearest lists and score exactly within them, so
     the scored candidate set is ~nprobe/C of the corpus.
     """
-    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
     # Nearest-centroid choice ranks dot/|c| — the probe vector's own norm is
     # a positive per-row constant, so dropping it preserves the cosine argmax
     # and removes two of three dot products per (vector, centroid) pair.

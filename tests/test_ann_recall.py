@@ -40,6 +40,28 @@ def test_lsh_topk_subset_of_bruteforce_order(spark, sf_dir):
     assert hits >= 1
 
 
+def test_ivf_kmeans_centroids_recall_at_least_mod(spark, sf_dir):
+    """Trained (pyspark.ml KMeans) centroids through the same ivf_topk
+    plumbing must match-or-beat the deterministic mod-id stand-in on
+    recall@5 vs brute force (seeded -> deterministic; measured 0.48 vs
+    0.32 at sf0.001 with ~17 lists, nprobe=2)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.n_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(df):
+        hits = {(r.q_id, r.n_id) for r in df.collect()}
+        return len(hits & exact) / len(exact)
+
+    r_mod = recall(S.ivf_topk(emb, queries, k=5, centroid_mod=29, nprobe=2))
+    cents = S.kmeans_centroids(emb, k=17, seed=13)
+    assert cents.count() == 17
+    r_trained = recall(S.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents))
+    assert r_trained >= r_mod > 0
+
+
 def test_ivf_topk_ranked_and_within_corpus(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 3).select(
