@@ -6,15 +6,28 @@ extension that turns near-duplicate PAIRS (dedup.py) into duplicate
 CLUSTERS, the form a 100-TB dedup job actually consumes (keep one doc per
 component, drop the rest).
 
-Algorithm: iterative min-label propagation (each node adopts the smallest
-label among itself and its neighbors until fixpoint), the classic
-MapReduce-CC formulation (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14).  Near-dup components are tiny
-(near-cliques of copies, diameter ≤ 3-4 in practice), so the loop
-converges in a handful of rounds; each round is one shuffle-join keyed on
-node id.  For adversarial long-chain graphs the same paper's
-large-star/small-star variant converges in O(log² n) rounds — not needed
-for dedup workloads, noted here as the scale escape hatch.
+Two algorithms, one contract ((node, component), component = min reachable
+id — deterministic, so oracle-comparable):
+
+- connected_components: iterative min-label propagation (each node adopts
+  the smallest label among itself and its neighbors until fixpoint), the
+  classic MapReduce-CC formulation (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14).  Rounds ∝ component diameter —
+  near-dup components are tiny near-cliques (diameter ≤ 3-4), so this is
+  the default for dedup workloads.
+- connected_components_star: the same paper's alternating large-star/
+  small-star algorithm — O(log² n) rounds regardless of diameter, the
+  escape hatch for adversarial long-chain graphs (session stitching,
+  citation chains) where propagation's diameter-bound rounds explode.
+
+Durability: both take `checkpoint_dir`.  Unset, rounds truncate lineage
+with localCheckpoint (executor-local blocks — fast, but lost on executor
+death, fine for single-job local runs).  Set, rounds write reliable
+checkpoint() files under the dir (HDFS/S3 at cluster scale), so a lost
+executor recovers from storage instead of recomputing the whole chain —
+the cluster-durable mode.  Superseded round states are unpersisted as soon
+as their successor is materialized, so cached blocks do not accumulate
+across rounds (one live copy, not one per round).
 """
 
 from __future__ import annotations
@@ -23,34 +36,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Eagerly materialize + truncate lineage for one iteration round."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _release_ckpt(df: DataFrame) -> None:
+    """Free a superseded round's localCheckpoint blocks.
+
+    DataFrame.unpersist() is a no-op here — localCheckpoint blocks live on
+    the plan's internal RDD, not in the SQL cache manager — so reach the
+    RDD id through the checkpointed frame's LogicalRDD and unpersist it
+    directly (verified: storage-info count drops to zero).  Reliable
+    checkpoint() frames hold no blocks (data is in the checkpoint dir);
+    unpersisting their RDD is harmless.  Best-effort: if the internal
+    accessor moves in a future Spark, degrade to the old keep-until-GC
+    behavior (ContextCleaner frees blocks once the frame is collected)
+    rather than failing the job.
+    """
+    try:
+        sc = df.sparkSession.sparkContext._jsc.sc()
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        sc.unpersistRDD(rdd_id, False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the query
+        pass
+
+
+def _prepare_ckpt_dir(edges: DataFrame, checkpoint_dir: str | None) -> bool:
+    if checkpoint_dir is None:
+        return False
+    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return True
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in `edges`, component = min node id
     reachable — deterministic, so oracle-comparable.
 
-    Scale design per round: `labels` is one row per node and `nbr` one row
+    Scale design per round: `labels` is one row per node and `und` one row
     per directed edge; both shuffles key on node id (uniform — ids, not
-    content), with map-side partial min.  Lineage is truncated with
-    localCheckpoint every round: without it the plan doubles per iteration
+    content), with map-side partial min.  Lineage is truncated with an
+    eager checkpoint every round: without it the plan doubles per iteration
     and Catalyst analysis time dominates past ~8 rounds (and at cluster
     scale the recursive re-computation on task retry would be quadratic).
     Convergence is detected by an aggregate (any label changed?) — one
     lightweight job per round on the already-checkpointed labels.
+
+    Rounds needed = max component diameter; for long-chain graphs use
+    connected_components_star (O(log² n) rounds) instead of raising
+    max_iter.
     """
+    reliable = _prepare_ckpt_dir(edges, checkpoint_dir)
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .distinct()
     )
-    und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select("n").distinct().withColumn("comp", F.col("n"))
-    ).localCheckpoint(eager=True)
+    und = _round_ckpt(und, reliable)
+    labels = _round_ckpt(
+        und.select("n").distinct().withColumn("comp", F.col("n")), reliable
+    )
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, on="n")
@@ -58,28 +113,129 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, on="n", how="left")
-            .select(
+        new_ck = _round_ckpt(
+            labels.join(nbr_min, on="n", how="left").select(
                 "n",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
                     "comp"
                 ),
                 (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.agg(F.sum(F.col("_changed").cast("int")).alias("c")).first()["c"]
-        labels = new_labels.drop("_changed")
+            ),
+            reliable,
+        )
+        changed = new_ck.agg(F.sum(F.col("_changed").cast("int")).alias("c")).first()["c"]
+        _release_ckpt(labels)  # superseded round state — drop its cached blocks
+        labels = new_ck
         if not changed:
+            converged = True
             break
-    else:
+    _release_ckpt(und)
+    if not converged:
         # Exhausting the loop without a no-change round means some
         # component's diameter exceeds max_iter and its labels are still
         # intermediate — silently returning them would split one real
         # component into several.  Fail loudly; the caller can raise
-        # max_iter or switch to the large-star/small-star variant.
+        # max_iter or switch to connected_components_star.
+        _release_ckpt(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds: "
-            "a component's diameter exceeds max_iter (labels would be wrong)"
+            "a component's diameter exceeds max_iter (labels would be wrong); "
+            "use connected_components_star for long-chain graphs"
         )
     return labels.select(F.col("n").alias("node"), F.col("comp").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood (Kiveris SoCC'14,
+    Alg. 'large-star').  Two keyed shuffles: groupBy for the per-node min,
+    join to re-attach it to (u, v>u) edges."""
+    both = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    return (
+        both.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small; every node connects
+    its smaller neighbors (and itself) to their collective minimum."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    relinked = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(mins.select("u", F.col("mn").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return relinked
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star (Kiveris et
+    al. SoCC'14) — converges in O(log² n) rounds INDEPENDENT of component
+    diameter, so a million-node chain finishes in ~20 rounds where label
+    propagation needs a million.
+
+    Each round is two keyed shuffles per phase (per-node min + re-link);
+    at convergence the edge set is a forest of stars whose centers are the
+    component minima.  Convergence check is exact: the small-star output
+    equals its input edge set (one exceptAll-limit-1 probe per round —
+    cheap because both sides are already checkpointed).  Isolated
+    self-loop-only input edges contribute their node with itself as
+    component.
+    """
+    reliable = _prepare_ckpt_dir(edges, checkpoint_dir)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    nodes = _round_ckpt(nodes, reliable)
+    e = _round_ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        reliable,
+    )
+    converged = False
+    for _ in range(max_iter):
+        ls = _round_ckpt(_large_star(e), reliable)
+        ss = _round_ckpt(_small_star(ls), reliable)
+        _release_ckpt(ls)
+        stable = (
+            ss.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(ss).limit(1).count() == 0
+        )
+        _release_ckpt(e)
+        e = ss
+        if stable:
+            converged = True
+            break
+    if not converged:
+        _release_ckpt(e)
+        _release_ckpt(nodes)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            "(theory bound is O(log² n) — raise max_iter)"
+        )
+    # Stars point child → center (center = component min); centers and
+    # isolated nodes label themselves.
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    out = nodes.join(star, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+    return out

@@ -1,7 +1,12 @@
 """Connected-components operator tests (no reference counterpart —
 driver-mandated dedup-pipeline extension; labeling = min reachable id)."""
 
-from codecdb_queryengine_spark.operators.graph import connected_components
+import pytest
+
+from codecdb_queryengine_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _components(spark, edges):
@@ -29,3 +34,69 @@ def test_disjoint_components(spark):
 def test_self_loop_and_duplicate_edges(spark):
     got = _components(spark, [(4, 4), (1, 3), (3, 1), (1, 3)])
     assert got == {4: 4, 1: 1, 3: 1}
+
+
+def _star_components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    return {
+        r.node: r.component
+        for r in connected_components_star(df, "a", "b", **kw).collect()
+    }
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    prop = {r.node: r.component for r in connected_components(df, "a", "b").collect()}
+    star = _star_components(spark, edges)
+    assert star == prop
+
+
+def test_star_long_chain_exceeds_propagation_rounds(spark):
+    # Path graph of diameter 120: label propagation would need 120 rounds
+    # (it raises at its default 20); the star algorithm's O(log² n) rounds
+    # finish well inside its default budget.
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "a", "b").collect()
+    got = _star_components(spark, edges)
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_star_self_loops_and_disjoint(spark):
+    got = _star_components(spark, [(4, 4), (1, 3), (3, 1), (10, 11)])
+    assert got == {4: 4, 1: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_reliable_checkpoint_dir_mode(spark, tmp_path):
+    # cluster-durable mode: rounds checkpoint to a directory instead of
+    # executor-local blocks; same answers.
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    prop = {
+        r.node: r.component
+        for r in connected_components(
+            df, "a", "b", max_iter=40, checkpoint_dir=str(tmp_path / "ckpt_prop")
+        ).collect()
+    }
+    assert prop == {i: 0 for i in range(31)}
+    star = _star_components(spark, edges, checkpoint_dir=str(tmp_path / "ckpt_star"))
+    assert star == {i: 0 for i in range(31)}
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt_prop")) and any(os.scandir(tmp_path / "ckpt_star"))
+
+
+def test_no_cached_block_growth_across_rounds(spark):
+    # Superseded round states must be unpersisted: a 15-round run may leave
+    # only the final labels frame cached (not one frame per round).
+    edges = [(i, i + 1) for i in range(15)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    connected_components(df, "a", "b", max_iter=20).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1  # final labels only, nothing per-round
