@@ -28,10 +28,28 @@ from pyspark.sql import functions as F
 
 
 class Plan:
-    """Immutable-ish fluent wrapper; every method returns a new Plan."""
+    """Immutable-ish fluent wrapper; every method returns a new Plan.
 
-    def __init__(self, df: DataFrame):
+    Lifecycle: `mat()` persists are tracked through the chain (including
+    across joined Plans) and owned by the final Plan — call `release()`
+    after the result is materialized, or use `collect()` which does both.
+    `done()` hands back the bare DataFrame and leaves the persists live
+    (they are the point of mat() — the reuse happens at execution); the
+    caller then owns the release.
+    """
+
+    def __init__(self, df: DataFrame, mats: list[DataFrame] | None = None):
         self.df = df
+        self._mats: list[DataFrame] = list(mats) if mats else []
+
+    def _next(self, df: DataFrame, *others: "Plan | DataFrame") -> "Plan":
+        """Successor Plan inheriting this chain's persists (plus any from
+        Plans joined in)."""
+        mats = list(self._mats)
+        for o in others:
+            if isinstance(o, Plan):
+                mats.extend(o._mats)
+        return Plan(df, mats)
 
     # --- sources ----------------------------------------------------------
     @staticmethod
@@ -47,7 +65,7 @@ class Plan:
         out = self.df
         for p in preds:
             out = out.filter(p)
-        return Plan(out)
+        return self._next(out)
 
     def filter_union(self, *preds: Column) -> "Plan":
         """FilterUnion: OR of predicate blocks over the same base table
@@ -55,7 +73,7 @@ class Plan:
         combined = None
         for p in preds:
             combined = p if combined is None else (combined | p)
-        return Plan(self.df.filter(combined))
+        return self._next(self.df.filter(combined))
 
     # --- joins ------------------------------------------------------------
     def semi_join(self, right: "Plan | DataFrame", on, broadcast: bool = True) -> "Plan":
@@ -63,13 +81,13 @@ class Plan:
         (cpp/src/lqf/join.h:179-199)."""
         r = right.df if isinstance(right, Plan) else right
         r = F.broadcast(r) if broadcast else r
-        return Plan(self.df.join(r, on, "left_semi"))
+        return self._next(self.df.join(r, on, "left_semi"), right)
 
     def anti_join(self, right: "Plan | DataFrame", on, broadcast: bool = True) -> "Plan":
         """FilterJoin::useAnti (cpp/src/lqf/join.h:190-199)."""
         r = right.df if isinstance(right, Plan) else right
         r = F.broadcast(r) if broadcast else r
-        return Plan(self.df.join(r, on, "left_anti"))
+        return self._next(self.df.join(r, on, "left_anti"), right)
 
     def join(
         self,
@@ -82,7 +100,7 @@ class Plan:
         broadcast=True = the reference's build-small-side convention."""
         r = right.df if isinstance(right, Plan) else right
         r = F.broadcast(r) if broadcast else r
-        return Plan(self.df.join(r, on, how))
+        return self._next(self.df.join(r, on, how), right)
 
     def exist_join(self, probe: "Plan | DataFrame", on, broadcast: bool = False) -> "Plan":
         """HashExistJoin: keep THIS (build) side's rows having ≥1 probe
@@ -90,25 +108,25 @@ class Plan:
         the reference's build/probe sides made explicit."""
         p = probe.df if isinstance(probe, Plan) else probe
         p = F.broadcast(p) if broadcast else p
-        return Plan(self.df.join(p, on, "left_semi"))
+        return self._next(self.df.join(p, on, "left_semi"), probe)
 
     def not_exist_join(self, probe: "Plan | DataFrame", on, broadcast: bool = False) -> "Plan":
         """HashNotExistJoin (cpp/src/lqf/join.h:252-265, TPC-H Q22)."""
         p = probe.df if isinstance(probe, Plan) else probe
         p = F.broadcast(p) if broadcast else p
-        return Plan(self.df.join(p, on, "left_anti"))
+        return self._next(self.df.join(p, on, "left_anti"), probe)
 
     # --- aggregation ------------------------------------------------------
     def agg(self, *exprs: Column, by: Iterable[str | Column] = ()) -> "Plan":
         """SimpleAgg (no keys) / HashAgg (cpp/src/lqf/agg.h:475-532)."""
         by = list(by)
         if by:
-            return Plan(self.df.groupBy(*by).agg(*exprs))
-        return Plan(self.df.agg(*exprs))
+            return self._next(self.df.groupBy(*by).agg(*exprs))
+        return self._next(self.df.agg(*exprs))
 
     def having(self, pred: Column) -> "Plan":
         """Agg dump predicate (cpp/src/lqf/agg.h:448,472)."""
-        return Plan(self.df.filter(pred))
+        return self._next(self.df.filter(pred))
 
     def arg_max(self, keys: Iterable[str], of: Column) -> "Plan":
         """RecordingMax: ALL rows achieving the per-group maximum —
@@ -118,7 +136,7 @@ class Plan:
         from pyspark.sql import Window
 
         w = Window.partitionBy(*list(keys)).orderBy(of.desc())
-        return Plan(
+        return self._next(
             self.df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
         )
 
@@ -127,7 +145,7 @@ class Plan:
         from pyspark.sql import Window
 
         w = Window.partitionBy(*list(keys)).orderBy(of.asc())
-        return Plan(
+        return self._next(
             self.df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
         )
 
@@ -142,12 +160,12 @@ class Plan:
     # --- order / limit ----------------------------------------------------
     def sort(self, *cols: Column) -> "Plan":
         """SmallSort/SnapshotSort (cpp/src/lqf/sort.h:63-93)."""
-        return Plan(self.df.orderBy(*cols))
+        return self._next(self.df.orderBy(*cols))
 
     def topk(self, k: int, *cols: Column) -> "Plan":
         """TopN bounded heap (cpp/src/lqf/sort.h:95-112) →
         TakeOrderedAndProject."""
-        return Plan(self.df.orderBy(*cols).limit(k))
+        return self._next(self.df.orderBy(*cols).limit(k))
 
     # --- set operations -----------------------------------------------------
     # The reference only has bitmap FilterUnion/FilterAnd over one base table
@@ -155,23 +173,49 @@ class Plan:
     # Spark supports natively (SURVEY.md §2.6).
     def union_all(self, other: "Plan | DataFrame") -> "Plan":
         o = other.df if isinstance(other, Plan) else other
-        return Plan(self.df.unionByName(o))
+        return self._next(self.df.unionByName(o), other)
 
     def intersect(self, other: "Plan | DataFrame") -> "Plan":
         o = other.df if isinstance(other, Plan) else other
-        return Plan(self.df.intersect(o))
+        return self._next(self.df.intersect(o), other)
 
     def except_all(self, other: "Plan | DataFrame") -> "Plan":
         o = other.df if isinstance(other, Plan) else other
-        return Plan(self.df.exceptAll(o))
+        return self._next(self.df.exceptAll(o), other)
 
     # --- materialization --------------------------------------------------
     def mat(self) -> "Plan":
-        """FilterMat/HashMat shared-subplan reuse (cpp/src/lqf/mat.h:19-55)."""
-        return Plan(self.df.persist())
+        """FilterMat/HashMat shared-subplan reuse (cpp/src/lqf/mat.h:19-55).
+
+        The persisted frame is tracked by the chain: finish with
+        `collect()` (auto-release) or call `release()` after the result
+        is materialized.  `done()` alone leaves the persist live — the
+        caller owns it from there (bench/check call clearCache()).
+        """
+        persisted = self.df.persist()
+        nxt = self._next(persisted)
+        nxt._mats.append(persisted)
+        return nxt
+
+    def release(self) -> "Plan":
+        """Unpersist every mat() in this chain (safe to call repeatedly —
+        and AFTER the result has been materialized; unpersisting first
+        would silently discard the shared-subplan reuse)."""
+        for m in self._mats:
+            m.unpersist()
+        self._mats.clear()
+        return self
+
+    def collect(self):
+        """Materialize the result, then release this chain's mats —
+        the unpersist-on-collect lifecycle for one-shot plan execution."""
+        try:
+            return self.df.collect()
+        finally:
+            self.release()
 
     def select(self, *cols) -> "Plan":
-        return Plan(self.df.select(*cols))
+        return self._next(self.df.select(*cols))
 
     def done(self) -> DataFrame:
         return self.df

@@ -1113,6 +1113,8 @@ def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     run (bounded: the previous invocation's directory is deleted first, so
     repeated bench/gate runs hold at most one events-table copy on disk).
     """
+    import glob
+    import hashlib
     import os
     import shutil
     import tempfile
@@ -1121,14 +1123,19 @@ def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import sinks
 
     stream = E.read_events_stream(spark, sf_dir)
-    # Fixed location per (process, sf_dir): wipe the last run's output +
-    # checkpoint before streaming again — the prior result DataFrame has
-    # been collected by then (bench/gate are sequential), and a fresh
-    # checkpoint makes each run a full re-stream, not a no-op resume.
-    base = os.path.join(
-        tempfile.gettempdir(), f"sg_stream_files_{os.getpid()}_{abs(hash(sf_dir))}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    # Fixed location per sf_dir: an md5 digest, NOT Python's hash() —
+    # str hashing is PYTHONHASHSEED-randomized per process, so hash-named
+    # dirs from earlier processes would never be matched again and each
+    # (a full events-table copy + checkpoint) would leak forever.  The
+    # digest path is process-stable; wiping it (plus any stale legacy
+    # sg_stream_files_* siblings) before streaming bounds the footprint to
+    # one copy on disk and makes each run a full re-stream, not a no-op
+    # resume (the prior result DataFrame has been collected by then —
+    # bench/gate are sequential).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"sg_stream_files_{tag}")
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "sg_stream_files_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     q = sinks.stream_to_parquet(
         stream, f"{base}/out", f"{base}/ckpt", partition_by=("event_type",)
     )

@@ -26,10 +26,33 @@ def test_builder_filter_union_and_mat(spark):
         .filter_union(F.col("x") < 2, F.col("x") > 7)
         .mat()
         .sort(F.col("x").asc())
-        .done()
     )
     assert [r.x for r in p.collect()] == [0, 1, 8, 9]
-    p.unpersist()
+
+
+def test_mat_lifecycle_no_cache_growth(spark):
+    """Repeated mat()-plan executions must not grow the persisted-RDD set:
+    collect() releases the chain's persists, and mats survive joins into
+    other chains until the owning chain releases them."""
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    baseline = len(sc.getRDDStorageInfo())
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["x", "k"])
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], ["k", "name"])
+    for _ in range(5):
+        shared = Plan(df).filter(F.col("x") > 10).mat()
+        out = shared.join(Plan(dim), "k", broadcast=True).agg(
+            F.count(F.lit(1)).alias("n"), by=["name"]
+        )
+        rows = out.collect()  # materialize + auto-release the mat
+        assert len(rows) == 2
+    for _ in range(10):  # unpersist is async; give the executor a beat
+        if len(sc.getRDDStorageInfo()) <= baseline:
+            break
+        time.sleep(0.5)
+    assert len(sc.getRDDStorageInfo()) <= baseline
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
