@@ -134,6 +134,35 @@ _STATS_SQL = """
 """
 
 
+def ext_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext_stats' 100-TB form: percentile_approx (GK sketch — bounded-size
+    mergeable partial aggregate, map-side combinable) instead of exact
+    `percentile`, which buffers and sorts every group value on one reducer.
+    Rows-only gated: sketch results are engine-specific by construction,
+    so there is no cross-engine value oracle — the companion test pins
+    approx-vs-exact error ≤ the sketch's accuracy bound instead.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "price_stddev",
+            "price_var",
+            F.col("_pcts")[0].alias("price_median"),
+            F.col("_pcts")[1].alias("price_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def ext_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array aggregation: sorted distinct ship modes per flag-pair
     (collect_set — absent from the reference, SURVEY.md §2.4)."""
@@ -478,6 +507,7 @@ QUERIES = {
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
     "ext_stats": ext_stats,
+    "ext_stats_approx": ext_stats_approx,
     "ext_collect": ext_collect,
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
@@ -499,7 +529,8 @@ ORACLE: dict[str, str] = {
     "ext_stats": _STATS_SQL,
     "ext_collect": _COLLECT_SQL,
     "ext_setops": _SETOPS_SQL,
-    # ext_approx_distinct intentionally omitted (rows-only check).
+    # ext_approx_distinct + ext_stats_approx intentionally omitted
+    # (rows-only checks: sketch outputs have no cross-engine oracle).
     "encsel_features": _ENCSEL_SQL,
     "ext_salted_agg": _SALTED_AGG_SQL,
 }

@@ -55,6 +55,22 @@ def test_mat_lifecycle_no_cache_growth(spark):
     assert len(sc.getRDDStorageInfo()) <= baseline
 
 
+def test_stats_approx_close_to_exact(spark, sf_dir):
+    """percentile_approx (the mergeable 100-TB path) must track the exact
+    per-group percentiles: with accuracy=10000 the GK sketch's rank error
+    is ≤ n/10000, far under 1% of the value at these group sizes."""
+    from codecdb_queryengine_spark.queries.extensions import ext_stats, ext_stats_approx
+
+    exact = {r.l_returnflag: r for r in ext_stats(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in ext_stats_approx(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.price_median - e.price_median) / e.price_median < 0.01
+        assert abs(a.price_p95 - e.price_p95) / e.price_p95 < 0.01
+        assert a.price_stddev == e.price_stddev  # non-sketch columns identical
+
+
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     row = li.agg(
