@@ -46,25 +46,25 @@ DRIVER_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_minhash_verified",
     "dedup_embedding",
-    "dedup_clusters",  # dedup family (8) -> 30
+    "dedup_clusters",
+    "dedup_simhash_clusters",  # dedup family (9) -> 31
     "sim_topk",
     "sim_ann_lsh",
-    "sim_ann_ivf",  # similarity (3) -> 33
+    "sim_ann_ivf",  # similarity (3) -> 34
     "events_stream_window",
     "events_stream_totals",
     "events_stream_sessions",
     "events_stream_dedup",
     "events_stream_sliding",
     "events_stream_join",
-    "events_stream_files",  # streaming (7) -> 40
+    "events_stream_files",  # streaming (7) -> 41
     "ext_rollup",
     "ext_grouping_sets",
     "ext_cube",
     "ext_window_funcs",
     "ext_stats",
-    "ext_collect",
     "ext_setops",
-    "ext_salted_agg",  # extensions (8) -> 48
+    "ext_salted_agg",  # extensions (7) -> 48
     "events_asof",
     "events_range_join",  # temporal (2) -> 50
 ]

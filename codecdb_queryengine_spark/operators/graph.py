@@ -216,9 +216,11 @@ def connected_components_star(
         ls = _round_ckpt(_large_star(e), reliable)
         ss = _round_ckpt(_small_star(ls), reliable)
         _release_ckpt(ls)
+        # Exact symmetric-difference probe in ONE job (both sides are
+        # distinct edge sets, so exceptAll ≡ except and the union of the
+        # two differences is empty iff the sets are equal).
         stable = (
-            ss.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(ss).limit(1).count() == 0
+            ss.exceptAll(e).union(e.exceptAll(ss)).limit(1).count() == 0
         )
         _release_ckpt(e)
         e = ss

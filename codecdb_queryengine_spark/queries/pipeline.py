@@ -740,6 +740,38 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs -> clusters via the alternating large-star/
+    small-star CC algorithm (O(log² n) rounds regardless of component
+    diameter — the long-chain-safe variant; same min-id labeling contract
+    as dedup_clusters, so the same recursive-closure oracle shape applies).
+    """
+    from codecdb_queryengine_spark.operators.graph import connected_components_star
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sim = D.simhash(docs, "text", "doc_id")
+    pairs = D.simhash_near_dups(sim, max_hamming=3, bands=4)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _simhash_clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_simhash_pairs_sql()}) v),
+        und AS (SELECT id_a AS n, id_b AS m FROM pairs
+                UNION SELECT id_b AS n, id_a AS m FROM pairs),
+        reach AS (
+            SELECT n, m FROM und
+            UNION
+            SELECT r.n, u.m FROM reach r JOIN und u ON r.m = u.n
+        )
+        SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+        FROM reach GROUP BY n ORDER BY doc_id
+    """
+
+
 # --- corpus term statistics ------------------------------------------------
 
 
@@ -1172,6 +1204,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_simhash_clusters": dedup_simhash_clusters,
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
     "text_countmin": text_countmin,
@@ -1209,6 +1242,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_simhash_clusters": _simhash_clusters_sql(),
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "text_countmin": _countmin_sql(),
