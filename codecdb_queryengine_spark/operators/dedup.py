@@ -416,21 +416,39 @@ def simhash_near_dups(
         for b in range(bands)
     ]
     bk = sim_df.select(
-        F.col("sh_id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("sh_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
-    from codecdb_queryengine_spark.operators.bucketing import bucket_candidate_pairs
-
-    cand = bucket_candidate_pairs(bk, "sh_id", ["band", "band_key"])
-    a = sim_df.select(F.col("sh_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = sim_df.select(F.col("sh_id").alias("id_b"), F.col("simhash").alias("h_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        F.col("sh_id"), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "sh_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+    )
+    # Hamming verification runs INSIDE the per-bucket pair expansion
+    # (the hash rides along in the bucket struct), so the post-expansion
+    # distinct shuffles only true near-dup pairs — not every candidate.
+    # Dense buckets make this matter: at sf0.1 the candidate stream is
+    # ~2.8M pairs for 83k true pairs (34× overfetch), and verifying before
+    # the shuffle also deletes the two join-back lookups entirely.
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(xs, (a, i) -> "
+            "filter(transform(slice(xs, i + 2, size(xs)), "
+            f"b -> struct(a.id AS id_a, b.id AS id_b, "
+            f"CAST(bit_count(a.h ^ b.h) AS BIGINT) AS hamming)), "
+            f"p -> p.hamming <= {int(max_hamming)})))"
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    )
+    return (
+        bk.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sh_id").alias("id"), F.col("simhash").alias("h")))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+        .select(pairs.alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
     )
 
 

@@ -199,19 +199,21 @@ def connected_components_star(
     component.
     """
     reliable = _prepare_ckpt_dir(edges, checkpoint_dir)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    nodes = _round_ckpt(nodes, reliable)
-    e = _round_ckpt(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct(),
+    # ONE materialization of the (possibly expensive) upstream edge
+    # pipeline: self-loops are kept in the checkpointed base so the node
+    # universe can be derived from it too — computing `nodes` from the raw
+    # input would run the whole upstream plan a second time (measured: the
+    # simhash-pairs pipeline cost ~8 s per materialization at sf0.1).
+    ebase = _round_ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
         reliable,
     )
+    nodes = ebase.select(F.col("u").alias("node")).union(
+        ebase.select(F.col("v").alias("node"))
+    ).distinct()
+    e = ebase.filter(F.col("u") != F.col("v"))
     converged = False
+    e_is_base = True  # ebase blocks feed `nodes` at the end — never release
     for _ in range(max_iter):
         ls = _round_ckpt(_large_star(e), reliable)
         ss = _round_ckpt(_small_star(ls), reliable)
@@ -222,14 +224,16 @@ def connected_components_star(
         stable = (
             ss.exceptAll(e).union(e.exceptAll(ss)).limit(1).count() == 0
         )
-        _release_ckpt(e)
+        if not e_is_base:
+            _release_ckpt(e)
+        e_is_base = False
         e = ss
         if stable:
             converged = True
             break
     if not converged:
         _release_ckpt(e)
-        _release_ckpt(nodes)
+        _release_ckpt(ebase)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds "
             "(theory bound is O(log² n) — raise max_iter)"

@@ -884,6 +884,46 @@ _DOCS_SPLIT_SQL = """
 """
 
 
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 docs per language, selected by
+    md5-of-id order (engine-pinned, stable under re-runs/repartitioning —
+    the sampling analog of docs_train_split's hash bucketing; random
+    TABLESAMPLE gives neither determinism nor an oracle).
+
+    One shuffle keyed on lang + per-group rank.  100-TB note: row_number
+    needs each language's rows on one partition; when N ≪ group size,
+    pre-filter on a conservative hash prefix (keep md5 < k·N/|group|
+    quantile) to shrink the windowed set by orders of magnitude before the
+    per-group sort — same answer as long as the cut keeps ≥ N rows per
+    group.  Skewed language distribution is inherent to the operator
+    (stratum = partition), not to this formulation.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
+
+
+_DOCS_SAMPLE_SQL = """
+    SELECT lang, rk, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('sample|', CAST(doc_id AS VARCHAR))) ASC,
+                            doc_id ASC) AS BIGINT) AS rk
+        FROM documents)
+    WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+
 # --- event funnels / retention ---------------------------------------------
 
 
@@ -1207,6 +1247,7 @@ QUERIES = {
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
+    "docs_sample_stratified": docs_sample_stratified,
     "text_countmin": text_countmin,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -1245,6 +1286,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash_clusters": _simhash_clusters_sql(),
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
+    "docs_sample_stratified": _DOCS_SAMPLE_SQL,
     "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
