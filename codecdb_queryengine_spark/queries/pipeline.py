@@ -740,6 +740,46 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the corpus with near-duplicates
+    dropped — every document not in a cluster survives, and each cluster
+    keeps exactly its min-id representative.  Non-representative members
+    (node ≠ component) anti-join the corpus away; at 100 TB the drop list
+    is a small fraction of the corpus and broadcasts.  Output is the
+    per-language surviving count + char volume (the corpus-size report a
+    dedup job emits), not the full doc list, so the gate result stays
+    O(languages)."""
+    from codecdb_queryengine_spark.operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_verified_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+        WITH cc AS ({_dedup_clusters_sql()})
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+        GROUP BY lang ORDER BY lang
+    """
+
+
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs -> clusters via the alternating large-star/
     small-star CC algorithm (O(log² n) rounds regardless of component
@@ -1244,6 +1284,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_docs": dedup_keep_docs,
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
@@ -1283,6 +1324,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_keep_docs": _dedup_keep_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
