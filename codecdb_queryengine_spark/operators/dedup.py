@@ -393,11 +393,21 @@ def simhash_near_dups(
     pair differing in ≤ bands-1 bits must agree EXACTLY on ≥1 band, so
     band-bucket candidates are a superset of the answer whenever
     max_hamming < bands (asserted).  Candidate generation is n·bands rows
-    into ONE bucket-key shuffle (bucketing.bucket_candidate_pairs — same
-    machinery as MinHash/hyperplane banding); only candidates pay the
-    hamming verification.  At 100 TB the all-pairs formulation this
-    replaces is O(n²); banding is O(n·bands + Σ bucket²), and 2^(bits/bands)
-    buckets per band keep buckets small.
+    into ONE bucket-key shuffle (bucketing.bucket_verified_pairs — same
+    machinery as MinHash/hyperplane banding, with the hamming check fused
+    into the in-bucket expansion so only true pairs reach the distinct).
+
+    Scale honesty: banding replaces the O(n²) all-pairs join with
+    O(n·bands + Σ bucket²), and the band key space is 2^(bits/bands) — at
+    32 bits / 4 bands that is only 256 buckets per band, so the in-bucket
+    quadratic term re-emerges once n ≫ 2^(bits/bands)·√(pairs budget)
+    (≈ millions of docs).  The corpus-scale recipe is wider hashes so the
+    key space grows with n (64/128-bit simhash → 16/32-bit bands — same
+    plumbing, needs an unsigned-safe band extractor), or blocking on
+    (band, key) pairs of two bands (C(bands,2) keys of 2×width); both are
+    parameter changes to this shape, not different algorithms.  The
+    expansion evaluates per bucket in one task — bucket size bounds the
+    per-task work, which is exactly the key-space sizing above.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -423,33 +433,19 @@ def simhash_near_dups(
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("band_key"),
     )
-    # Hamming verification runs INSIDE the per-bucket pair expansion
-    # (the hash rides along in the bucket struct), so the post-expansion
-    # distinct shuffles only true near-dup pairs — not every candidate.
-    # Dense buckets make this matter: at sf0.1 the candidate stream is
-    # ~2.8M pairs for 83k true pairs (34× overfetch), and verifying before
-    # the shuffle also deletes the two join-back lookups entirely.
-    pairs = F.explode(
-        F.expr(
-            "flatten(transform(xs, (a, i) -> "
-            "filter(transform(slice(xs, i + 2, size(xs)), "
-            f"b -> struct(a.id AS id_a, b.id AS id_b, "
-            f"CAST(bit_count(a.h ^ b.h) AS BIGINT) AS hamming)), "
-            f"p -> p.hamming <= {int(max_hamming)})))"
-        )
+    # Hamming verification runs INSIDE the per-bucket pair expansion (the
+    # hash rides in the bucket struct, bucketing.bucket_verified_pairs),
+    # so the post-expansion distinct shuffles only true near-dup pairs —
+    # not every candidate (~2.8M candidates for 83k pairs at sf0.1), and
+    # the two per-side join-backs disappear.
+    from codecdb_queryengine_spark.operators.bucketing import bucket_verified_pairs
+
+    verify = (
+        "struct(a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(a.p ^ b.p) AS BIGINT) AS hamming, "
+        f"bit_count(a.p ^ b.p) <= {int(max_hamming)} AS keep)"
     )
-    return (
-        bk.groupBy("band", "band_key")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("sh_id").alias("id"), F.col("simhash").alias("h")))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
-        .select(pairs.alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
-    )
+    return bucket_verified_pairs(bk, "sh_id", "simhash", ["band", "band_key"], verify)
 
 
 def embedding_near_dups(

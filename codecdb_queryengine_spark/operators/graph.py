@@ -44,31 +44,59 @@ def _round_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
 
 
 def _release_ckpt(df: DataFrame) -> None:
-    """Free a superseded round's localCheckpoint blocks.
+    """Free a superseded round's checkpoint storage.
 
-    DataFrame.unpersist() is a no-op here — localCheckpoint blocks live on
-    the plan's internal RDD, not in the SQL cache manager — so reach the
-    RDD id through the checkpointed frame's LogicalRDD and unpersist it
-    directly (verified: storage-info count drops to zero).  Reliable
-    checkpoint() frames hold no blocks (data is in the checkpoint dir);
-    unpersisting their RDD is harmless.  Best-effort: if the internal
-    accessor moves in a future Spark, degrade to the old keep-until-GC
-    behavior (ContextCleaner frees blocks once the frame is collected)
-    rather than failing the job.
+    localCheckpoint: DataFrame.unpersist() is a no-op here — the blocks
+    live on the plan's internal RDD, not in the SQL cache manager — so
+    reach the RDD id through the checkpointed frame's LogicalRDD and
+    unpersist it directly (verified: storage-info count drops to zero).
+    Reliable checkpoint(): the data is FILES under the checkpoint dir,
+    which Spark never deletes unless cleaner.referenceTracking.
+    cleanCheckpoints was on at context start — so delete the round's
+    directory through the Hadoop FS API, or a 30-round run retains 30
+    edge-set copies of cluster storage.  Best-effort: if an internal
+    accessor moves in a future Spark, degrade to keep-until-GC rather
+    than failing the job.  NEVER call on a frame that is still reachable
+    from a returned result.
     """
     try:
         sc = df.sparkSession.sparkContext._jsc.sc()
-        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
-        sc.unpersistRDD(rdd_id, False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        sc.unpersistRDD(rdd.id(), False)
+        ckpt_file = rdd.getCheckpointFile()  # Scala Option[String]
+        if ckpt_file.isDefined():
+            jvm = df.sparkSession._jvm
+            path = jvm.org.apache.hadoop.fs.Path(ckpt_file.get())
+            fs = path.getFileSystem(sc.hadoopConfiguration())
+            fs.delete(path, True)
     except Exception:  # noqa: BLE001 — cleanup must never fail the query
         pass
 
 
-def _prepare_ckpt_dir(edges: DataFrame, checkpoint_dir: str | None) -> bool:
+def _prepare_ckpt_dir(
+    edges: DataFrame, checkpoint_dir: str | None
+) -> tuple[bool, str | None]:
+    """Point the context at `checkpoint_dir` for this run's rounds.
+
+    SparkContext's checkpoint dir is process-global state — Spark offers
+    no narrower scope — so the caller restores the previous dir (second
+    return value) once its eager rounds are done; if no dir was set
+    before, the new one necessarily remains (the API cannot unset it).
+    The returned frames' final files live under `checkpoint_dir`, so the
+    DIRECTORY must outlive consumption of the result either way.
+    """
     if checkpoint_dir is None:
-        return False
-    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return True
+        return False, None
+    sc = edges.sparkSession.sparkContext
+    old = sc._jsc.sc().getCheckpointDir()
+    old_dir = old.get() if old.isDefined() else None
+    sc.setCheckpointDir(checkpoint_dir)
+    return True, old_dir
+
+
+def _restore_ckpt_dir(df: DataFrame, reliable: bool, old_dir: str | None) -> None:
+    if reliable and old_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(old_dir)
 
 
 def connected_components(
@@ -94,7 +122,7 @@ def connected_components(
     connected_components_star (O(log² n) rounds) instead of raising
     max_iter.
     """
-    reliable = _prepare_ckpt_dir(edges, checkpoint_dir)
+    reliable, old_ckpt_dir = _prepare_ckpt_dir(edges, checkpoint_dir)
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
@@ -130,6 +158,7 @@ def connected_components(
             converged = True
             break
     _release_ckpt(und)
+    _restore_ckpt_dir(edges, reliable, old_ckpt_dir)
     if not converged:
         # Exhausting the loop without a no-change round means some
         # component's diameter exceeds max_iter and its labels are still
@@ -198,7 +227,7 @@ def connected_components_star(
     self-loop-only input edges contribute their node with itself as
     component.
     """
-    reliable = _prepare_ckpt_dir(edges, checkpoint_dir)
+    reliable, old_ckpt_dir = _prepare_ckpt_dir(edges, checkpoint_dir)
     # ONE materialization of the (possibly expensive) upstream edge
     # pipeline: self-loops are kept in the checkpointed base so the node
     # universe can be derived from it too — computing `nodes` from the raw
@@ -231,6 +260,7 @@ def connected_components_star(
         if stable:
             converged = True
             break
+    _restore_ckpt_dir(edges, reliable, old_ckpt_dir)
     if not converged:
         _release_ckpt(e)
         _release_ckpt(ebase)

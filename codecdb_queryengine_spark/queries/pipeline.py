@@ -1235,19 +1235,25 @@ def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import sinks
 
     stream = E.read_events_stream(spark, sf_dir)
-    # Fixed location per sf_dir: an md5 digest, NOT Python's hash() —
-    # str hashing is PYTHONHASHSEED-randomized per process, so hash-named
-    # dirs from earlier processes would never be matched again and each
-    # (a full events-table copy + checkpoint) would leak forever.  The
-    # digest path is process-stable; wiping it (plus any stale legacy
-    # sg_stream_files_* siblings) before streaming bounds the footprint to
-    # one copy on disk and makes each run a full re-stream, not a no-op
-    # resume (the prior result DataFrame has been collected by then —
-    # bench/gate are sequential).
+    # Dir name = (pid, md5-of-sf_dir): the pid keeps concurrent processes
+    # from clobbering each other's live stream output/checkpoint, and the
+    # md5 digest — NOT Python's PYTHONHASHSEED-randomized hash() — makes
+    # the per-sf_dir suffix stable so THIS process reuses (wipes) one
+    # fixed path per run instead of minting fresh leaks.  Dirs from dead
+    # processes are reaped by liveness check (/proc/<pid> gone), bounding
+    # the host footprint to one events-copy per live process.  Wiping our
+    # own dir before streaming makes each run a full re-stream, not a
+    # no-op resume (the prior result DataFrame has been collected by then
+    # — bench/gate are sequential).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"sg_stream_files_{tag}")
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "sg_stream_files_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, f"sg_stream_files_{os.getpid()}_{tag}")
+    for stale in glob.glob(os.path.join(tmp, "sg_stream_files_*")):
+        parts = os.path.basename(stale).split("_")
+        owner = parts[3] if len(parts) > 3 else ""
+        dead = not owner.isdigit() or not os.path.exists(f"/proc/{owner}")
+        if stale == base or dead:  # non-pid names = legacy naming, stale
+            shutil.rmtree(stale, ignore_errors=True)
     q = sinks.stream_to_parquet(
         stream, f"{base}/out", f"{base}/ckpt", partition_by=("event_type",)
     )

@@ -68,7 +68,9 @@ def test_stats_approx_close_to_exact(spark, sf_dir):
         a = approx[flag]
         assert abs(a.price_median - e.price_median) / e.price_median < 0.01
         assert abs(a.price_p95 - e.price_p95) / e.price_p95 < 0.01
-        assert a.price_stddev == e.price_stddev  # non-sketch columns identical
+        # non-sketch columns agree to fp-merge-order tolerance (two separate
+        # jobs may merge partial aggregates in different orders)
+        assert abs(a.price_stddev - e.price_stddev) / e.price_stddev < 1e-9
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):

@@ -86,17 +86,31 @@ def test_reliable_checkpoint_dir_mode(spark, tmp_path):
     assert prop == {i: 0 for i in range(31)}
     star = _star_components(spark, edges, checkpoint_dir=str(tmp_path / "ckpt_star"))
     assert star == {i: 0 for i in range(31)}
+    import glob
     import os
 
     assert any(os.scandir(tmp_path / "ckpt_prop")) and any(os.scandir(tmp_path / "ckpt_star"))
+    # Superseded rounds' reliable-checkpoint FILES must be reaped too —
+    # only the final (still-consumable) frames may remain: labels for
+    # propagation; the edge base (feeds nodes) + final star edges for star.
+    n_prop = len(glob.glob(str(tmp_path / "ckpt_prop" / "*" / "rdd-*")))
+    n_star = len(glob.glob(str(tmp_path / "ckpt_star" / "*" / "rdd-*")))
+    assert n_prop <= 1, f"propagation retained {n_prop} checkpoint dirs"
+    assert n_star <= 2, f"star retained {n_star} checkpoint dirs"
 
 
 def test_no_cached_block_growth_across_rounds(spark):
     # Superseded round states must be unpersisted: a 15-round run may leave
     # only the final labels frame cached (not one frame per round).
+    import time
+
     edges = [(i, i + 1) for i in range(15)]
     df = spark.createDataFrame(edges, ["a", "b"])
     before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     connected_components(df, "a", "b", max_iter=20).collect()
-    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    for _ in range(10):  # unpersistRDD is async; poll instead of racing it
+        after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        if after - before <= 1:
+            break
+        time.sleep(0.5)
     assert after - before <= 1  # final labels only, nothing per-round
