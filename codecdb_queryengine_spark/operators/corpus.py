@@ -1,0 +1,183 @@
+"""Corpus-preparation operators for LLM training pipelines.
+
+No counterpart exists in the reference engine (SURVEY.md §2.8 — its world
+is TPC-H/SSB); these are driver-mandated extensions, built Spark-first:
+
+- decontaminate      flag training docs that share word k-shingles with a
+                     held-out eval/benchmark set (the standard n-gram
+                     decontamination pass run before pretraining).
+- pack_offsets       concat-and-chunk sequence packing: assign every doc a
+                     token offset inside its pack bucket and the range of
+                     fixed-size training sequences it lands in.
+- quality_filter     composed Gopher-style keep/drop rules over the text
+                     statistics in functions/text.py.
+- redact             lexicon + PII masking via one alternation regex
+                     (counts, masked length, and an md5 of the masked text
+                     so the rewrite itself is oracle-pinned).
+
+Everything is pure `pyspark.sql.functions` column algebra so each operator
+has an exact DuckDB mirror in queries/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from codecdb_queryengine_spark.functions import text as T
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc count of distinct word k-shingles shared with an eval set.
+
+    Output: (id_col, n_contaminated) for contaminated docs only.
+
+    100-TB note: the eval side is benchmark-sized (10^3..10^5 docs), so its
+    distinct shingle set is broadcast and the corpus side is filtered
+    map-side during its scan — the only shuffle is the per-doc count over
+    the (small) contaminated subset.  The corpus is never shuffled on
+    shingles; compare the inverted-index self-join in dedup.py, which is
+    reserved for corpus-vs-corpus work.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(T.word_shingles_from_tokens(T.tokens(text_col), k)).alias("s")
+        )
+        .distinct()
+    )
+    tr = docs.select(
+        F.col(id_col),
+        F.explode(T.word_shingles_from_tokens(T.tokens(text_col), k)).alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        # shingle arrays are array_distinct per doc, so count(*) counts
+        # distinct contaminated shingles
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def pack_offsets(
+    docs: DataFrame,
+    token_count_col,
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batches).
+
+    Docs are hashed into `n_buckets` independent pack streams; within a
+    bucket (ordered by id) each doc gets its running token offset, and from
+    it the first/last fixed-`budget` training sequence it occupies.  A doc
+    may straddle a chunk boundary — that IS concat-and-chunk semantics.
+
+    Output: (id_col, bucket, n_tokens, tok_offset, seq_first, seq_last).
+
+    100-TB note: one shuffle on the bucket key; each bucket's window sort
+    is independent, so parallelism = n_buckets (set it >= cluster cores —
+    buckets are only a determinism device, any count works).  No global
+    sort, no driver state.
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+            token_count_col.cast("long").alias("n_tokens"),
+        )
+        .withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_first", F.floor(F.col("tok_offset") / budget))
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / budget
+            ),
+        )
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 use 50..100k tokens,
+# stopword and symbol ratios; values here are scaled to the testdata corpus
+# so every rule actually fires — the composition is the operator).
+MIN_TOKENS = 20
+MAX_TOKENS = 90
+MIN_STOPWORD_RATIO = 0.02
+MAX_PUNCT_RATIO = 0.20
+MIN_UNIQ_RATIO = 0.35
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composed document-quality rules -> per-rule flags + keep verdict.
+
+    Output: (id_col, too_short, too_long, low_stop, high_punct, low_uniq,
+    keep).  Pure scan-side column algebra: zero shuffles, runs inside the
+    parquet scan's projection at any scale.
+    """
+    ntok = T.token_count(text_col)
+    too_short = (ntok < MIN_TOKENS).alias("too_short")
+    too_long = (ntok > MAX_TOKENS).alias("too_long")
+    low_stop = (T.stopword_ratio(text_col) < MIN_STOPWORD_RATIO).alias("low_stop")
+    high_punct = (T.punct_ratio(text_col) > MAX_PUNCT_RATIO).alias("high_punct")
+    low_uniq = (
+        (T.distinct_token_count(text_col) / F.greatest(ntok, F.lit(1)))
+        < MIN_UNIQ_RATIO
+    ).alias("low_uniq")
+    out = docs.select(id_col, too_short, too_long, low_stop, high_punct, low_uniq)
+    return out.withColumn(
+        "keep",
+        ~(
+            F.col("too_short")
+            | F.col("too_long")
+            | F.col("low_stop")
+            | F.col("high_punct")
+            | F.col("low_uniq")
+        ),
+    )
+
+
+# One alternation, cross-dialect safe (Java regex AND RE2: no backrefs, no
+# lookaround): email-shaped PII, long digit runs, and a lexicon of entity
+# terms.  The corpus is synthetic word-salad, so the lexicon branch is what
+# fires here; the PII branches document the production form.
+MASK_PATTERN = (
+    r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    r"|\b[0-9]{9,}\b"
+    r"|\b(?:customer|supplier|spark)\b"
+)
+MASK_TOKEN = "<MASK>"
+
+
+def redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask PII/lexicon matches; emit audit columns, not the raw rewrite.
+
+    Output: (id_col, n_masked, red_len, red_md5) — the md5 pins the exact
+    masked text so the oracle verifies the rewrite without hashing
+    megabyte-sized strings through the compare gate.
+
+    100-TB note: scan-side projection (zero shuffles); regex runs once per
+    doc inside whole-stage codegen.
+    """
+    red = F.regexp_replace(F.col(text_col), MASK_PATTERN, MASK_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(MASK_PATTERN)).cast("long").alias(
+            "n_masked"
+        ),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )

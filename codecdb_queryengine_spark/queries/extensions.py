@@ -497,6 +497,76 @@ def q21_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries/sqltext.py, which generates an oracle-gated *_sql variant for the
 # ENTIRE TPC-H + SSB corpus from the oracle strings themselves.
 
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue matrix linestatus × returnflag (explicit value list so
+    the plan is a single groupBy — no distinct-scan to discover columns).
+    Sums are decimal-anchored so the double totals are order-stable across
+    engines (same trick as ssb._money_sum)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(rev).cast("double"))
+        .orderBy("l_linestatus")
+    )
+
+
+_PIVOT_SQL = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS "A",
+           CAST(sum(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS "N",
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS "R"
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) four lineitem measures to long form, then aggregate
+    per metric.  Unpivot is a zero-shuffle Expand; the only shuffle is the
+    4-group aggregation."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    long = li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("metric")
+    )
+
+
+_UNPIVOT_SQL = """
+    SELECT metric, CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM (
+        SELECT 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY metric ORDER BY metric
+"""
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_grouping_sets": ext_grouping_sets,
@@ -511,6 +581,8 @@ QUERIES = {
     "ext_collect": ext_collect,
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
+    "ext_pivot": ext_pivot,
+    "ext_unpivot": ext_unpivot,
     "encsel_features": encsel_features,
     "ext_salted_agg": ext_salted_agg,
 }
@@ -531,6 +603,8 @@ ORACLE: dict[str, str] = {
     "ext_setops": _SETOPS_SQL,
     # ext_approx_distinct + ext_stats_approx intentionally omitted
     # (rows-only checks: sketch outputs have no cross-engine oracle).
+    "ext_pivot": _PIVOT_SQL,
+    "ext_unpivot": _UNPIVOT_SQL,
     "encsel_features": _ENCSEL_SQL,
     "ext_salted_agg": _SALTED_AGG_SQL,
 }

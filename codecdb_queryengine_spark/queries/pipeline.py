@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
 from codecdb_queryengine_spark.functions import text as T
+from codecdb_queryengine_spark.operators import corpus as C
 from codecdb_queryengine_spark.operators import dedup as D
 from codecdb_queryengine_spark.operators import multimodal as M
 from codecdb_queryengine_spark.operators import similarity as S
@@ -1276,6 +1277,102 @@ _EVENTS_STREAM_FILES_SQL = """
 """
 
 
+# --- corpus preparation (decontamination / packing / filtering / masking) --
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing word 3-shingles
+    with the held-out eval slice (doc_id % 23 == 0 stands in for the
+    benchmark set).  Eval shingle set is broadcast; the corpus is never
+    shuffled on shingles (operators/corpus.py:31)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    return C.decontaminate(train, ev, "text", "doc_id", k=3)
+
+
+_DECONTAM_SQL = f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_sql_word_shingles(3)}) AS s
+        FROM documents WHERE doc_id % 23 = 0
+    ),
+    tr AS (
+        SELECT doc_id, unnest({_sql_word_shingles(3)}) AS s
+        FROM documents WHERE doc_id % 23 <> 0
+    )
+    SELECT tr.doc_id, count(*) AS n_contaminated
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-doc token offset within its
+    pack bucket and the fixed-256-token training sequences it spans."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return C.pack_offsets(
+        docs, T.token_count("text"), "doc_id", budget=256, n_buckets=8
+    )
+
+
+_PACK_SQL = f"""
+    SELECT doc_id, bucket, n_tokens, tok_offset,
+           CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_first,
+           CAST(floor((tok_offset + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+             AS seq_last
+    FROM (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+               COALESCE(SUM(CAST({_SQL_NTOK} AS BIGINT)) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tok_offset
+        FROM documents)
+"""
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style quality rules -> per-rule flags + keep."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return C.quality_filter(docs, "text", "doc_id")
+
+
+_QUALITY_FILTER_SQL = f"""
+    SELECT doc_id, too_short, too_long, low_stop, high_punct, low_uniq,
+           NOT (too_short OR too_long OR low_stop OR high_punct OR low_uniq)
+             AS keep
+    FROM (
+        SELECT doc_id,
+               ({_SQL_NTOK} < {C.MIN_TOKENS}) AS too_short,
+               ({_SQL_NTOK} > {C.MAX_TOKENS}) AS too_long,
+               (CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)
+                  < {C.MIN_STOPWORD_RATIO}) AS low_stop,
+               (({_SQL_PUNCT}) > {C.MAX_PUNCT_RATIO}) AS high_punct,
+               (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+                  / greatest({_SQL_NTOK}, 1) < {C.MIN_UNIQ_RATIO}) AS low_uniq
+        FROM documents)
+"""
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/lexicon masking audit: match count, masked length, md5 of the
+    masked text (pins the exact rewrite without hashing full strings)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return C.redact(docs, "text", "doc_id")
+
+
+_REDACT_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{C.MASK_PATTERN}')) AS BIGINT)
+             AS n_masked,
+           CAST(length(regexp_replace(text, '{C.MASK_PATTERN}', '{C.MASK_TOKEN}', 'g'))
+             AS BIGINT) AS red_len,
+           md5(regexp_replace(text, '{C.MASK_PATTERN}', '{C.MASK_TOKEN}', 'g'))
+             AS red_md5
+    FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -1295,6 +1392,10 @@ QUERIES = {
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
     "docs_sample_stratified": docs_sample_stratified,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_quality_filter": docs_quality_filter,
+    "text_redact": text_redact,
     "text_countmin": text_countmin,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -1335,6 +1436,10 @@ ORACLE: dict[str, str] = {
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
+    "docs_decontaminate": _DECONTAM_SQL,
+    "docs_pack_sequences": _PACK_SQL,
+    "docs_quality_filter": _QUALITY_FILTER_SQL,
+    "text_redact": _REDACT_SQL,
     "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,

@@ -1,0 +1,83 @@
+"""Corpus-preparation operator tests (decontaminate / pack / quality /
+redact) in the reference's unit style: tiny inline fixtures, exact
+assertions (reference: cpp/src/lqf/agg_test.cc:15-45)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.operators import corpus as C
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares "a b c" + "b c d" with eval
+            (2, "x y z w"),            # shares nothing
+            (3, "q r s a b c"),        # shares "a b c"
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    out = {
+        r.doc_id: r.n_contaminated
+        for r in C.decontaminate(train, ev, "text", "doc_id", k=3).collect()
+    }
+    assert out == {1: 2, 3: 1}  # doc 2 absent: decontaminated output only
+
+
+def test_pack_offsets_concat_and_chunk(spark):
+    # one bucket so the running offset is a single deterministic stream
+    df = spark.createDataFrame(
+        [(0, 100), (8, 200), (16, 100)], ["doc_id", "ntok"]
+    )
+    rows = {
+        r.doc_id: (r.bucket, r.tok_offset, r.seq_first, r.seq_last)
+        for r in C.pack_offsets(
+            df, F.col("ntok"), "doc_id", budget=128, n_buckets=8
+        ).collect()
+    }
+    assert rows[0] == (0, 0, 0, 0)       # tokens [0,100) -> seq 0
+    assert rows[8] == (0, 100, 0, 2)     # [100,300) straddles seqs 0..2
+    assert rows[16] == (0, 300, 2, 3)    # [300,400) straddles 2..3
+
+
+def test_pack_offsets_zero_token_doc_stays_in_place(spark):
+    df = spark.createDataFrame([(0, 0), (8, 5)], ["doc_id", "ntok"])
+    rows = {
+        r.doc_id: (r.tok_offset, r.seq_first, r.seq_last)
+        for r in C.pack_offsets(
+            df, F.col("ntok"), "doc_id", budget=4, n_buckets=1
+        ).collect()
+    }
+    assert rows[0] == (0, 0, 0)  # empty doc occupies its offset's seq only
+    assert rows[8] == (0, 0, 1)
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the " + " ".join(f"w{i}" for i in range(30))),  # keep
+            (2, "tiny doc"),  # too_short
+            (3, ("the dog " * 60).strip()),  # too_long + low_uniq
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.quality_filter(df).collect()}
+    assert out[1].keep and not out[1].too_short
+    assert out[2].too_short and not out[2].keep
+    assert out[3].too_long and out[3].low_uniq and not out[3].keep
+
+
+def test_redact_masks_lexicon_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "customer data for spark row"), (2, "no entities here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.redact(df).collect()}
+    masked = "<MASK> data for <MASK> row"
+    assert out[1].n_masked == 2
+    assert out[1].red_len == len(masked)
+    assert out[1].red_md5 == hashlib.md5(masked.encode()).hexdigest()
+    assert out[2].n_masked == 0
+    assert out[2].red_md5 == hashlib.md5(b"no entities here").hexdigest()
