@@ -1277,6 +1277,31 @@ _EVENTS_STREAM_FILES_SQL = """
 """
 
 
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (dimension enrichment) + stateful agg,
+    driven to completion and gated against the batch join twin."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    tables = load_tables(spark, sf_dir)
+    stream = E.read_events_stream(spark, sf_dir)
+    res = E.run_to_memory(
+        E.static_enriched_totals(stream, tables["customer"], tables["nation"]),
+        "q_events_stream_enrich",
+        output_mode="complete",
+    )
+    return res.orderBy("n_name")
+
+
+_EVENTS_STREAM_ENRICH_SQL = """
+    SELECT n_name, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
 # --- corpus preparation (decontamination / packing / filtering / masking) --
 
 
@@ -1415,6 +1440,7 @@ QUERIES = {
     "events_stream_sliding": events_stream_sliding,
     "events_stream_join": events_stream_join,
     "events_stream_files": events_stream_files,
+    "events_stream_enrich": events_stream_enrich,
 }
 
 ORACLE: dict[str, str] = {
@@ -1459,4 +1485,5 @@ ORACLE: dict[str, str] = {
     "events_stream_sliding": _EVENTS_STREAM_SLIDING_SQL,
     "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
     "events_stream_files": _EVENTS_STREAM_FILES_SQL,
+    "events_stream_enrich": _EVENTS_STREAM_ENRICH_SQL,
 }

@@ -177,6 +177,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def static_enriched_totals(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a batch
+    dimension (customer -> nation name), then aggregate per nation.
+
+    The static side is joined per-microbatch with a broadcast hash join —
+    no state store is involved for the join itself (contrast
+    purchases_with_recent_click, which buffers both sides in state); only
+    the final aggregation keeps state.  This is the streaming analog of
+    the reference's fact-to-dimension joins (SURVEY.md §2.3), and at
+    cluster scale the dimension is broadcast once per executor and reused
+    across microbatches.
+    """
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

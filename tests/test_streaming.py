@@ -53,6 +53,29 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert final == exp
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    stream = E.read_events_stream(spark, sf_dir)
+    result = E.run_to_memory(
+        E.static_enriched_totals(stream, tables["customer"], tables["nation"]),
+        "t_stream_enrich",
+        output_mode="complete",
+    )
+    batch = (
+        tables["events"]
+        .join(tables["customer"], F.col("user_id") == F.col("c_custkey"))
+        .join(tables["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = sorted((r.n_name, r.n, round(r.sum_value, 4)) for r in result.collect())
+    exp = sorted((r.n_name, r.n, round(r.sum_value, 4)) for r in batch.collect())
+    assert got == exp and len(got) > 0
+
+
 def test_stream_dedup_drops_reinjected_duplicates(spark, sf_dir):
     # two readers of the same file unioned = every event seen twice
     doubled = E.read_events_stream(spark, sf_dir).unionByName(
