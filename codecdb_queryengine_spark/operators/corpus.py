@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from codecdb_queryengine_spark.functions import text as T
+from codecdb_queryengine_spark.operators import dedup as D
 
 
 def decontaminate(
@@ -32,6 +33,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-doc count of distinct word k-shingles shared with an eval set.
 
@@ -42,22 +44,23 @@ def decontaminate(
     map-side during its scan — the only shuffle is the per-doc count over
     the (small) contaminated subset.  The corpus is never shuffled on
     shingles; compare the inverted-index self-join in dedup.py, which is
-    reserved for corpus-vs-corpus work.
+    reserved for corpus-vs-corpus work.  Shingles come from
+    dedup.shingle_sets: Arrow-vectorized by default (measured ~2x the
+    whole-query throughput vs the interpreted transform-lambda tree),
+    expression form as the oracle-pinned fallback — both bit-identical.
     """
     ev = (
-        eval_docs.select(
-            F.explode(T.word_shingles_from_tokens(T.tokens(text_col), k)).alias("s")
-        )
+        D.shingle_sets(eval_docs, text_col, id_col, k, use_arrow)
+        .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    tr = docs.select(
-        F.col(id_col),
-        F.explode(T.word_shingles_from_tokens(T.tokens(text_col), k)).alias("s"),
+    tr = D.shingle_sets(docs, text_col, id_col, k, use_arrow).select(
+        F.col("mh_id").alias(id_col), F.explode("shingles").alias("s")
     )
     return (
         tr.join(F.broadcast(ev), "s")
         .groupBy(id_col)
-        # shingle arrays are array_distinct per doc, so count(*) counts
+        # shingle arrays are distinct per doc, so count(*) counts
         # distinct contaminated shingles
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
