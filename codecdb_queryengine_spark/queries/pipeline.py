@@ -10,7 +10,7 @@ extensions for the 100-TB corpus use case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
@@ -838,6 +838,70 @@ _DOCS_TOPTERMS_SQL = f"""
 """
 
 
+def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Uses the log-free idf ratio idf_r = (N+1)/(df+1): every score is a
+    product/quotient of integers in IEEE doubles, bit-identical across
+    engines, so the ranking needs no transcendental-function agreement
+    between the JVM and DuckDB's libm (ln differs in the last ulp and
+    would flake the rank at near-ties).  Output is ints + strings only;
+    exact score ties break on term.
+
+    Scale: tf = one (doc_id, term) shuffle with map-side combine; df = one
+    term shuffle (vocabulary-sized result, broadcast to the tf stream);
+    N is a 1-row broadcast; final top-3 = row_number per doc partition.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+_TFIDF_SQL = f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               tf * (n_docs + 1.0) / (df + 1.0) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tf, df,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rnk
+          FROM scored)
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM r WHERE rnk <= 3
+"""
+
+
 def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy probe: sketch all token occurrences
     (depth 4 × width 64 — deliberately small so collisions are visible),
@@ -1421,6 +1485,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_quality_filter": docs_quality_filter,
     "text_redact": text_redact,
+    "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -1466,6 +1531,7 @@ ORACLE: dict[str, str] = {
     "docs_pack_sequences": _PACK_SQL,
     "docs_quality_filter": _QUALITY_FILTER_SQL,
     "text_redact": _REDACT_SQL,
+    "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
