@@ -157,6 +157,20 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.expr("array()").cast("array<string>"))
 
 
+def word_shingles_all_from_tokens(toks: Column, k: int = 3) -> Column:
+    """ALL word k-gram shingles (duplicates kept) over a pre-bound token
+    array — the input to repetition measurement, where the duplicate count
+    IS the signal (contrast word_shingles_from_tokens, which dedups for
+    set-similarity work)."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     """MinHash signature: element i = min over shingles of md5('i|'||s).
 

@@ -151,6 +151,31 @@ def quality_filter(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Gopher-style intra-document repetition: the fraction of word
+    k-grams that are repeats of an earlier k-gram in the same doc.
+
+    Output: (id_col, n_shingles, n_uniq_shingles, dup_ratio).  dup_ratio
+    is a quotient of small ints — bit-identical across engines.  Pure
+    scan-side column algebra: zero shuffles at any scale.
+    """
+    sh = T.word_shingles_all_from_tokens(T.tokens(text_col), k)
+    out = docs.select(F.col(id_col), sh.alias("__sh")).select(
+        id_col,
+        F.size("__sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("__sh")).cast("long").alias("n_uniq_shingles"),
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_shingles") > 0,
+            1.0 - F.col("n_uniq_shingles") / F.col("n_shingles"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 # One alternation, cross-dialect safe (Java regex AND RE2: no backrefs, no
 # lookaround): email-shaped PII, long digit runs, and a lexicon of entity
 # terms.  The corpus is synthetic word-salad, so the lexicon branch is what

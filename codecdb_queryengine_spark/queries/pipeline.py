@@ -838,6 +838,58 @@ _DOCS_TOPTERMS_SQL = f"""
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio over word 3-grams (duplicates kept;
+    the Gopher repetition-removal signal)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return C.repetition_stats(docs, "text", "doc_id", k=3)
+
+
+def _sql_word_shingles_all(k: int = 3) -> str:
+    toks = _SQL_TOKENS
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(0, len({toks}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+_REPETITION_SQL = f"""
+    SELECT doc_id, n_shingles, n_uniq_shingles,
+           CASE WHEN n_shingles > 0
+                THEN 1.0 - CAST(n_uniq_shingles AS DOUBLE) / n_shingles
+                ELSE 0.0 END AS dup_ratio
+    FROM (
+        SELECT doc_id,
+               CAST(len({_sql_word_shingles_all(3)}) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct({_sql_word_shingles_all(3)})) AS BIGINT)
+                 AS n_uniq_shingles
+        FROM documents)
+"""
+
+
+def docs_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (10-token bins) — the reporting pass a
+    corpus pipeline runs after filtering; ints only, one tiny-key shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            (F.floor(T.token_count("text") / 10) * 10).cast("long").alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bin_lo")
+    )
+
+
+_LENGTH_HIST_SQL = f"""
+    SELECT CAST(floor({_SQL_NTOK} / 10) * 10 AS BIGINT) AS bin_lo,
+           count(*) AS n_docs
+    FROM documents GROUP BY bin_lo ORDER BY bin_lo
+"""
+
+
 def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
@@ -1485,6 +1537,8 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_quality_filter": docs_quality_filter,
     "text_redact": text_redact,
+    "text_repetition": text_repetition,
+    "docs_length_hist": docs_length_hist,
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
     "events_funnel": events_funnel,
@@ -1531,6 +1585,8 @@ ORACLE: dict[str, str] = {
     "docs_pack_sequences": _PACK_SQL,
     "docs_quality_filter": _QUALITY_FILTER_SQL,
     "text_redact": _REDACT_SQL,
+    "text_repetition": _REPETITION_SQL,
+    "docs_length_hist": _LENGTH_HIST_SQL,
     "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,

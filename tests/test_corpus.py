@@ -69,6 +69,20 @@ def test_quality_filter_rules_fire_individually(spark):
     assert out[3].too_long and out[3].low_uniq and not out[3].keep
 
 
+def test_repetition_stats_counts_duplicate_shingles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),  # shingles: abc bca cab abc -> 4 total, 3 uniq
+            (2, "x y"),          # shorter than k -> 0 shingles, ratio 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.repetition_stats(df, k=3).collect()}
+    assert (out[1].n_shingles, out[1].n_uniq_shingles) == (4, 3)
+    assert abs(out[1].dup_ratio - 0.25) < 1e-12
+    assert (out[2].n_shingles, out[2].dup_ratio) == (0, 0.0)
+
+
 def test_redact_masks_lexicon_and_counts(spark):
     df = spark.createDataFrame(
         [(1, "customer data for spark row"), (2, "no entities here")],

@@ -1,0 +1,30 @@
+"""Driver-contract invariants: the first 50 queries() entries are the
+driver's correctness-gate window — keep the curated cross-section stable —
+and every oracle key must have a matching query."""
+
+import __spark_entry__ as entry
+
+
+def test_driver_window_is_the_curated_cross_section():
+    qs = list(entry.queries())
+    assert qs[:50] == entry.DRIVER_FIRST
+    # the window must span operator families, not just the relational core
+    non_relational = [
+        n
+        for n in qs[:50]
+        if n.startswith(("dedup_", "sim_", "events_", "ext_"))
+    ]
+    assert len(non_relational) >= 10
+
+
+def test_every_oracle_key_has_a_query_and_no_orphans():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only queries are the deliberate exceptions
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"ext_stats_approx", "ext_approx_distinct"}
+
+
+def test_bench_skip_only_hides_sql_twins():
+    assert all(n.endswith("_sql") for n in entry.BENCH_SKIP)
