@@ -297,6 +297,107 @@ _ENCSEL_SQL = f"""
 """
 
 
+def encsel_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding selection end-to-end: distributed column profiles -> the
+    per-column Parquet-encoding decision (the choice the reference extracts
+    encsel features FOR; rules mirror operators/encsel.recommend_encoding,
+    restricted to the engine-exact features — counts, ratios and the
+    inverted-pair ratio are integer-derived IEEE arithmetic, identical in
+    both engines, so no threshold can flake).
+
+    lang/source are low-cardinality -> DICTIONARY; text is all-distinct ->
+    PLAIN; o_orderkey is sorted -> DELTA_BINARY_PACKED; o_totalprice is
+    unsorted/high-cardinality -> PLAIN.
+    """
+    from codecdb_queryengine_spark.operators import encsel as E
+
+    t = load_tables(spark, sf_dir)
+    docs, orders = t["documents"], t["orders"]
+
+    def str_prof(col: str) -> DataFrame:
+        return docs.agg(
+            (F.countDistinct(col).cast("double") / F.count(F.lit(1))).alias(
+                "distinct_ratio"
+            ),
+            F.avg((F.length(col) == 0).cast("double")).alias("sparsity_ratio"),
+        ).select(
+            F.lit(col).alias("col_name"),
+            "distinct_ratio",
+            "sparsity_ratio",
+            F.lit(None).cast("double").alias("sort_inverted_ratio"),
+        )
+
+    def num_prof(col: str) -> DataFrame:
+        return E.sortedness(orders, col, "o_orderkey").select(
+            F.lit(col).alias("col_name"),
+            F.lit(None).cast("double").alias("distinct_ratio"),
+            F.lit(None).cast("double").alias("sparsity_ratio"),
+            F.col("value").alias("sort_inverted_ratio"),
+        )
+
+    prof = (
+        str_prof("lang")
+        .unionByName(str_prof("source"))
+        .unionByName(str_prof("text"))
+        .unionByName(num_prof("o_orderkey"))
+        .unionByName(num_prof("o_totalprice"))
+    )
+    sort_r = F.col("sort_inverted_ratio")
+    return prof.withColumn(
+        "encoding",
+        F.when(F.col("sparsity_ratio") > 0.5, "RLE")
+        .when(F.col("distinct_ratio") < 0.1, "DICTIONARY")
+        .when(
+            sort_r.isNotNull() & ((sort_r < 0.05) | (sort_r > 0.95)),
+            "DELTA_BINARY_PACKED",
+        )
+        .otherwise("PLAIN"),
+    ).orderBy("col_name")
+
+
+def _encsel_decision_sql(window: int = SORT_WINDOW) -> str:
+    def sortw(col: str) -> str:
+        return (
+            f"SELECT sum(CASE WHEN a.{col} > b.{col} THEN 1.0 ELSE 0.0 END)"
+            f" / count(*) FROM orders a JOIN orders b"
+            f" ON (a.o_orderkey // {window}) = (b.o_orderkey // {window})"
+            f" AND a.o_orderkey < b.o_orderkey"
+        )
+
+    def strp(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(count(DISTINCT {col}) AS DOUBLE) / count(*) AS distinct_ratio,"
+            f" avg(CASE WHEN length({col}) = 0 THEN 1.0 ELSE 0.0 END) AS sparsity_ratio,"
+            f" CAST(NULL AS DOUBLE) AS sort_inverted_ratio FROM documents"
+        )
+
+    def nump(col: str) -> str:
+        return (
+            f"SELECT '{col}', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            f" ({sortw(col)})"
+        )
+
+    return f"""
+        WITH prof AS (
+            {strp("lang")}
+            UNION ALL {strp("source")}
+            UNION ALL {strp("text")}
+            UNION ALL {nump("o_orderkey")}
+            UNION ALL {nump("o_totalprice")}
+        )
+        SELECT col_name, distinct_ratio, sparsity_ratio, sort_inverted_ratio,
+               CASE WHEN sparsity_ratio > 0.5 THEN 'RLE'
+                    WHEN distinct_ratio < 0.1 THEN 'DICTIONARY'
+                    WHEN sort_inverted_ratio IS NOT NULL
+                         AND (sort_inverted_ratio < 0.05
+                              OR sort_inverted_ratio > 0.95)
+                         THEN 'DELTA_BINARY_PACKED'
+                    ELSE 'PLAIN' END AS encoding
+        FROM prof ORDER BY col_name
+    """
+
+
 def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (operators/skew.py) over lineitem by
     suppkey — the skew-safe form must equal the plain GROUP BY, which is
@@ -584,6 +685,7 @@ QUERIES = {
     "ext_pivot": ext_pivot,
     "ext_unpivot": ext_unpivot,
     "encsel_features": encsel_features,
+    "encsel_decision": encsel_decision,
     "ext_salted_agg": ext_salted_agg,
 }
 
@@ -606,5 +708,6 @@ ORACLE: dict[str, str] = {
     "ext_pivot": _PIVOT_SQL,
     "ext_unpivot": _UNPIVOT_SQL,
     "encsel_features": _ENCSEL_SQL,
+    "encsel_decision": _encsel_decision_sql(),
     "ext_salted_agg": _SALTED_AGG_SQL,
 }
