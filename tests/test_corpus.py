@@ -4,6 +4,8 @@ assertions (reference: cpp/src/lqf/agg_test.cc:15-45)."""
 
 import hashlib
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.operators import corpus as C
@@ -81,6 +83,54 @@ def test_repetition_stats_counts_duplicate_shingles(spark):
     assert (out[1].n_shingles, out[1].n_uniq_shingles) == (4, 3)
     assert abs(out[1].dup_ratio - 0.25) < 1e-12
     assert (out[2].n_shingles, out[2].dup_ratio) == (0, 0.0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ntoks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=32),
+    n_buckets=st.integers(min_value=1, max_value=4),
+)
+def test_pack_offsets_properties(spark, ntoks, budget, n_buckets):
+    """Within every bucket: offsets are the exact running sum in id order,
+    and each doc's seq range is floor-consistent with its offset."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ntoks)], ["doc_id", "ntok"]
+    )
+    rows = C.pack_offsets(
+        df, F.col("ntok"), "doc_id", budget=budget, n_buckets=n_buckets
+    ).collect()
+    assert len(rows) == len(ntoks)
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        expect = by_bucket.get(r.bucket, 0)
+        assert r.tok_offset == expect
+        by_bucket[r.bucket] = expect + r.n_tokens
+        assert r.seq_first == r.tok_offset // budget
+        assert r.seq_last == (r.tok_offset + max(r.n_tokens, 1) - 1) // budget
+        assert r.seq_first <= r.seq_last
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_ratio_bounds_and_exactness(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {r.doc_id: r for r in C.repetition_stats(df, k=3).collect()}
+    for i, txt in enumerate(texts):
+        toks = [t for t in txt.split(" ") if t]
+        sh = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        r = rows[i]
+        assert r.n_shingles == len(sh)
+        assert r.n_uniq_shingles == len(set(sh))
+        assert 0.0 <= r.dup_ratio < 1.0 or (r.dup_ratio == 0.0 and not sh)
+        if sh:
+            assert abs(r.dup_ratio - (1 - len(set(sh)) / len(sh))) < 1e-12
 
 
 def test_redact_masks_lexicon_and_counts(spark):
