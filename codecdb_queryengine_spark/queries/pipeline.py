@@ -558,6 +558,46 @@ _MM_FRAMES_SQL = """
 # --- temporal joins --------------------------------------------------------
 
 
+def mm_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media similarity search: the multimodal decode path composed with
+    exact cosine top-k — payload -> mapInPandas feature vector -> top-3
+    neighbors for the first 8 media.  The composition a media-dedup /
+    retrieval pipeline runs end-to-end; same determinism story as
+    mm_features (md5-derived stub features) + sim_topk (expression cosine).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    feats = M.extract_features(M.documents_as_media(docs)).select(
+        "media_id", "feature"
+    )
+    queries = feats.filter(F.col("media_id") < 8).select(
+        F.col("media_id").alias("q_id"), F.col("feature").alias("q_vec")
+    )
+    return S.brute_force_topk(
+        feats, queries, vec_col="feature", id_col="media_id", k=3
+    )
+
+
+def _mm_ann_sql(dim: int = M.FEATURE_DIM) -> str:
+    feat = ", ".join(
+        f"('0x' || substring(md5(text), {2 * i + 1}, 2))::INT / 256.0"
+        for i in range(dim)
+    )
+    return f"""
+        WITH feats AS (
+            SELECT doc_id AS media_id, [{feat}] AS feature FROM documents)
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT q.media_id AS q_id, n.media_id AS n_id,
+                   list_cosine_similarity(q.feature, n.feature) AS cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.media_id
+                       ORDER BY list_cosine_similarity(q.feature, n.feature) DESC,
+                                n.media_id ASC) AS BIGINT) AS rk
+            FROM feats q JOIN feats n ON q.media_id <> n.media_id
+            WHERE q.media_id < 8)
+        WHERE rk <= 3
+    """
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent prior
     click (inclusive).  Union+running-last formulation — one shuffle on
@@ -1548,6 +1588,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "mm_features": mm_features,
     "mm_frames": mm_frames,
+    "mm_ann": mm_ann,
     "events_window": events_window,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
@@ -1596,6 +1637,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf": _ivf_sql(),
     "mm_features": _mm_sql(),
     "mm_frames": _MM_FRAMES_SQL,
+    "mm_ann": _mm_ann_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "events_asof": _EVENTS_ASOF_SQL,
