@@ -358,14 +358,24 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash: majority vote of per-token hash bits.
 
-    Token hash = first 8 hex chars of md5 (32-bit, engine-portable).  One
+    Token hash = first bits/4 hex chars of md5 (engine-portable).  One
     explode over tokens, one groupBy with `bits` conditional sums — no
     per-bit explode, so the shuffle stays n_tokens wide, not n_tokens×bits.
+
+    `bits` must be a multiple of 4 and ≤ 60: the hash lives in a signed
+    long, and keeping it under 2^60 makes every band div/mod in
+    simhash_near_dups unsigned-safe with no special-casing — the
+    corpus-scale recipe its docstring describes (wider hash → wider band
+    keys → band-key space grows with n) is literally `bits=60, bands=5`.
     """
+    if bits % 4 or not (0 < bits <= 60):
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
     tok = _spread(df, id_col).select(
         F.col(id_col).alias("sh_id"),
         F.explode(T.tokens(content_col)).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast("long")
+    )
     votes = [
         F.sum(
             F.when(F.expr(f"(h div {2**j}) % 2") == 1, 1).otherwise(-1)
@@ -402,8 +412,9 @@ def simhash_near_dups(
     32 bits / 4 bands that is only 256 buckets per band, so the in-bucket
     quadratic term re-emerges once n ≫ 2^(bits/bands)·√(pairs budget)
     (≈ millions of docs).  The corpus-scale recipe is wider hashes so the
-    key space grows with n (64/128-bit simhash → 16/32-bit bands — same
-    plumbing, needs an unsigned-safe band extractor), or blocking on
+    key space grows with n (bits=60, bands=5 → 12-bit bands works TODAY —
+    simhash() caps bits at 60 so every div/mod here stays in the positive
+    signed-long range; tested against brute force), or blocking on
     (band, key) pairs of two bands (C(bands,2) keys of 2×width); both are
     parameter changes to this shape, not different algorithms.  The
     expansion evaluates per bucket in one task — bucket size bounds the

@@ -116,6 +116,62 @@ def test_simhash_banding_equals_all_pairs(spark):
         D.simhash_near_dups(sims, max_hamming=4, bands=4)
 
 
+def test_simhash_wide_60bit_scale_path(spark):
+    """The corpus-scale recipe (wider hash -> wider band keys): 60-bit
+    simhash with 5 bands must stay unsigned-safe through the band div/mod
+    and match brute-force hamming at max_hamming=4."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zebra quokka wombat numbat"),
+        ],
+        ["id", "txt"],
+    )
+    sims = D.simhash(df, "txt", "id", bits=60)
+    vals = {r.sh_id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2] and all(0 <= v < 2**60 for v in vals.values())
+
+    rng = random.Random(11)
+    base = rng.getrandbits(60)
+
+    def flip(h, k, seed):
+        r = random.Random(seed)
+        for bit in r.sample(range(60), k):
+            h ^= 1 << bit
+        return h
+
+    rows = [(i, flip(base, i % 7, i)) for i in range(30)] + [
+        (100 + i, rng.getrandbits(60)) for i in range(30)
+    ]
+    wide = spark.createDataFrame(rows, "sh_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dups(wide, max_hamming=4, bands=5, bits=60).collect()
+    }
+    a = wide.select(F.col("sh_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = wide.select(F.col("sh_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash(df, "txt", "id", bits=64)  # > 60: signed-long overflow zone
+
+
 def test_cosine_and_topk(spark):
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
