@@ -420,6 +420,39 @@ _SALTED_AGG_SQL = """
 """
 
 
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): lineitem salted × nation-sized
+    supplier slice replicated — must equal the plain equi-join row-for-row,
+    which is exactly what the oracle checks.  Aggregated so the gated
+    output is small while every joined row contributes."""
+    from codecdb_queryengine_spark.operators import skew
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_suppkey", "l_quantity")
+    supp = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = skew.salted_join(li, supp, on=["l_suppkey"], salt=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_SALTED_JOIN_SQL = """
+    SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 assembled through the Plan builder — entry point B of the
     reference (imperative operator chaining, cpp/src/lqf/tpch/query3.cc:
@@ -687,6 +720,7 @@ QUERIES = {
     "encsel_features": encsel_features,
     "encsel_decision": encsel_decision,
     "ext_salted_agg": ext_salted_agg,
+    "ext_salted_join": ext_salted_join,
 }
 
 from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noqa: E402
@@ -710,4 +744,5 @@ ORACLE: dict[str, str] = {
     "encsel_features": _ENCSEL_SQL,
     "encsel_decision": _encsel_decision_sql(),
     "ext_salted_agg": _SALTED_AGG_SQL,
+    "ext_salted_join": _SALTED_JOIN_SQL,
 }
