@@ -487,6 +487,35 @@ def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ssb_q2_1_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q2.1 assembled through the Plan builder, mirroring the
+    reference's hand plan (cpp/src/lqf/ssb/query2_1.cc: dim filters →
+    FilterTJoin supplier reduction → HashColumnTJoin part → HashAgg →
+    sort): fact scan → supplier-region semi-join → broadcast part join →
+    agg → sort.  Same oracle as ssb_q2_1 — proves the builder vocabulary
+    covers the SSB star shape, not just TPC-H.
+    """
+    from codecdb_queryengine_spark.plans.builder import Plan
+    from codecdb_queryengine_spark.queries import ssb
+
+    t = load_tables(spark, sf_dir)
+    supp = Plan.scan(ssb._supp_dim(t)).filter(
+        F.col("s_region") == "AMERICA"
+    ).select("s_suppkey")
+    part = Plan.scan(t["part"], ["p_partkey", "p_brand", "p_type"]).filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    return (
+        Plan.scan(ssb._fact(t))
+        .semi_join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), broadcast=True)
+        .agg(ssb._money_sum(F.col("lo_revenue"), "revenue"), by=["d_year", "p_brand"])
+        .sort(F.col("d_year").asc(), F.col("p_brand").asc())
+        .select("d_year", "p_brand", "revenue")
+        .done()
+    )
+
+
 def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): per
     (flag, status), per flag alone, and per status alone — one shuffle,
@@ -708,6 +737,7 @@ QUERIES = {
     "q3_plan": q3_plan,
     "q17_plan": q17_plan,
     "q21_plan": q21_plan,
+    "ssb_q2_1_plan": ssb_q2_1_plan,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
     "ext_stats": ext_stats,
@@ -723,6 +753,7 @@ QUERIES = {
     "ext_salted_join": ext_salted_join,
 }
 
+from codecdb_queryengine_spark.queries.ssb import ORACLE as _SSB_ORACLE  # noqa: E402
 from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noqa: E402
 
 ORACLE: dict[str, str] = {
@@ -732,6 +763,7 @@ ORACLE: dict[str, str] = {
     "q3_plan": _TPCH_ORACLE["q3"],
     "q17_plan": _TPCH_ORACLE["q17"],
     "q21_plan": _TPCH_ORACLE["q21"],
+    "ssb_q2_1_plan": _SSB_ORACLE["ssb_q2_1"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,
     "ext_stats": _STATS_SQL,
