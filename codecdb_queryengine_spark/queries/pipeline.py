@@ -1372,6 +1372,69 @@ _EVENTS_STREAM_JOIN_SQL = """
 """
 
 
+def _stream_tmpdir(prefix: str, sf_dir: str) -> str:
+    """Per-(process, sf_dir) sink dir with stale-sibling reaping.
+
+    Name = (prefix, pid, md5-of-sf_dir): the pid keeps concurrent processes
+    from clobbering each other's live stream output/checkpoint, and the md5
+    digest — NOT Python's PYTHONHASHSEED-randomized hash() — makes the
+    per-sf_dir suffix stable so THIS process reuses (wipes) one fixed path
+    per run instead of minting fresh leaks.  Dirs from dead processes are
+    reaped by liveness check (/proc/<pid> gone), bounding the host
+    footprint to one copy per live process.  Wiping our own dir before
+    streaming makes each run a full re-stream, not a no-op resume.
+    """
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, f"{prefix}_{os.getpid()}_{tag}")
+    pid_idx = prefix.count("_") + 1
+    for stale in glob.glob(os.path.join(tmp, f"{prefix}_*")):
+        parts = os.path.basename(stale).split("_")
+        owner = parts[pid_idx] if len(parts) > pid_idx else ""
+        dead = not owner.isdigit() or not os.path.exists(f"/proc/{owner}")
+        if stale == base or dead:  # non-pid names = legacy naming, stale
+            shutil.rmtree(stale, ignore_errors=True)
+    return base
+
+
+def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate materialization (sinks.materialize_rollup):
+    the events stream rolls up into per-(hour, event_type) rows appended
+    to a checkpointed parquet serving table as each window finalizes —
+    append mode emits a window exactly once, after the watermark (2 h)
+    passes its end.  The oracle recomputes which windows MUST have been
+    finalized from max(ts): every emitted row immutable, none missing,
+    none early.
+    """
+    from codecdb_queryengine_spark.streaming import events as E
+    from codecdb_queryengine_spark.streaming import sinks
+
+    base = _stream_tmpdir("sg_stream_rollup", sf_dir)
+    q = sinks.materialize_rollup(
+        E.read_events_stream(spark, sf_dir), f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return sinks.read_parquet_sink(spark, f"{base}/out").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_EVENTS_STREAM_ROLLUP_SQL = """
+    WITH b AS (SELECT max(ts) AS mx FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events, b
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-sink path through the oracle gate: the events stream appends
     to a checkpointed parquet sink partitioned by event_type (exactly-once
@@ -1382,35 +1445,11 @@ def events_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     run (bounded: the previous invocation's directory is deleted first, so
     repeated bench/gate runs hold at most one events-table copy on disk).
     """
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from codecdb_queryengine_spark.streaming import events as E
     from codecdb_queryengine_spark.streaming import sinks
 
     stream = E.read_events_stream(spark, sf_dir)
-    # Dir name = (pid, md5-of-sf_dir): the pid keeps concurrent processes
-    # from clobbering each other's live stream output/checkpoint, and the
-    # md5 digest — NOT Python's PYTHONHASHSEED-randomized hash() — makes
-    # the per-sf_dir suffix stable so THIS process reuses (wipes) one
-    # fixed path per run instead of minting fresh leaks.  Dirs from dead
-    # processes are reaped by liveness check (/proc/<pid> gone), bounding
-    # the host footprint to one events-copy per live process.  Wiping our
-    # own dir before streaming makes each run a full re-stream, not a
-    # no-op resume (the prior result DataFrame has been collected by then
-    # — bench/gate are sequential).
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tmp = tempfile.gettempdir()
-    base = os.path.join(tmp, f"sg_stream_files_{os.getpid()}_{tag}")
-    for stale in glob.glob(os.path.join(tmp, "sg_stream_files_*")):
-        parts = os.path.basename(stale).split("_")
-        owner = parts[3] if len(parts) > 3 else ""
-        dead = not owner.isdigit() or not os.path.exists(f"/proc/{owner}")
-        if stale == base or dead:  # non-pid names = legacy naming, stale
-            shutil.rmtree(stale, ignore_errors=True)
+    base = _stream_tmpdir("sg_stream_files", sf_dir)
     q = sinks.stream_to_parquet(
         stream, f"{base}/out", f"{base}/ckpt", partition_by=("event_type",)
     )
@@ -1601,6 +1640,7 @@ QUERIES = {
     "events_stream_join": events_stream_join,
     "events_stream_files": events_stream_files,
     "events_stream_enrich": events_stream_enrich,
+    "events_stream_rollup": events_stream_rollup,
 }
 
 ORACLE: dict[str, str] = {
@@ -1650,4 +1690,5 @@ ORACLE: dict[str, str] = {
     "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
     "events_stream_files": _EVENTS_STREAM_FILES_SQL,
     "events_stream_enrich": _EVENTS_STREAM_ENRICH_SQL,
+    "events_stream_rollup": _EVENTS_STREAM_ROLLUP_SQL,
 }
