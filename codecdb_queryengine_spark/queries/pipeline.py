@@ -511,6 +511,20 @@ def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2) -> str:
 # --- multimodal plumbing ---------------------------------------------------
 
 
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with pyspark.ml-KMeans-trained centroids (the production
+    quantizer) through the same centroid contract as sim_ann_ivf.
+
+    Rows-only gated BY DESIGN: KMeans|| init makes the centers (and thus
+    the probed lists) engine-specific, so no cross-engine value oracle
+    exists — recall@5 >= the deterministic mod-centroid stand-in is pinned
+    in tests/test_ann_recall.py instead.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_centroids(emb, k=16, seed=13)
+    return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the mapInPandas path."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1625,6 +1639,7 @@ QUERIES = {
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
     "mm_frames": mm_frames,
     "mm_ann": mm_ann,

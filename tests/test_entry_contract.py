@@ -21,9 +21,14 @@ def test_every_oracle_key_has_a_query_and_no_orphans():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only queries are the deliberate exceptions
+    # rows-only queries are the deliberate exceptions (sketch estimates and
+    # KMeans|| centers are engine-specific — no cross-engine value oracle)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ext_stats_approx", "ext_approx_distinct"}
+    assert rows_only == {
+        "ext_stats_approx",
+        "ext_approx_distinct",
+        "sim_ann_ivf_trained",
+    }
 
 
 def test_bench_skip_only_hides_sql_twins():
