@@ -56,6 +56,47 @@ def test_pack_offsets_zero_token_doc_stays_in_place(spark):
     assert rows[8] == (0, 0, 1)
 
 
+def test_decontaminate_arrow_equals_expression_path(spark):
+    """The Arrow shingle path must be bit-identical to the oracle-pinned
+    expression form (same claim dedup.shingle_sets makes)."""
+    train = spark.createDataFrame(
+        [(i, f"w{i} common a b c tail{i % 3}") for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "common a b c")], ["doc_id", "text"])
+    arrow = sorted(
+        (r.doc_id, r.n_contaminated)
+        for r in C.decontaminate(train, ev, use_arrow=True).collect()
+    )
+    expr = sorted(
+        (r.doc_id, r.n_contaminated)
+        for r in C.decontaminate(train, ev, use_arrow=False).collect()
+    )
+    assert arrow == expr and len(arrow) > 0
+
+
+def test_stream_tmpdir_reaps_dead_and_own_dirs(tmp_path, monkeypatch):
+    import os
+    import tempfile
+
+    from codecdb_queryengine_spark.queries.pipeline import _stream_tmpdir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    dead = tmp_path / "sg_test_prefix_999999999_abcd1234"  # no such pid
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    legacy = tmp_path / "sg_test_prefix_notapid"
+    legacy.mkdir()
+    alive = tmp_path / f"sg_test_prefix_{os.getpid()}_deadbeef"  # other sf_dir,
+    alive.mkdir()  # same live pid -> must survive
+    base = _stream_tmpdir("sg_test_prefix", "/some/sf")
+    assert not dead.exists() and not legacy.exists()
+    assert alive.exists()
+    assert base.startswith(str(tmp_path))
+    # our own (fresh) dir is wiped, not pre-created
+    assert not os.path.exists(base)
+
+
 def test_quality_filter_rules_fire_individually(spark):
     df = spark.createDataFrame(
         [
