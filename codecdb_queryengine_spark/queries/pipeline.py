@@ -1135,6 +1135,55 @@ _DOCS_SAMPLE_SQL = """
 """
 
 
+def docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sample: keep doc i with probability
+    p_i = its quality score (the importance-sampling pass that upweights
+    high-quality text in a pretraining mix).
+
+    Deterministic and engine-pinned: the per-doc uniform u_i is an
+    md5-derived 32-bit fraction, so both engines draw the identical
+    "randomness" and the gate verifies the exact selected set — a real
+    random source would give neither reproducibility nor an oracle.
+    Scan-side only: zero shuffles at any scale.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    q = T.quality_score("text")
+    return (
+        docs.select("doc_id", q.alias("quality"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+_DOCS_SAMPLE_WEIGHTED_SQL = f"""
+    SELECT doc_id, quality FROM (
+        SELECT doc_id,
+               0.3 * least({_SQL_NTOK} / 64.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+                        / greatest({_SQL_NTOK}, 1))
+             + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE)
+                        / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
+             + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0)) AS quality,
+               ('0x' || substring(md5(concat('wsample|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM documents)
+    WHERE u < quality ORDER BY doc_id
+"""
+
+
 # --- event funnels / retention ---------------------------------------------
 
 
@@ -1626,6 +1675,7 @@ QUERIES = {
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
     "docs_sample_stratified": docs_sample_stratified,
+    "docs_sample_weighted": docs_sample_weighted,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_quality_filter": docs_quality_filter,
@@ -1677,6 +1727,7 @@ ORACLE: dict[str, str] = {
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
+    "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAM_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "docs_quality_filter": _QUALITY_FILTER_SQL,
