@@ -146,22 +146,14 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     once per shingle index — higher-order-function lambdas are interpreted,
     so Catalyst's subexpression elimination can't rescue the inline form.
     """
-    return F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
-            )
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    return F.array_distinct(word_shingles_all_from_tokens(toks, k))
 
 
 def word_shingles_all_from_tokens(toks: Column, k: int = 3) -> Column:
     """ALL word k-gram shingles (duplicates kept) over a pre-bound token
     array — the input to repetition measurement, where the duplicate count
-    IS the signal (contrast word_shingles_from_tokens, which dedups for
-    set-similarity work)."""
+    IS the signal.  The single source of the shingle construction:
+    word_shingles_from_tokens is array_distinct of this."""
     return F.when(
         F.size(toks) >= k,
         F.transform(

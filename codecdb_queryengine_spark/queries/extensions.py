@@ -315,11 +315,15 @@ def encsel_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, orders = t["documents"], t["orders"]
 
     def str_prof(col: str) -> DataFrame:
+        # NULL-safe: avg over when/otherwise counts NULL rows in the
+        # denominator exactly like the oracle's CASE (a bare boolean cast
+        # would yield NULL and silently shrink the denominator).
+        empty = F.when(F.length(col) == 0, 1.0).otherwise(0.0)
         return docs.agg(
             (F.countDistinct(col).cast("double") / F.count(F.lit(1))).alias(
                 "distinct_ratio"
             ),
-            F.avg((F.length(col) == 0).cast("double")).alias("sparsity_ratio"),
+            F.avg(empty).alias("sparsity_ratio"),
         ).select(
             F.lit(col).alias("col_name"),
             "distinct_ratio",

@@ -34,14 +34,20 @@ _SQL_PUNCT = (
 )
 
 
-def _sql_word_shingles(k: int = 3) -> str:
+def _sql_word_shingles_all(k: int = 3) -> str:
+    """ALL word k-gram shingles, duplicates kept — single source of the
+    shingle construction (mirrors text.word_shingles_all_from_tokens)."""
     toks = _SQL_TOKENS
     return (
         f"CASE WHEN len({toks}) >= {k} THEN "
-        f"list_distinct(list_transform(range(0, len({toks}) - {k} + 1), "
-        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' '))) "
+        f"list_transform(range(0, len({toks}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')) "
         f"ELSE [] END"
     )
+
+
+def _sql_word_shingles(k: int = 3) -> str:
+    return f"list_distinct({_sql_word_shingles_all(k)})"
 
 
 # --- text analysis ---------------------------------------------------------
@@ -583,9 +589,13 @@ def mm_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.extract_features(M.documents_as_media(docs)).select(
         "media_id", "feature"
     )
-    queries = feats.filter(F.col("media_id") < 8).select(
-        F.col("media_id").alias("q_id"), F.col("feature").alias("q_vec")
-    )
+    # Filter BELOW the mapInPandas barrier: media_id == doc_id, so pruning
+    # the source docs first keeps the query-side decode at 8 payloads —
+    # filtering feats on media_id would re-decode the whole corpus a
+    # second time (Catalyst can't push a predicate through mapInPandas).
+    queries = M.extract_features(
+        M.documents_as_media(docs.filter(F.col("doc_id") < 8))
+    ).select(F.col("media_id").alias("q_id"), F.col("feature").alias("q_vec"))
     return S.brute_force_topk(
         feats, queries, vec_col="feature", id_col="media_id", k=3
     )
@@ -897,16 +907,6 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gopher repetition-removal signal)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return C.repetition_stats(docs, "text", "doc_id", k=3)
-
-
-def _sql_word_shingles_all(k: int = 3) -> str:
-    toks = _SQL_TOKENS
-    return (
-        f"CASE WHEN len({toks}) >= {k} THEN "
-        f"list_transform(range(0, len({toks}) - {k} + 1), "
-        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')) "
-        f"ELSE [] END"
-    )
 
 
 _REPETITION_SQL = f"""
@@ -1450,18 +1450,24 @@ def _stream_tmpdir(prefix: str, sf_dir: str) -> str:
     import glob
     import hashlib
     import os
+    import re
     import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = tempfile.gettempdir()
     base = os.path.join(tmp, f"{prefix}_{os.getpid()}_{tag}")
-    pid_idx = prefix.count("_") + 1
+    # Reap only names matching THIS prefix's exact '<prefix>_<pid>_<hex8>'
+    # shape: a bare '{prefix}_*' glob would also match a sibling family
+    # whose prefix extends this one (e.g. '<prefix>_v2_...'), misparse its
+    # pid slot, and delete a LIVE process's checkpoint.
+    shape = re.compile(re.escape(prefix) + r"_(\d+)_[0-9a-f]{8}$")
     for stale in glob.glob(os.path.join(tmp, f"{prefix}_*")):
-        parts = os.path.basename(stale).split("_")
-        owner = parts[pid_idx] if len(parts) > pid_idx else ""
-        dead = not owner.isdigit() or not os.path.exists(f"/proc/{owner}")
-        if stale == base or dead:  # non-pid names = legacy naming, stale
+        if stale == base:
+            shutil.rmtree(stale, ignore_errors=True)
+            continue
+        m = shape.match(os.path.basename(stale))
+        if m and not os.path.exists(f"/proc/{m.group(1)}"):
             shutil.rmtree(stale, ignore_errors=True)
     return base
 

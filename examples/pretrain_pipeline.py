@@ -55,15 +55,21 @@ def build_corpus(spark, sf_dir: str, out_dir: str, pack_budget: int = 256):
     funnel.append(("quality+repetition", kept.count()))
 
     # --- masking (keeps every row, rewrites text) -------------------------
-    masked = kept.withColumn(
-        "text", F.regexp_replace("text", C.MASK_PATTERN, C.MASK_TOKEN)
-    )
+    # The SAME rewrite must later hit the eval side before decontamination:
+    # comparing masked train shingles against raw eval shingles would let
+    # any overlap that spans a masked term slip through undetected.
+    def mask(df):
+        return df.withColumn(
+            "text", F.regexp_replace("text", C.MASK_PATTERN, C.MASK_TOKEN)
+        )
+
+    masked_base = mask(kept).persist()
 
     # --- exact dedup ------------------------------------------------------
-    keep_exact = D.exact_dedup(masked, "text", "doc_id").select(
+    keep_exact = D.exact_dedup(masked_base, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
-    masked = masked.join(keep_exact, "doc_id")
+    masked = masked_base.join(keep_exact, "doc_id")
     funnel.append(("exact-dedup", masked.count()))
 
     # --- near-dup removal (LSH -> verified pairs -> CC, keep minima) ------
@@ -74,19 +80,21 @@ def build_corpus(spark, sf_dir: str, out_dir: str, pack_budget: int = 256):
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    deduped = masked.join(drop, "doc_id", "left_anti")
+    deduped = masked.join(drop, "doc_id", "left_anti").persist()
     funnel.append(("near-dedup", deduped.count()))
 
     # --- decontamination vs the held-out eval slice -----------------------
     # Drop docs with substantial overlap (>= 5 shared 3-shingles); 1-2
-    # incidental shared n-grams are noise, not contamination.
-    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    # incidental shared n-grams are noise, not contamination.  The eval
+    # side goes through the identical masking so shingles compare in the
+    # same text space as the training side.
+    ev = mask(docs.filter(F.col("doc_id") % 23 == 0))
     contaminated = (
         C.decontaminate(deduped, ev, "text", "doc_id")
         .filter(F.col("n_contaminated") >= 5)
         .select("doc_id")
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = deduped.join(contaminated, "doc_id", "left_anti").persist()
     funnel.append(("decontaminated", clean.count()))
 
     # --- sequence packing + write ----------------------------------------
@@ -95,7 +103,13 @@ def build_corpus(spark, sf_dir: str, out_dir: str, pack_budget: int = 256):
     )
     final = clean.join(packed.select("doc_id", "bucket", "tok_offset"), "doc_id")
     io.write(final, out_dir, partition_by=["bucket"])
-    funnel.append(("packed+written", final.count()))
+    # Count the WRITTEN corpus (no third recompute of the lineage), then
+    # release the stage caches: each funnel count and the write consumed
+    # the persisted boundary instead of re-running minhash/CC upstream.
+    written = docs.sparkSession.read.parquet(out_dir)
+    funnel.append(("packed+written", written.count()))
+    for cached in (masked_base, deduped, clean):
+        cached.unpersist()
     return final, funnel
 
 

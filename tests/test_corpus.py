@@ -85,12 +85,16 @@ def test_stream_tmpdir_reaps_dead_and_own_dirs(tmp_path, monkeypatch):
     dead = tmp_path / "sg_test_prefix_999999999_abcd1234"  # no such pid
     dead.mkdir()
     (dead / "junk").write_text("x")
-    legacy = tmp_path / "sg_test_prefix_notapid"
-    legacy.mkdir()
+    # A sibling family whose prefix EXTENDS ours must never be touched —
+    # its pid slot would misparse ('v2') and a naive reaper would delete a
+    # live process's checkpoint.
+    sibling = tmp_path / f"sg_test_prefix_v2_{os.getpid()}_cafe0000"
+    sibling.mkdir()
     alive = tmp_path / f"sg_test_prefix_{os.getpid()}_deadbeef"  # other sf_dir,
     alive.mkdir()  # same live pid -> must survive
     base = _stream_tmpdir("sg_test_prefix", "/some/sf")
-    assert not dead.exists() and not legacy.exists()
+    assert not dead.exists()
+    assert sibling.exists()
     assert alive.exists()
     assert base.startswith(str(tmp_path))
     # our own (fresh) dir is wiped, not pre-created
