@@ -1620,6 +1620,61 @@ _PACK_SQL = f"""
 """
 
 
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk occupancy of the packed corpus: how many docs and tokens
+    land in each fixed-256-token training sequence (the fill-rate report a
+    packing pass emits).  Each doc explodes into only the chunks it spans
+    (≤ n_tokens/budget + 1 rows), token contribution clipped to the chunk
+    boundaries — ints only, one (bucket, seq) shuffle.
+    """
+    budget = 256
+    p = C.pack_offsets(
+        load_tables(spark, sf_dir)["documents"],
+        T.token_count("text"),
+        "doc_id",
+        budget=budget,
+        n_buckets=8,
+    )
+    end = F.col("tok_offset") + F.col("n_tokens")
+    chunk_lo = F.col("seq") * budget
+    contrib = F.least(end, chunk_lo + budget) - F.greatest(
+        F.col("tok_offset"), chunk_lo
+    )
+    return (
+        p.select(
+            "bucket",
+            "tok_offset",
+            "n_tokens",
+            F.explode(F.sequence("seq_first", "seq_last")).alias("seq"),
+        )
+        .withColumn("contrib", contrib)
+        .filter(F.col("contrib") > 0)
+        .groupBy("bucket", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("contrib").alias("chunk_tokens"),
+        )
+        .orderBy("bucket", "seq")
+    )
+
+
+_PACK_CHUNKS_SQL = f"""
+    WITH p AS ({_PACK_SQL}),
+    x AS (
+        SELECT bucket, tok_offset, n_tokens,
+               unnest(range(seq_first, seq_last + 1)) AS seq
+        FROM p),
+    c AS (
+        SELECT bucket, seq,
+               least(tok_offset + n_tokens, seq * 256 + 256)
+                 - greatest(tok_offset, seq * 256) AS contrib
+        FROM x)
+    SELECT bucket, seq, count(*) AS n_docs, sum(contrib) AS chunk_tokens
+    FROM c WHERE contrib > 0
+    GROUP BY bucket, seq ORDER BY bucket, seq
+"""
+
+
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-style quality rules -> per-rule flags + keep."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1684,6 +1739,7 @@ QUERIES = {
     "docs_sample_weighted": docs_sample_weighted,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_pack_chunks": docs_pack_chunks,
     "docs_quality_filter": docs_quality_filter,
     "text_redact": text_redact,
     "text_repetition": text_repetition,
@@ -1736,6 +1792,7 @@ ORACLE: dict[str, str] = {
     "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAM_SQL,
     "docs_pack_sequences": _PACK_SQL,
+    "docs_pack_chunks": _PACK_CHUNKS_SQL,
     "docs_quality_filter": _QUALITY_FILTER_SQL,
     "text_redact": _REDACT_SQL,
     "text_repetition": _REPETITION_SQL,
