@@ -101,6 +101,27 @@ def test_stream_tmpdir_reaps_dead_and_own_dirs(tmp_path, monkeypatch):
     assert not os.path.exists(base)
 
 
+def test_pack_chunks_conserve_tokens(spark, sf_dir):
+    """Chunk occupancy must conserve tokens: per bucket, the clipped
+    contributions sum back to the bucket's total token count."""
+    from codecdb_queryengine_spark.queries.pipeline import (
+        docs_pack_chunks,
+        docs_pack_sequences,
+    )
+
+    chunks = docs_pack_chunks(spark, sf_dir)
+    per_bucket_chunks = {
+        r.bucket: r.s
+        for r in chunks.groupBy("bucket").agg(F.sum("chunk_tokens").alias("s")).collect()
+    }
+    packed = docs_pack_sequences(spark, sf_dir)
+    per_bucket_docs = {
+        r.bucket: r.s
+        for r in packed.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert per_bucket_chunks == per_bucket_docs and per_bucket_chunks
+
+
 def test_quality_filter_rules_fire_individually(spark):
     df = spark.createDataFrame(
         [
