@@ -21,6 +21,10 @@ has an exact DuckDB mirror in queries/pipeline.py.
 
 from __future__ import annotations
 
+# Module-level so the pandas-UDF type hints (stringified by the future
+# annotations import) resolve against module globals.
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from codecdb_queryengine_spark.functions import text as T
@@ -152,21 +156,56 @@ def quality_filter(
 
 
 def repetition_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Gopher-style intra-document repetition: the fraction of word
     k-grams that are repeats of an earlier k-gram in the same doc.
 
     Output: (id_col, n_shingles, n_uniq_shingles, dup_ratio).  dup_ratio
     is a quotient of small ints — bit-identical across engines.  Pure
-    scan-side column algebra: zero shuffles at any scale.
+    scan-side, zero shuffles at any scale.  Default path counts shingles
+    per Arrow batch (the interpreted transform-lambda tree re-evaluates
+    per element; same tradeoff as dedup.shingle_sets); use_arrow=False is
+    the expression form the DuckDB oracle mirrors — identical output.
     """
-    sh = T.word_shingles_all_from_tokens(T.tokens(text_col), k)
-    out = docs.select(F.col(id_col), sh.alias("__sh")).select(
-        id_col,
-        F.size("__sh").cast("long").alias("n_shingles"),
-        F.size(F.array_distinct("__sh")).cast("long").alias("n_uniq_shingles"),
-    )
+    if use_arrow:
+        import re as _re
+
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        ws = _re.compile(r"\s+")
+
+        def shingles(text):
+            toks = ws.split(text.strip()) if text is not None else []
+            if len(toks) < k:
+                return []
+            return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+        @pandas_udf(returnType=LongType())
+        def n_all(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: len(shingles(t)))
+
+        @pandas_udf(returnType=LongType())
+        def n_uniq(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: len(set(shingles(t))))
+
+        out = docs.select(
+            F.col(id_col),
+            n_all(F.col(text_col)).alias("n_shingles"),
+            n_uniq(F.col(text_col)).alias("n_uniq_shingles"),
+        )
+    else:
+        sh = T.word_shingles_all_from_tokens(T.tokens(text_col), k)
+        out = docs.select(F.col(id_col), sh.alias("__sh")).select(
+            id_col,
+            F.size("__sh").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("__sh")).cast("long").alias("n_uniq_shingles"),
+        )
     return out.withColumn(
         "dup_ratio",
         F.when(
