@@ -877,6 +877,44 @@ def _simhash_clusters_sql() -> str:
     """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard incremental dedup: keep only the new-shard documents
+    whose content digest is NOT already in the reference corpus, with an
+    explicit Bloom pre-filter (operators/membership.py) so the new shard
+    never shuffles in full — only bloom-positive rows pay the confirming
+    anti-join, which removes the Bloom's false positives and makes the
+    result EXACTLY new ∖ reference (hence the plain anti-join oracle).
+
+    Shard simulation on the gate data: reference = doc_id ≡ 0 (mod 5);
+    the incoming shard = the other docs plus a re-ingest of the reference
+    docs with even ids under fresh ids (+100000) — those re-ingested rows
+    are exact content dups and must drop.
+    """
+    from codecdb_queryengine_spark.operators.membership import dedup_against_reference
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    new_shard = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_against_reference(new_shard, ref, "text", "doc_id").orderBy("doc_id")
+
+
+_DEDUP_INCR_SQL = """
+    WITH ref AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 5 = 0),
+    new_shard AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT n.doc_id, md5(n.text) AS digest
+    FROM new_shard n
+    WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.digest = md5(n.text))
+    ORDER BY doc_id
+"""
+
+
 # --- corpus term statistics ------------------------------------------------
 
 
@@ -1005,6 +1043,73 @@ _TFIDF_SQL = f"""
     SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
            CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
     FROM r WHERE rnk <= 3
+"""
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the KenLM-style perplexity proxy a
+    corpus quality filter runs: per document, the mean surprisal
+    (-log2 p(token)) under the corpus's own MLE unigram model.  High mean
+    surprisal = rare-token-heavy (gibberish / boilerplate-stripped) docs.
+
+    Cross-engine float discipline (the ssb._money_sum / dedup_embedding
+    lesson): per-token surprisal is quantized to integer micro-bits
+    (round(1e6·log2(total/cnt))) BEFORE the per-doc sum, so the sum is a
+    BIGINT — order-free across engines — and the mean is one exact IEEE
+    division chain.  log2 of the same double is last-ulp-identical here
+    because both engines compute it from the same rational total/cnt
+    (empirically pinned by the gate; a boundary hit needs the log to land
+    within ~1e-10 of a .5 micro-unit — vanishing for the vocab-sized set
+    of distinct counts).
+
+    Scale: one (term) count shuffle (vocab-sized result, broadcast back),
+    total-token count is a 1-row broadcast, per-doc agg is one keyed
+    shuffle with map-side combine.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    term_surp = (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "surp_micro",
+            F.round(
+                F.lit(1e6) * F.log2(F.col("total").cast("double") / F.col("cnt"))
+            ).cast("long"),
+        )
+        .select("term", "surp_micro")
+    )
+    return (
+        tok.join(F.broadcast(term_surp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surp_micro").alias("bits_micro"),
+        )
+        .withColumn(
+            "avg_bits",
+            F.col("bits_micro").cast("double") / F.col("n_tokens") / F.lit(1e6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_SCORE_SQL = f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT sum(cnt) AS total FROM counts),
+    term_surp AS (
+        SELECT term,
+               CAST(round(1e6 * log2(CAST(total AS DOUBLE) / cnt)) AS BIGINT)
+                 AS surp_micro
+        FROM counts CROSS JOIN total)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(surp_micro) AS bits_micro,
+           CAST(sum(surp_micro) AS DOUBLE) / count(*) / 1e6 AS avg_bits
+    FROM tok JOIN term_surp USING (term)
+    GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1733,6 +1838,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_docs": dedup_keep_docs,
     "dedup_simhash_clusters": dedup_simhash_clusters,
+    "dedup_incremental": dedup_incremental,
     "docs_topterms": docs_topterms,
     "docs_train_split": docs_train_split,
     "docs_sample_stratified": docs_sample_stratified,
@@ -1746,6 +1852,7 @@ QUERIES = {
     "docs_length_hist": docs_length_hist,
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
+    "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
@@ -1786,6 +1893,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_keep_docs": _dedup_keep_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),
+    "dedup_incremental": _DEDUP_INCR_SQL,
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
@@ -1799,6 +1907,7 @@ ORACLE: dict[str, str] = {
     "docs_length_hist": _LENGTH_HIST_SQL,
     "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
+    "text_lm_score": _LM_SCORE_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
