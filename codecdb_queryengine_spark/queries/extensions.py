@@ -734,8 +734,48 @@ _UNPIVOT_SQL = """
 """
 
 
+def ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) low
+    bits — the layout pass sources/layout.zorder_write sorts by before
+    writing, so parquet min/max stats prune on BOTH columns.  The gated
+    result aggregates rows into 16 coarse z-cells (top 4 interleaved
+    bits): it exercises the full interleave on every lineitem row while
+    keeping the compared output O(cells).
+
+    Plan: one scan + projection (the z-value is pure shift/mask
+    arithmetic in whole-stage codegen), one 16-group aggregation.
+    """
+    from codecdb_queryengine_spark.sources.layout import z_value
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    z = z_value([F.col("l_partkey") % 256, F.col("l_suppkey") % 64], bits=8)
+    return (
+        li.withColumn("zcell", F.shiftright(z, 10))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("zcell")
+    )
+
+
+def _zorder_sql() -> str:
+    from codecdb_queryengine_spark.sources.layout import z_value_sql
+
+    z = z_value_sql(["l_partkey % 256", "l_suppkey % 64"], bits=8)
+    return f"""
+        SELECT ({z} // 1024) AS zcell,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY zcell ORDER BY zcell
+    """
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
+    "ext_zorder": ext_zorder,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -762,6 +802,7 @@ from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noq
 
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
+    "ext_zorder": _zorder_sql(),
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],
