@@ -354,6 +354,119 @@ def ivf_topk(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as double, JVM-side, left-to-right (the oracle-mirrorable
+    summation order, like `dot`)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    code_stride: int = 37,
+) -> DataFrame:
+    """Product-quantization ANN — the memory-scale path next to LSH/IVF:
+    each vector is compressed to `num_subspaces` small codes; query scoring
+    is asymmetric-distance computation (ADC) — per neighbor just
+    num_subspaces integer table lookups + adds, never a d-dim float dot.
+    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011.)
+
+    Codebooks: codeword c of every subspace is the matching slice of the
+    corpus vector with id = c·code_stride — the same deterministic,
+    training-free sampling stand-in ivf_topk uses (mod-id centroids), so
+    the DuckDB oracle recomputes the codes exactly; a trained variant
+    would swap pyspark.ml KMeans per subspace behind the same contract.
+
+    Cross-engine float discipline: encode argmin compares left-to-right
+    squared-L2 sums (bit-identical both engines; ties break on codeword
+    id), and ADC contributions are quantized to integer micro-units
+    BEFORE the per-pair sum, so the ranking sum is a BIGINT — order-free.
+
+    Plan shape: encode = one broadcast join (32-row codebook) + one
+    (n·num_subspaces)-key aggregation; scoring = crossJoin against the
+    broadcast per-query lookup maps (n rows streaming, no pair shuffle)
+    + the top-k window on q_id.  Scored output column `adc_micro` is the
+    micro-quantized squared-L2 ADC estimate (smaller = nearer).
+    """
+    sub = dim // num_subspaces
+    if sub * num_subspaces != dim:
+        raise ValueError(f"dim={dim} not divisible by num_subspaces={num_subspaces}")
+    ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])).alias("m")
+    cbm = (
+        vectors.filter(
+            (F.col(id_col) % code_stride == 0)
+            & (F.col(id_col) < code_stride * num_codewords)
+        )
+        .select((F.col(id_col) / code_stride).cast("long").alias("c_id"), F.col(vec_col).alias("cv"), ms)
+        .select("c_id", "m", F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
+    )
+    vm = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("vv"), ms).select(
+        "n_id", "m", F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub")
+    )
+    assigned = (
+        vm.join(F.broadcast(cbm), "m")
+        .withColumn("d", l2sq(F.col("v_sub"), F.col("c_sub")))
+        .groupBy("n_id", "m")
+        .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"))
+    )
+    codes_wide = assigned.groupBy("n_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "c_id"))).alias("cmap")
+    )
+    qm = queries.select("q_id", F.col("q_vec").alias("qv"), ms).select(
+        "q_id", "m", F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub")
+    )
+    adc_wide = (
+        qm.join(F.broadcast(cbm), "m")
+        .withColumn(
+            "contrib", F.round(F.lit(1e6) * l2sq(F.col("q_sub"), F.col("c_sub"))).cast("long")
+        )
+        .groupBy("q_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * num_codewords + F.col("c_id")).alias("key"), "contrib"
+                    )
+                )
+            ).alias("amap")
+        )
+    )
+    adc_sum: Column | None = None
+    for m in range(num_subspaces):
+        term = F.element_at(
+            F.col("amap"),
+            F.lit(m * num_codewords).cast("long") + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
+        )
+        adc_sum = term if adc_sum is None else adc_sum + term
+    scored = (
+        codes_wide.crossJoin(F.broadcast(adc_wide))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_micro", adc_sum)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -514,6 +514,63 @@ def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2) -> str:
     """
 
 
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_topk):
+    4 subspaces × 8 sampled codewords over the 64-dim embeddings."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K)
+
+
+def _pq_sql(
+    dim: int = 64, m_sub: int = 4, k_codes: int = 8, stride: int = 37
+) -> str:
+    sub = dim // m_sub
+
+    def l2sq(va: str, vb: str) -> str:
+        # element (m*sub + j); left-assoc + mirrors the zip_with/aggregate
+        # left fold; per-term (x-y)*(x-y) mirrors the lambda exactly
+        terms = [
+            f"((CAST({va}[ms.m*{sub} + {j}] AS DOUBLE) - CAST({vb}[ms.m*{sub} + {j}] AS DOUBLE))"
+            f" * (CAST({va}[ms.m*{sub} + {j}] AS DOUBLE) - CAST({vb}[ms.m*{sub} + {j}] AS DOUBLE)))"
+            for j in range(1, sub + 1)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+        WITH cb AS (
+            SELECT CAST(vec_id // {stride} AS BIGINT) AS c_id, embedding
+            FROM embeddings
+            WHERE vec_id % {stride} = 0 AND vec_id < {stride * k_codes}),
+        ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+        codes AS (
+            SELECT n_id, m, c_id FROM (
+                SELECT v.vec_id AS n_id, ms.m, cb.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, ms.m
+                           ORDER BY ({l2sq('v.embedding', 'cb.embedding')}) ASC,
+                                    cb.c_id ASC) AS r
+                FROM embeddings v CROSS JOIN ms CROSS JOIN cb) WHERE r = 1),
+        adc AS (
+            SELECT q.vec_id AS q_id, ms.m, cb.c_id,
+                   CAST(round(1e6 * ({l2sq('q.embedding', 'cb.embedding')})) AS BIGINT)
+                     AS contrib
+            FROM embeddings q CROSS JOIN ms CROSS JOIN cb
+            WHERE q.vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q_id, n_id, sum(contrib) AS adc_micro
+            FROM codes JOIN adc USING (m, c_id)
+            WHERE q_id <> n_id
+            GROUP BY q_id, n_id)
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY adc_micro ASC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_TOP_K}
+    """
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -1858,6 +1915,7 @@ QUERIES = {
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
     "mm_frames": mm_frames,
@@ -1913,6 +1971,7 @@ ORACLE: dict[str, str] = {
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
+    "sim_ann_pq": _pq_sql(),
     "mm_features": _mm_sql(),
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),

@@ -81,3 +81,31 @@ def test_ivf_topk_ranked_and_within_corpus(spark, sf_dir):
     # probing more lists can only widen the candidate set
     wide = S.ivf_topk(emb, queries, k=10, centroid_mod=29, nprobe=4).collect()
     assert len(wide) >= len(approx)
+
+
+def test_pq_adc_ranks_sanely_vs_bruteforce(spark, sf_dir):
+    """PQ compresses 64 floats to 4 codes, so ADC ranking is coarse by
+    design; the gate pins structure (k results per query, dedup'd ids,
+    ascending ADC) and a loose recall floor vs exact top-20."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pq = S.pq_topk(emb, queries, dim=64, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(pq, key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert len(rows) == 5
+        assert len({r.n_id for r in rows}) == 5
+        adcs = [r.adc_micro for r in rows]
+        assert adcs == sorted(adcs)
+        assert all(r.n_id != r.q_id for r in rows)
+    exact20 = {
+        (r.q_id, r.n_id) for r in S.brute_force_topk(emb, queries, k=20).collect()
+    }
+    hits = sum(1 for r in pq if (r.q_id, r.n_id) in exact20)
+    # random 64-d embeddings are adversarial for 4x8 PQ; require evidence of
+    # signal, not SOTA recall (measured: 7/25 at sf0.001)
+    assert hits >= 2, hits
