@@ -773,9 +773,104 @@ def _zorder_sql() -> str:
     """
 
 
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+_PROFILE_TS = ["o_orderdate"]
+
+
+def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality pass a warehouse runs per
+    ingest: per column, null count, exact distinct count, and min/max
+    (numerics as doubles; strings in their own columns; timestamps as
+    epoch seconds so no cross-engine datetime formatting is compared).
+
+    ONE aggregation job: all per-column stats compute in a single agg
+    (Spark expands multi-distinct into one Expand+HashAggregate pass),
+    then the 1-row result explodes into long format driver-free.  At
+    100 TB swap countDistinct for approx_count_distinct and the same
+    plan holds with a constant-size sketch per column.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_TS:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [F.min(c).alias(f"{c}__smn"), F.max(c).alias(f"{c}__smx")]
+    row = o.agg(*aggs)
+    entries = []
+    for c in _PROFILE_NUM + _PROFILE_TS:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_num"),
+                F.col(f"{c}__mx").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__smn").alias("min_str"),
+                F.col(f"{c}__smx").alias("max_str"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num, "
+            f"CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            f"FROM orders"
+        )
+    for c in _PROFILE_TS:
+        parts.append(
+            f"SELECT '{c}', count(*) - count({c}), count(DISTINCT {c}), "
+            f"epoch(min({c})), epoch(max({c})), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) "
+            f"FROM orders"
+        )
+    for c in _PROFILE_STR:
+        parts.append(
+            f"SELECT '{c}', count(*) - count({c}), count(DISTINCT {c}), "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min({c}), max({c}) "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_zorder": ext_zorder,
+    "ext_profile": ext_profile,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -803,6 +898,7 @@ from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noq
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
     "ext_zorder": _zorder_sql(),
+    "ext_profile": _profile_sql(),
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],

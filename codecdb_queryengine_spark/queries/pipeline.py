@@ -1731,6 +1731,44 @@ _EVENTS_STREAM_ENRICH_SQL = """
 # --- corpus preparation (decontamination / packing / filtering / masking) --
 
 
+def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard ingest with cross-shard dedup — the streaming face
+    of dedup_incremental: the incoming shard (new docs ∪ a re-ingest of
+    even-id reference docs under fresh ids) arrives as a file stream and
+    anti-joins the STATIC already-ingested corpus on content digest, so
+    only never-seen documents land.
+
+    Stateless per microbatch: the stream-static left_anti join broadcasts
+    the reference digest set per batch (no state store, no watermark
+    needed), which is exactly the per-batch shape of the batch operator —
+    at 100 TB the static side is the membership.bloom_build broadcast +
+    confirm join instead of the full digest set.  Oracle: the batch
+    anti-join (same row set as dedup_incremental).
+    """
+    from codecdb_queryengine_spark.streaming import events as E
+
+    s1 = (
+        E.read_table_stream(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "text")
+    )
+    s2 = (
+        E.read_table_stream(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    new_shard = s1.unionByName(s2).withColumn("digest", F.md5("text"))
+    ref = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    kept = new_shard.join(ref, "digest", "left_anti").select("doc_id", "digest")
+    res = E.run_to_memory(kept, "q_docs_stream_ingest", output_mode="append")
+    return res.orderBy("doc_id")
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing word 3-shingles
     with the held-out eval slice (doc_id % 23 == 0 stands in for the
@@ -1933,6 +1971,7 @@ QUERIES = {
     "events_stream_files": events_stream_files,
     "events_stream_enrich": events_stream_enrich,
     "events_stream_rollup": events_stream_rollup,
+    "docs_stream_ingest": docs_stream_ingest,
 }
 
 ORACLE: dict[str, str] = {
@@ -1988,4 +2027,5 @@ ORACLE: dict[str, str] = {
     "events_stream_files": _EVENTS_STREAM_FILES_SQL,
     "events_stream_enrich": _EVENTS_STREAM_ENRICH_SQL,
     "events_stream_rollup": _EVENTS_STREAM_ROLLUP_SQL,
+    "docs_stream_ingest": _DEDUP_INCR_SQL,
 }

@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from codecdb_queryengine_spark.catalog import _fix_nanos
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (one-file-per-trigger).
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over one sf-dir parquet table
+    (one-file-per-trigger).
 
     readStream requires an explicit schema, and the testdata's `ts` column
     has shipped both as TIMESTAMP(MICROS) (a real timestamp) and as
@@ -37,16 +38,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # File stream sources require a directory; select the single events
+    schema = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+    # File stream sources require a directory; select the single table
     # file out of the sf dir with a glob filter.
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-    return _fix_nanos("events", raw)
+    return _fix_nanos(table, raw)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (see read_table_stream)."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
