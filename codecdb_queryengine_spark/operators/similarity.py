@@ -369,6 +369,44 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def pq_codebooks_kmeans(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    seed: int = 13,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Trained PQ codebooks — one pyspark.ml KMeans per subspace over the
+    sliced vectors — in pq_topk's codebook contract (m, c_id, c_sub).
+
+    This is classic PQ training (independent K-means per subquantizer,
+    Jégou et al. 2011 §III).  Each fit runs distributed over the sliced
+    column; the k·num_subspaces centers are assembled driver-side (tiny)
+    exactly like ivf's kmeans_centroids.  Engine-specific by construction
+    (KMeans|| init), so consumers gate rows-only + recall tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // num_subspaces
+    spark = vectors.sparkSession
+    rows = []
+    for m in range(num_subspaces):
+        feats = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=num_codewords, seed=seed + m, maxIter=max_iter).fit(feats)
+        rows += [
+            (m, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(rows, "m long, c_id long, c_sub array<double>")
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -379,6 +417,7 @@ def pq_topk(
     num_subspaces: int = 4,
     num_codewords: int = 8,
     code_stride: int = 37,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN — the memory-scale path next to LSH/IVF:
     each vector is compressed to `num_subspaces` small codes; query scoring
@@ -387,11 +426,12 @@ def pq_topk(
     (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011.)
 
-    Codebooks: codeword c of every subspace is the matching slice of the
-    corpus vector with id = c·code_stride — the same deterministic,
-    training-free sampling stand-in ivf_topk uses (mod-id centroids), so
-    the DuckDB oracle recomputes the codes exactly; a trained variant
-    would swap pyspark.ml KMeans per subspace behind the same contract.
+    Codebooks: by default codeword c of every subspace is the matching
+    slice of the corpus vector with id = c·code_stride — the same
+    deterministic, training-free sampling stand-in ivf_topk uses (mod-id
+    centroids), so the DuckDB oracle recomputes the codes exactly; pass
+    `codebooks` (m, c_id, c_sub — e.g. from pq_codebooks_kmeans) to run a
+    trained quantizer through the identical plumbing.
 
     Cross-engine float discipline: encode argmin compares left-to-right
     squared-L2 sums (bit-identical both engines; ties break on codeword
@@ -408,14 +448,17 @@ def pq_topk(
     if sub * num_subspaces != dim:
         raise ValueError(f"dim={dim} not divisible by num_subspaces={num_subspaces}")
     ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])).alias("m")
-    cbm = (
-        vectors.filter(
-            (F.col(id_col) % code_stride == 0)
-            & (F.col(id_col) < code_stride * num_codewords)
+    if codebooks is not None:
+        cbm = codebooks
+    else:
+        cbm = (
+            vectors.filter(
+                (F.col(id_col) % code_stride == 0)
+                & (F.col(id_col) < code_stride * num_codewords)
+            )
+            .select((F.col(id_col) / code_stride).cast("long").alias("c_id"), F.col(vec_col).alias("cv"), ms)
+            .select("c_id", "m", F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
         )
-        .select((F.col(id_col) / code_stride).cast("long").alias("c_id"), F.col(vec_col).alias("cv"), ms)
-        .select("c_id", "m", F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
-    )
     vm = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("vv"), ms).select(
         "n_id", "m", F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub")
     )

@@ -571,6 +571,22 @@ def _pq_sql(
     """
 
 
+def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k with per-subspace pyspark.ml-KMeans-trained codebooks (the
+    production quantizer) through the same contract as sim_ann_pq.
+
+    Rows-only gated BY DESIGN, like sim_ann_ivf_trained: KMeans|| init
+    makes the codebooks engine-specific, so no cross-engine value oracle
+    exists.  tests/test_ann_recall.py pins the KMeans guarantee
+    (quantization MSE below the sampled stand-in) plus output structure;
+    cosine recall is deliberately not asserted on the near-isotropic
+    synthetic embeddings (see the test's docstring).
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cbs = S.pq_codebooks_kmeans(emb, dim=64)
+    return S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -1954,6 +1970,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
     "mm_frames": mm_frames,

@@ -42,6 +42,14 @@ EXPECT_NESTED = {
     "mm_ann",
     # N (1-row count) is joined to every profile row by construction
     "docs_tfidf",
+    # 1-row broadcast probes: the bloom-filter map (dedup_incremental) and
+    # the corpus token total (text_lm_score) join every probe row by design
+    "dedup_incremental",
+    "text_lm_score",
+    # PQ ADC scoring streams all codes past the broadcast per-query lookup
+    # maps — the linear-scan-over-codes shape that defines IVF-free PQ
+    "sim_ann_pq",
+    "sim_ann_pq_trained",
 }
 
 
