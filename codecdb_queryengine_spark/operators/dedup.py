@@ -355,6 +355,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    prefix_len: int = 40,
+    max_edits: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: blocking on the first token, then
+    exact Levenshtein verification on the content prefix — the classic
+    fuzzy-matching shape (block to bound candidates, verify exactly).
+
+    Blocking is the same one-shuffle bucket machinery as the LSH paths
+    (bucketing.bucket_verified_pairs) with the Levenshtein check FUSED
+    into the in-bucket expansion, so only true pairs reach the distinct.
+    levenshtein() runs JVM-side and has the identical classic definition
+    in DuckDB, so (id_a, id_b, edits) is oracle-exact.
+
+    100-TB note: candidate count is Σ block², bounded by first-token
+    frequency — for real titles/names add a length-bucket component to the
+    block key (a parameter change to the bk frame, same machinery).  The
+    Levenshtein verify is O(prefix_len²) per candidate, only on
+    candidates.
+    """
+    bk = df.select(
+        F.col(id_col).alias("fz_id"),
+        F.substring(F.col(content_col), 1, prefix_len).alias("prefix"),
+        F.element_at(T.tokens(content_col), 1).alias("block"),
+    ).filter(F.col("block").isNotNull() & (F.col("block") != ""))
+    from codecdb_queryengine_spark.operators.bucketing import bucket_verified_pairs
+
+    verify = (
+        "struct(a.id AS id_a, b.id AS id_b, "
+        "CAST(levenshtein(a.p, b.p) AS BIGINT) AS edits, "
+        f"levenshtein(a.p, b.p) <= {int(max_edits)} AS keep)"
+    )
+    return bucket_verified_pairs(bk, "fz_id", "prefix", ["block"], verify)
+
+
 def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash: majority vote of per-token hash bits.
 

@@ -867,10 +867,82 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the lakehouse table-maintenance op: classify every
+    key as added / removed / changed between two table versions via ONE
+    full-outer hash join on the key with content digests compared.
+
+    Snapshot simulation on the gate data: v2 drops doc_id ≡ 0 (mod 97),
+    rewrites the text of doc_id ≡ 0 (mod 31), and appends fresh ids.
+    At 100 TB this is one co-partitionable join (bucket both snapshots by
+    key for an exchange-free diff) and the digest comparison prunes to
+    changed rows only — the CDC shape without a log.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.select("doc_id", F.md5("text").alias("digest"))
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 31 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("|v2"))),
+            )
+            .otherwise(F.md5(F.col("text")))
+            .alias("digest"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 89 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5("text").alias("digest"),
+            )
+        )
+    )
+    j = old.withColumnRenamed("digest", "d_old").join(
+        new.withColumnRenamed("digest", "d_new"), "doc_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("d_old").isNull(), F.lit("added"))
+        .when(F.col("d_new").isNull(), F.lit("removed"))
+        .when(F.col("d_old") != F.col("d_new"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "same")
+        .select("doc_id", "change")
+        .orderBy("doc_id")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (SELECT doc_id, md5(text) AS d_old FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN md5(text || '|v2')
+                    ELSE md5(text) END AS d_new
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 89 = 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN d_old <> d_new THEN 'changed'
+                ELSE 'same' END AS change
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    WHERE (CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN d_old <> d_new THEN 'changed'
+                ELSE 'same' END) <> 'same'
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_zorder": ext_zorder,
     "ext_profile": ext_profile,
+    "ext_snapshot_diff": ext_snapshot_diff,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -899,6 +971,7 @@ ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
     "ext_zorder": _zorder_sql(),
     "ext_profile": _profile_sql(),
+    "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],

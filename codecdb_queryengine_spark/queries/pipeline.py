@@ -288,6 +288,30 @@ _JACCARD_SQL = f"""
 """
 
 
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy near-dup pairs: first-token blocking + fused
+    Levenshtein verification on the 40-char prefix (dedup.fuzzy_pairs)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.fuzzy_pairs(docs, "text", "doc_id", prefix_len=40, max_edits=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_DEDUP_FUZZY_SQL = f"""
+    WITH base AS (
+        SELECT doc_id AS fz_id,
+               substring(text, 1, 40) AS prefix,
+               {_SQL_TOKENS}[1] AS block
+        FROM documents
+        WHERE {_SQL_TOKENS}[1] IS NOT NULL AND {_SQL_TOKENS}[1] <> '')
+    SELECT DISTINCT a.fz_id AS id_a, b.fz_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edits
+    FROM base a JOIN base b ON a.block = b.block AND a.fz_id < b.fz_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 8
+    ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end scale-path dedup: LSH candidates -> exact Jaccard verify
     on candidates only (per-pair array intersect, no inverted-index join)."""
@@ -1365,6 +1389,44 @@ _DOCS_SAMPLE_WEIGHTED_SQL = f"""
 # --- event funnels / retention ---------------------------------------------
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: extract a typed field from the
+    JSON `props` column (get_json_object — parsed JVM-side inside
+    whole-stage codegen, the Spark-native path for ragged event payloads)
+    and aggregate it per event type.  Integer sums/extremes only, so the
+    gate is exact.
+
+    100-TB note: JSON parse cost is scan-side and columnar-pruned; for a
+    hot pipeline, materialize the extracted field once with a schema-on-
+    write pass (from_json into a struct column) instead of re-parsing per
+    query.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_JSON_SQL = """
+    SELECT event_type, count(*) AS n,
+           count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase per user: a user advances a
     stage only with an event at-or-after their first event of the previous
@@ -1945,6 +2007,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "dedup_fuzzy": dedup_fuzzy,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_docs": dedup_keep_docs,
@@ -1965,6 +2028,7 @@ QUERIES = {
     "text_countmin": text_countmin,
     "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
+    "events_json_props": events_json_props,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -2003,6 +2067,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_verified": _minhash_verified_sql(),
+    "dedup_fuzzy": _DEDUP_FUZZY_SQL,
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_keep_docs": _dedup_keep_sql(),
@@ -2023,6 +2088,7 @@ ORACLE: dict[str, str] = {
     "text_countmin": _countmin_sql(),
     "text_lm_score": _LM_SCORE_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
+    "events_json_props": _EVENTS_JSON_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),

@@ -28,6 +28,7 @@ def test_every_oracle_key_has_a_query_and_no_orphans():
         "ext_stats_approx",
         "ext_approx_distinct",
         "sim_ann_ivf_trained",
+        "sim_ann_pq_trained",
     }
 
 

@@ -25,3 +25,23 @@ def test_pipeline_funnel_monotone_and_output_readable(spark, sf_dir, tmp_path):
     assert "bucket" in back.columns and "tok_offset" in back.columns
     # every surviving doc still carries its (masked) text
     assert back.filter("text IS NULL").count() == 0
+
+
+ingest_spec = importlib.util.spec_from_file_location(
+    "incremental_ingest",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "incremental_ingest.py"),
+)
+ingest_mod = importlib.util.module_from_spec(ingest_spec)
+ingest_spec.loader.exec_module(ingest_mod)
+
+
+def test_incremental_ingest_dedups_and_writes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "shard")
+    written, report = ingest_mod.ingest_shard(spark, sf_dir, out)
+    stages = dict(report)
+    # re-crawled corpus docs (the +100000 ids) must all be dropped
+    assert stages["after cross-shard dedup"] <= stages["shard raw"]
+    assert written.filter("doc_id >= 100000").count() == 0
+    # the write is z-clustered: both clustered columns survive round-trip
+    assert {"n_chars", "n_tokens", "avg_bits"} <= set(written.columns)
+    assert stages["written"] == stages["after cross-shard dedup"]
