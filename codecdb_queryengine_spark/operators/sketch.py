@@ -92,3 +92,57 @@ def count_min_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str, ratio: float = 0.01
+) -> DataFrame:
+    """Exact frequent items (count ≥ ratio·N) WITHOUT a full-vocabulary
+    shuffle — the distributed heavy-hitters pattern:
+
+    1. candidates: each partition locally counts its items (Arrow-batched
+       mapInPandas, no shuffle) and emits only those with local ratio ≥
+       the global target.  Ratio pigeonhole guarantees the union is a
+       SUPERSET of the true heavy hitters: a global ratio ≥ r is a
+       weighted average of per-partition ratios, so at least one
+       partition must reach r locally.
+    2. verify: exact global counts for candidates only (semi-join the
+       item stream against the distinct candidate set, then one small
+       groupBy), filtered by the exact threshold count ≥ ceil(r·N).
+
+    The result is therefore EXACT (a plain GROUP BY ... HAVING oracle),
+    but the only shuffles move candidate rows — O(partitions/r) keys —
+    instead of the whole vocabulary.  The Misra-Gries-style bound: each
+    partition emits < 1/r items, so the candidate set is ≤ partitions/r
+    regardless of corpus size.
+    """
+    import pandas as pd
+
+    spark = items.sparkSession
+    n_total = items.count()
+    threshold = -(-ratio * n_total // 1)  # ceil
+
+    def local_heavy(batches):
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            n += len(pdf)
+            for k, v in vc.items():
+                counts[k] = counts.get(k, 0) + int(v)
+        if n:
+            # one-count slack so float rounding of ratio·n can never drop a
+            # boundary item — the exact global recount re-filters anyway
+            out = [k for k, v in counts.items() if v >= ratio * n - 1]
+            yield pd.DataFrame({item_col: out})
+
+    cand = items.mapInPandas(
+        local_heavy, schema=f"{item_col} string"
+    ).distinct()
+    return (
+        items.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(threshold)))
+        .orderBy(F.col("cnt").desc(), F.col(item_col).asc())
+    )

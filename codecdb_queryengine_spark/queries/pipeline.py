@@ -1262,6 +1262,30 @@ def _countmin_sql(depth: int = 4, width: int = 64) -> str:
     """
 
 
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms (count ≥ 2% of all tokens) via the distributed
+    heavy-hitters pattern (operators/sketch.heavy_hitters): per-partition
+    local candidates (ratio pigeonhole — no vocabulary shuffle), exact
+    recount of candidates only.  The result is exact, so the oracle is a
+    plain GROUP BY ... HAVING."""
+    from codecdb_queryengine_spark.operators import sketch as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(T.tokens("text")).alias("term"))
+    return SK.heavy_hitters(tok, "term", ratio=0.02)
+
+
+_HEAVY_HITTERS_SQL = f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+    n AS (SELECT count(*) AS total FROM tok)
+    SELECT term, count(*) AS cnt
+    FROM tok CROSS JOIN n
+    GROUP BY term, total
+    HAVING count(*) >= CAST(ceil(0.02 * total) AS BIGINT)
+    ORDER BY cnt DESC, term ASC
+"""
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (90/5/5) by content-stable
     hash bucket: bucket = first 32 md5 bits of the doc id, mod 100.  The
@@ -2026,6 +2050,7 @@ QUERIES = {
     "docs_length_hist": docs_length_hist,
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
+    "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
@@ -2086,6 +2111,7 @@ ORACLE: dict[str, str] = {
     "docs_length_hist": _LENGTH_HIST_SQL,
     "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
+    "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_lm_score": _LM_SCORE_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,

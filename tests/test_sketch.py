@@ -37,3 +37,25 @@ def test_sketch_size_bounded(spark):
     df = spark.createDataFrame([(f"t{i}",) for i in range(1000)], ["term"])
     cms = SK.count_min_build(df, "term", depth=4, width=32)
     assert cms.count() <= 4 * 32
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    # skewed stream across many partitions: exact result must equal the
+    # plain groupBy+threshold answer regardless of partitioning
+    items = ["hot"] * 400 + ["warm"] * 120 + [f"cold{i}" for i in range(480)]
+    df = spark.createDataFrame([(x,) for x in items], ["term"]).repartition(16)
+    got = {(r.term, r.cnt) for r in SK.heavy_hitters(df, "term", ratio=0.1).collect()}
+    n = len(items)
+    import collections
+
+    c = collections.Counter(items)
+    want = {(t, v) for t, v in c.items() if v >= -(-0.1 * n // 1)}
+    assert got == want
+
+
+def test_heavy_hitters_boundary_item_survives(spark):
+    # an item at EXACTLY the threshold ratio must be kept (>= semantics)
+    items = ["edge"] * 10 + [f"x{i}" for i in range(90)]
+    df = spark.createDataFrame([(x,) for x in items], ["term"]).repartition(8)
+    got = {r.term for r in SK.heavy_hitters(df, "term", ratio=0.1).collect()}
+    assert "edge" in got
