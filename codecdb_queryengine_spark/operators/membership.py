@@ -66,7 +66,10 @@ def bloom_build(
     """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    pos = df.select(
+    # NULL keys hash to NULL positions and would land a NULL entry in
+    # map_from_entries (an error); they also can't match any probe, so
+    # dropping them preserves anti-join semantics exactly.
+    pos = df.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_positions(F.col(key_col), num_bits, num_hashes))).alias("pos")
     )
     words = (
@@ -131,7 +134,12 @@ def dedup_against_reference(
     probed = new_d.join(F.broadcast(bloom)).withColumn(
         "__maybe", bloom_might_contain(F.col("bloom"), F.col("digest"), num_bits, num_hashes)
     )
-    definite_new = probed.filter(~F.col("__maybe")).select(id_col, "digest")
+    # NULL digests (null content) probe to NULL: the anti-join contract KEEPS
+    # them (a null key matches nothing), so route them to the definite-new
+    # branch instead of letting ~NULL silently drop the row.
+    definite_new = probed.filter(
+        ~F.coalesce(F.col("__maybe"), F.lit(False))
+    ).select(id_col, "digest")
     confirmed_new = (
         probed.filter(F.col("__maybe"))
         .select(id_col, "digest")

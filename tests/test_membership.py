@@ -61,3 +61,32 @@ def test_dedup_against_reference_is_exact_anti_join(spark):
     # texts 150..199 duplicate ref; 200..249 and the 50 fresh ones survive
     expect = sorted([1000 + i for i in range(200, 250)] + [2000 + i for i in range(50)])
     assert got == expect
+
+
+def test_null_content_rows_follow_anti_join_semantics(spark):
+    # a NULL key matches nothing in an anti-join, so null-content rows must
+    # be KEPT (the bloom probe evaluates to NULL and must not drop them)
+    ref = spark.createDataFrame([(i, f"t{i}") for i in range(20)], ["id", "text"])
+    new = spark.createDataFrame(
+        [(100, "t5"), (101, None), (102, "fresh")],
+        "id long, text string",
+    )
+    out = MB.dedup_against_reference(new, ref, "text", "id", num_bits=1 << 10)
+    got = sorted(r.id for r in out.collect())
+    exact = sorted(
+        r.id
+        for r in new.select("id", F.md5("text").alias("d"))
+        .join(ref.select(F.md5("text").alias("d")), "d", "left_anti")
+        .collect()
+    )
+    assert got == exact == [101, 102]
+
+
+def test_null_reference_keys_do_not_crash_build(spark):
+    ref = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b")], "id long, text string"
+    )
+    new = spark.createDataFrame([(10, "a"), (11, None), (12, "c")], "id long, text string")
+    out = MB.dedup_against_reference(new, ref, "text", "id", num_bits=1 << 10)
+    # 'a' drops; null-content and fresh rows survive (anti-join contract)
+    assert sorted(r.id for r in out.collect()) == [11, 12]
