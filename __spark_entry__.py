@@ -43,28 +43,28 @@ DRIVER_FIRST = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
     "dedup_minhash_verified",
     "dedup_embedding",
     "dedup_clusters",
-    "dedup_simhash_clusters",  # dedup family (9) -> 31
+    "dedup_incremental",
+    "dedup_fuzzy",  # dedup family (9) -> 31
     "sim_topk",
     "sim_ann_lsh",
-    "sim_ann_ivf",  # similarity (3) -> 34
+    "sim_ann_ivf",
+    "sim_ann_pq",  # similarity (4) -> 35
     "events_stream_window",
     "events_stream_totals",
     "events_stream_sessions",
     "events_stream_dedup",
-    "events_stream_sliding",
     "events_stream_join",
-    "events_stream_files",  # streaming (7) -> 41
+    "docs_stream_ingest",  # streaming (6) -> 41
     "ext_rollup",
-    "ext_grouping_sets",
-    "ext_cube",
     "ext_window_funcs",
     "ext_stats",
     "ext_setops",
-    "ext_salted_agg",  # extensions (7) -> 48
+    "ext_salted_agg",
+    "ext_zorder",
+    "text_heavy_hitters",  # extensions + sketch (7) -> 48
     "events_asof",
     "events_range_join",  # temporal (2) -> 50
 ]
