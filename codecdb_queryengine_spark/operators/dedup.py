@@ -313,6 +313,54 @@ def minhash_verified_pairs(
     )
 
 
+def cross_minhash_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus LSH near-dup pairs (corpus × probe) — the FUZZY form
+    of benchmark decontamination: minhash-band candidates BETWEEN two
+    different frames, exact Jaccard verified on candidates only.
+
+    Contrast corpus.decontaminate (exact shared-shingle counts via a
+    broadcast of the probe's full shingle set): here the broadcast is the
+    probe's band keys — probe_rows·bands keys instead of every distinct
+    shingle — and the match criterion is whole-document similarity, which
+    catches paraphrase-level contamination that a handful of shared
+    shingles does not.  The corpus side never shuffles for candidate
+    generation (map-side broadcast join); only candidates pay the
+    verify join.
+    """
+    rpb = num_hashes // bands
+    sig_a = minhash_signatures(corpus, content_col, id_col, num_hashes, shingle_words)
+    sig_b = minhash_signatures(probe, content_col, id_col, num_hashes, shingle_words)
+    bk_a = minhash_band_keys(sig_a, bands, rpb).withColumnRenamed("mh_id", "id_a")
+    bk_b = minhash_band_keys(sig_b, bands, rpb).withColumnRenamed("mh_id", "id_b")
+    cand = (
+        bk_a.join(F.broadcast(bk_b), ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sig_a.select(F.col("mh_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sig_b.select(F.col("mh_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn(
+            "jaccard",
+            (n_common / (F.size("sh_a") + F.size("sh_b") - n_common)).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,

@@ -1413,6 +1413,67 @@ _DOCS_SAMPLE_WEIGHTED_SQL = f"""
 # --- event funnels / retention ---------------------------------------------
 
 
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series resampling with gap filling: hourly totals per
+    event type over the FULL corpus span, empty buckets emitted as zero
+    rows (the resample→fill step every downstream forecasting/charting
+    consumer needs; a plain GROUP BY silently drops empty buckets).
+
+    Plan: the hour grid comes from one 2-row-bounds aggregate exploded
+    with sequence() (grid size = hours × types, independent of event
+    count), cross-joined with the distinct type set and left-joined to
+    the hourly aggregate — the only data-sized shuffle is the groupBy.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    return (
+        grid.crossJoin(types)
+        .join(hourly, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+_EVENTS_RESAMPLE_SQL = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2)
+    SELECT g.bucket, t.event_type,
+           coalesce(h.n, 0) AS n,
+           coalesce(h.sum_value, 0.0) AS sum_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN hourly h ON h.bucket = g.bucket AND h.event_type = t.event_type
+    ORDER BY g.bucket, t.event_type
+"""
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload handling: extract a typed field from the
     JSON `props` column (get_json_object — parsed JVM-side inside
@@ -1897,6 +1958,67 @@ _DECONTAM_SQL = f"""
 """
 
 
+def docs_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH candidates BETWEEN the
+    training corpus and the eval slice, exact Jaccard verified — catches
+    paraphrase-level contamination where whole documents are similar, not
+    just sharing a few shingles (dedup.cross_minhash_pairs; same eval
+    split as docs_decontaminate)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    return D.cross_minhash_pairs(
+        train, ev, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3,
+        threshold=0.12,
+    ).orderBy("id_a", "id_b")
+
+
+def _cross_minhash_sql(
+    num_hashes: int = 8, bands: int = 2, k: int = 3, thr: float = 0.12
+) -> str:
+    r = num_hashes // bands
+    mins = _sql_minhash_mins(num_hashes)
+    band_keys = ", ".join(
+        "concat_ws('_', " + ", ".join(f"m{b * r + j}" for j in range(r)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+
+    def chain(name: str, where: str) -> str:
+        band_union = " UNION ALL ".join(
+            f"SELECT mh_id, {b} AS band, bk{b} AS band_key FROM sigs_{name}"
+            for b in range(bands)
+        )
+        return f"""
+        sh_{name} AS (
+            SELECT mh_id, shingles FROM (
+                SELECT doc_id AS mh_id, {_sql_word_shingles(k)} AS shingles
+                FROM documents WHERE {where})
+            WHERE len(shingles) > 0),
+        sig0_{name} AS (SELECT mh_id, shingles, {mins} FROM sh_{name}),
+        sigs_{name} AS (SELECT *, {band_keys} FROM sig0_{name}),
+        bk_{name} AS ({band_union})"""
+
+    return f"""
+        WITH {chain("a", "doc_id % 23 <> 0")},
+        {chain("b", "doc_id % 23 = 0")},
+        cand AS (
+            SELECT DISTINCT a.mh_id AS id_a, b.mh_id AS id_b
+            FROM bk_a a JOIN bk_b b
+              ON a.band = b.band AND a.band_key = b.band_key)
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))))
+                     AS jaccard
+            FROM cand
+            JOIN sh_a sa ON sa.mh_id = id_a
+            JOIN sh_b sb ON sb.mh_id = id_b)
+        WHERE jaccard >= {thr}
+        ORDER BY id_a, id_b
+    """
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: per-doc token offset within its
     pack bucket and the fixed-256-token training sequences it spans."""
@@ -2042,6 +2164,7 @@ QUERIES = {
     "docs_sample_stratified": docs_sample_stratified,
     "docs_sample_weighted": docs_sample_weighted,
     "docs_decontaminate": docs_decontaminate,
+    "docs_decontaminate_lsh": docs_decontaminate_lsh,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_pack_chunks": docs_pack_chunks,
     "docs_quality_filter": docs_quality_filter,
@@ -2054,6 +2177,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
+    "events_resample": events_resample,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -2103,6 +2227,7 @@ ORACLE: dict[str, str] = {
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
     "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAM_SQL,
+    "docs_decontaminate_lsh": _cross_minhash_sql(),
     "docs_pack_sequences": _PACK_SQL,
     "docs_pack_chunks": _PACK_CHUNKS_SQL,
     "docs_quality_filter": _QUALITY_FILTER_SQL,
@@ -2115,6 +2240,7 @@ ORACLE: dict[str, str] = {
     "text_lm_score": _LM_SCORE_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
+    "events_resample": _EVENTS_RESAMPLE_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
