@@ -77,3 +77,44 @@ def test_salted_agg_always_equals_plain(spark, rows, salt):
         ).collect()
     }
     assert got == plain
+
+
+bloom_keys = st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40, unique=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=bloom_keys, probes=bloom_keys)
+def test_bloom_never_false_negative(spark, keys, probes):
+    from codecdb_queryengine_spark.operators import membership as MB
+
+    ref = spark.createDataFrame([(k,) for k in keys], "k string")
+    bloom = MB.bloom_build(ref, "k", num_bits=1 << 10, num_hashes=4)
+    probe = spark.createDataFrame([(k,) for k in set(keys) | set(probes)], "k string")
+    got = {
+        r.k: r.m
+        for r in probe.join(F.broadcast(bloom))
+        .withColumn("m", MB.bloom_might_contain(F.col("bloom"), F.col("k"), 1 << 10, 4))
+        .collect()
+    }
+    for k in keys:
+        assert got[k] is True  # an inserted key can never probe negative
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_z_value_decodes_back_to_inputs(spark, pts):
+    from codecdb_queryengine_spark.sources.layout import z_value
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.withColumn("z", z_value([F.col("x"), F.col("y")], bits=8)).collect()
+    for r in rows:
+        x = sum(((r.z >> (2 * b)) & 1) << b for b in range(8))
+        y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(8))
+        assert (x, y) == (r.x, r.y)
