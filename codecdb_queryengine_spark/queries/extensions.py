@@ -867,6 +867,37 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation and
+    sample covariance between quantity and extended price (the classic
+    correlated-columns pair), plus the regression slope derived from
+    them.  Single-pass algebraic aggregates (Welford-style merge states),
+    map-side combinable — the same scale shape as sum/avg."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+            (
+                F.covar_samp("l_quantity", "l_extendedprice")
+                / F.var_samp("l_quantity")
+            ).alias("regr_slope"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CORR_SQL = """
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice) AS qty_price_corr,
+           covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+           covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)
+             AS regr_slope
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the lakehouse table-maintenance op: classify every
     key as added / removed / changed between two table versions via ONE
@@ -943,6 +974,7 @@ QUERIES = {
     "ext_zorder": ext_zorder,
     "ext_profile": ext_profile,
     "ext_snapshot_diff": ext_snapshot_diff,
+    "ext_corr": ext_corr,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -972,6 +1004,7 @@ ORACLE: dict[str, str] = {
     "ext_zorder": _zorder_sql(),
     "ext_profile": _profile_sql(),
     "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "ext_corr": _CORR_SQL,
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],
