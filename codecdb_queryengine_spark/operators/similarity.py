@@ -510,6 +510,153 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 29,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    code_stride: int = 37,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the production-scale ANN
+    composition: a coarse inverted-file quantizer cuts the SCAN (only
+    `nprobe` lists are visited) and a product quantizer over the
+    RESIDUALS (vector − its centroid) cuts the MEMORY (num_subspaces
+    bytes per vector) and the per-candidate cost (ADC table lookups).
+    Residual encoding is what plain PQ lacks on clustered data: after
+    subtracting the coarse centroid the residuals are near-isotropic,
+    so the subquantizers spend their bits on local detail.
+
+    Deterministic, oracle-reproducible quantizers (the ivf_topk/pq_topk
+    stand-in convention): coarse centroids are the vectors with id ≡ 0
+    (mod centroid_mod); residual codeword c of each subspace is the
+    matching slice of the RESIDUAL of the vector with id = c·code_stride.
+    Swap either for trained centers through the same frames.
+
+    Exactness discipline: every distance is a left-to-right zip_with/
+    aggregate fold (mirrored term-for-term by the generated oracle SQL);
+    ADC contributions are micro-quantized BEFORE the per-pair BIGINT sum.
+    The query's residual differs per probed list, so the broadcast ADC
+    table is (q × nprobe × M × K) rows — still tiny.
+
+    Plan shape: assignment + encode are broadcast joins + keyed aggs over
+    n·M rows; scoring joins the code stream of the PROBED LISTS ONLY
+    against the broadcast ADC maps and ranks per query.
+    """
+    sub = dim // num_subspaces
+    if sub * num_subspaces != dim:
+        raise ValueError(f"dim={dim} not divisible by num_subspaces={num_subspaces}")
+    ms = F.explode(
+        F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])
+    ).alias("m")
+    res = lambda v, c: F.zip_with(v, c, lambda x, y: x.cast("double") - y.cast("double"))  # noqa: E731
+
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    # nearest-centroid assignment (same ranking + tie-break as ivf_topk)
+    pref = lambda: F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))  # noqa: E731
+    assigned = (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("n_id"),
+            "c_id",
+            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
+        .groupBy("n_id")
+        .agg(F.max_by("c_id", pref()).alias("c_list"))
+    )
+    # residuals of every vector w.r.t. its assigned centroid
+    with_res = (
+        assigned.join(vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id")
+        .join(F.broadcast(cents.select(F.col("c_id").alias("c_list"), "c_vec")), "c_list")
+        .select("n_id", "c_list", res(F.col("v"), F.col("c_vec")).alias("r"))
+    )
+    # residual codebooks from the sampled vectors' residuals
+    rcb = (
+        with_res.filter(
+            (F.col("n_id") % code_stride == 0)
+            & (F.col("n_id") < code_stride * num_codewords)
+        )
+        .select((F.col("n_id") / code_stride).cast("long").alias("pq_c"), F.col("r").alias("cr"), ms)
+        .select("pq_c", "m", F.slice(F.col("cr"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
+    )
+    # encode every residual
+    vm = with_res.select("n_id", "c_list", F.col("r"), ms).select(
+        "n_id", "c_list", "m",
+        F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub).alias("r_sub"),
+    )
+    codes = (
+        vm.join(F.broadcast(rcb), "m")
+        .withColumn("d", l2sq(F.col("r_sub"), F.col("c_sub")))
+        .groupBy("n_id", "c_list", "m")
+        .agg(F.min_by("pq_c", F.struct(F.col("d"), F.col("pq_c"))).alias("pq_c"))
+    )
+    codes_wide = codes.groupBy("n_id", "c_list").agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "pq_c"))).alias("cmap")
+    )
+    # query probes: nprobe nearest centroids, residual per probed list
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_vec", "c_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    probe_lists = (
+        probes.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("c_list"))
+        .join(F.broadcast(cents.select(F.col("c_id").alias("c_list"), "c_vec")), "c_list")
+        .select("q_id", "c_list", res(F.col("q_vec"), F.col("c_vec")).alias("qr"))
+    )
+    qm = probe_lists.select("q_id", "c_list", F.col("qr"), ms).select(
+        "q_id", "c_list", "m",
+        F.slice(F.col("qr"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
+    )
+    adc_wide = (
+        qm.join(F.broadcast(rcb), "m")
+        .withColumn(
+            "contrib", F.round(F.lit(1e6) * l2sq(F.col("q_sub"), F.col("c_sub"))).cast("long")
+        )
+        .groupBy("q_id", "c_list")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct((F.col("m") * num_codewords + F.col("pq_c")).alias("key"), "contrib")
+                )
+            ).alias("amap")
+        )
+    )
+    adc_sum: Column | None = None
+    for m in range(num_subspaces):
+        term = F.element_at(
+            F.col("amap"),
+            F.lit(m * num_codewords).cast("long")
+            + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
+        )
+        adc_sum = term if adc_sum is None else adc_sum + term
+    scored = (
+        codes_wide.join(F.broadcast(adc_wide), "c_list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_micro", adc_sum)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,

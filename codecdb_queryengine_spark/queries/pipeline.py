@@ -611,6 +611,107 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
 
 
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) top-k: coarse inverted lists cut the scan, residual
+    product quantization cuts memory and per-candidate cost
+    (operators/similarity.ivf_pq_topk; deterministic quantizers so the
+    DuckDB oracle recomputes codes and ADC exactly)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ivf_pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K)
+
+
+def _ivf_pq_sql(
+    dim: int = 64,
+    centroid_mod: int = 29,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    stride: int = 37,
+) -> str:
+    sub = dim // m_sub
+
+    def dotvc(va: str, vb: str) -> str:
+        return " + ".join(
+            f"CAST({va}[{d + 1}] AS DOUBLE) * CAST({vb}[{d + 1}] AS DOUBLE)"
+            for d in range(dim)
+        )
+
+    def res_el(v: str, c: str, idx: str) -> str:
+        return f"(CAST({v}[{idx}] AS DOUBLE) - CAST({c}[{idx}] AS DOUBLE))"
+
+    def l2sq_res(v: str, c: str, sv: str, svc: str) -> str:
+        # Σ_j ((v-c)[j] - (sv-svc)[j])² with idx = ms.m*sub + j, left-assoc
+        terms = []
+        for j in range(1, sub + 1):
+            idx = f"ms.m*{sub} + {j}"
+            t = f"({res_el(v, c, idx)} - {res_el(sv, svc, idx)})"
+            terms.append(f"({t} * {t})")
+        return " + ".join(terms)
+
+    sim = f"({dotvc('v.embedding', 'c.c_vec')}) / sqrt({dotvc('c.c_vec', 'c.c_vec')})"
+    qsim = f"({dotvc('q.embedding', 'c.c_vec')}) / sqrt({dotvc('c.c_vec', 'c.c_vec')})"
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {centroid_mod} = 0),
+        ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+        assign AS (
+            SELECT n_id, c_id AS c_list FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {sim} DESC, c.c_id ASC) AS r
+                FROM embeddings v CROSS JOIN cents c) WHERE r = 1),
+        rcbsrc AS (
+            SELECT CAST(v.vec_id // {stride} AS BIGINT) AS pq_c,
+                   v.embedding AS sve, cv.c_vec AS svcv
+            FROM embeddings v
+            JOIN assign a ON v.vec_id = a.n_id
+            JOIN cents cv ON cv.c_id = a.c_list
+            WHERE v.vec_id % {stride} = 0 AND v.vec_id < {stride * k_codes}),
+        codes AS (
+            SELECT n_id, c_list, m, pq_c FROM (
+                SELECT v.vec_id AS n_id, a.c_list, ms.m, r.pq_c,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, ms.m
+                           ORDER BY ({l2sq_res('v.embedding', 'cv.c_vec', 'r.sve', 'r.svcv')}) ASC,
+                                    r.pq_c ASC) AS rn
+                FROM embeddings v
+                JOIN assign a ON v.vec_id = a.n_id
+                JOIN cents cv ON cv.c_id = a.c_list
+                CROSS JOIN ms CROSS JOIN rcbsrc r) WHERE rn = 1),
+        probes AS (
+            SELECT q_id, c_list FROM (
+                SELECT q.vec_id AS q_id, c.c_id AS c_list,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {qsim} DESC, c.c_id ASC) AS r
+                FROM embeddings q CROSS JOIN cents c
+                WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe}),
+        adc AS (
+            SELECT p.q_id, p.c_list, ms.m, r.pq_c,
+                   CAST(round(1e6 * ({l2sq_res('q.embedding', 'cv.c_vec', 'r.sve', 'r.svcv')})) AS BIGINT)
+                     AS contrib
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.q_id
+            JOIN cents cv ON cv.c_id = p.c_list
+            CROSS JOIN ms CROSS JOIN rcbsrc r),
+        scored AS (
+            SELECT a.q_id, c.n_id, sum(a.contrib) AS adc_micro
+            FROM codes c
+            JOIN adc a ON a.c_list = c.c_list AND a.m = c.m AND a.pq_c = c.pq_c
+            WHERE a.q_id <> c.n_id
+            GROUP BY a.q_id, c.n_id)
+        SELECT q_id, n_id, adc_micro, rk FROM (
+            SELECT q_id, n_id, adc_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY adc_micro ASC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_TOP_K}
+    """
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -2183,6 +2284,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_pq": sim_ann_pq,
+    "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
@@ -2246,6 +2348,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
     "sim_ann_pq": _pq_sql(),
+    "sim_ann_ivfpq": _ivf_pq_sql(),
     "mm_features": _mm_sql(),
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),

@@ -119,8 +119,8 @@ def test_pq_kmeans_codebooks_cut_quantization_error(spark, sf_dir):
     near-isotropic synthetic embeddings MSE-optimal centers pull toward
     the mean, compressing the ADC spread, so trained codebooks do not
     improve cosine recall (a data property, cross-checked with a numpy
-    replica; real clustered embeddings and the residual IVF-PQ recipe are
-    where training pays).  The trained query path itself is pinned
+    replica; real clustered embeddings are where training pays, and the
+    residual IVF-PQ composition is implemented as S.ivf_pq_topk).  The trained query path itself is pinned
     structurally."""
     import numpy as np
 
@@ -162,3 +162,60 @@ def test_pq_kmeans_codebooks_cut_quantization_error(spark, sf_dir):
     for rows in by_q.values():
         assert len(rows) == 5 and len({r.n_id for r in rows}) == 5
         assert [r.adc_micro for r in rows] == sorted(r.adc_micro for r in rows)
+
+
+def test_ivfpq_structure_and_candidates_come_from_probed_lists(spark, sf_dir):
+    """IVF-PQ output structure: k dedup'd neighbors per query in ascending
+    ADC order, and every returned neighbor belongs to one of the query's
+    nprobe probed inverted lists (the scan-cut invariant)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.ivf_pq_topk(emb, queries, dim=64, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert len(rows) == 5 and len({r.n_id for r in rows}) == 5
+        assert [r.adc_micro for r in rows] == sorted(r.adc_micro for r in rows)
+    # scan-cut invariant: neighbors only from probed lists
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    from pyspark.sql import Window
+
+    assigned = {
+        r.n_id: r.c_list
+        for r in emb.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            "c_id",
+            (S.dot(F.col("embedding"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
+        .groupBy("n_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))
+            ).alias("c_list")
+        )
+        .collect()
+    }
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    probed = {}
+    for r in (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "c_id",
+            (S.dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= 2)
+        .collect()
+    ):
+        probed.setdefault(r.q_id, set()).add(r.c_id)
+    for r in out:
+        assert assigned[r.n_id] in probed[r.q_id], (r.q_id, r.n_id)
