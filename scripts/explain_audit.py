@@ -50,6 +50,10 @@ EXPECT_NESTED = {
     # maps — the linear-scan-over-codes shape that defines IVF-free PQ
     "sim_ann_pq",
     "sim_ann_pq_trained",
+    # IVF-PQ assignment/probe is all-vectors × broadcast(centroids), like IVF
+    "sim_ann_ivfpq",
+    # the hour grid × type set cross join is bounded by hours·types, not data
+    "events_resample",
 }
 
 
