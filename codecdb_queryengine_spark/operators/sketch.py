@@ -136,8 +136,9 @@ def heavy_hitters(
             out = [k for k, v in counts.items() if v >= ratio * n - 1]
             yield pd.DataFrame({item_col: out})
 
+    item_type = items.schema[item_col].dataType.simpleString()
     cand = items.mapInPandas(
-        local_heavy, schema=f"{item_col} string"
+        local_heavy, schema=f"{item_col} {item_type}"
     ).distinct()
     return (
         items.join(F.broadcast(cand), item_col, "left_semi")

@@ -867,6 +867,29 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def q13_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 through the plan-builder vocabulary — the outer-join +
+    count-0-groups case (the reference emits the zero group via an EMPTY
+    row, cpp/src/lqf/tpch/query13.cc:29-33; here count(o_orderkey) counts
+    only matched rows, so never-ordered customers land in c_count = 0
+    through SQL null semantics).  Covers Plan.join(how="left_outer"), the
+    one join mode the other plan variants don't exercise."""
+    from pyspark.sql import functions as FX
+
+    from codecdb_queryengine_spark.plans.builder import Plan
+
+    t = load_tables(spark, sf_dir)
+    o = Plan.scan(t["orders"]).filter(FX.col("o_orderstatus") != "F")
+    return (
+        Plan.scan(t["customer"])
+        .join(o, FX.col("c_custkey") == FX.col("o_custkey"), how="left_outer")
+        .agg(FX.count("o_orderkey").alias("c_count"), by=["c_custkey"])
+        .agg(FX.count(FX.lit(1)).alias("custdist"), by=["c_count"])
+        .sort(FX.col("custdist").desc(), FX.col("c_count").desc())
+        .done()
+    )
+
+
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
@@ -980,6 +1003,7 @@ QUERIES = {
     "q3_plan": q3_plan,
     "q17_plan": q17_plan,
     "q21_plan": q21_plan,
+    "q13_plan": q13_plan,
     "ssb_q2_1_plan": ssb_q2_1_plan,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
@@ -1010,6 +1034,7 @@ ORACLE: dict[str, str] = {
     "q3_plan": _TPCH_ORACLE["q3"],
     "q17_plan": _TPCH_ORACLE["q17"],
     "q21_plan": _TPCH_ORACLE["q21"],
+    "q13_plan": _TPCH_ORACLE["q13"],
     "ssb_q2_1_plan": _SSB_ORACLE["ssb_q2_1"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,
