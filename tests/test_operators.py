@@ -351,3 +351,38 @@ def test_cosine_arrow_matches_expression(spark):
     }
     for a, e in got.values():
         assert abs(a - e) < 1e-12
+
+
+def test_cross_minhash_pairs_match_bruteforce_jaccard(spark):
+    """Cross-corpus LSH candidates + verify must find every cross-frame
+    pair whose full Jaccard >= threshold AND whose signatures collide in
+    >= 1 band (planted near-identical docs collide with overwhelming
+    probability), and never report a pair below threshold."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip home",
+        "sphinx of black quartz judge my vow before the winter comes",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)]
+        + [(10, "completely unrelated words about spark shuffles and joins")],
+        ["doc_id", "text"],
+    )
+    # probe: near-identical copy of base[0] (one word changed) + fresh text
+    probe = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy cat again and again"),
+            (101, "nothing in common with anything at all here truly"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.cross_minhash_pairs(
+            corpus, probe, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert (0, 100) in got  # the planted near-dup crosses the frames
+    assert all(j >= 0.3 for j in got.values())
+    assert all(b in (100, 101) for (_, b) in got)  # id_b always probe-side
+    assert (0, 101) not in got
