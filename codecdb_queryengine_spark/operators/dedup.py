@@ -56,6 +56,29 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def canonical_text(c) -> "F.Column":
+    """Canonical form for fuzzy-exact dedup: lowercase, strip every
+    character outside [a-z0-9 ], collapse whitespace runs, trim.  Catches
+    the case/punctuation/spacing variants exact_dedup misses while
+    staying a pure column expression with an exact DuckDB mirror."""
+    col = F.col(c) if isinstance(c, str) else c
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def canonical_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """exact_dedup over the canonical text form: one md5-digest shuffle,
+    same scale shape, but case/punctuation/whitespace variants of the
+    same content collapse into one group."""
+    return (
+        df.withColumn("digest", F.md5(canonical_text(content_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str,

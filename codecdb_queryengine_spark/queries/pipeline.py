@@ -288,6 +288,35 @@ _JACCARD_SQL = f"""
 """
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: exact grouping on the CANONICAL text digest
+    (lowercase, punctuation stripped, whitespace collapsed) so trivial
+    formatting variants collapse; the re-ingest union plants such
+    variants (upper-cased copies of even-id docs) that plain exact_dedup
+    would keep."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    with_variants = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+    )
+    return D.canonical_dedup(with_variants, "text", "doc_id").orderBy("keep_id")
+
+
+_DEDUP_CANONICAL_SQL = """
+    WITH with_variants AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 10 = 0)
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM with_variants
+    GROUP BY digest ORDER BY keep_id
+"""
+
+
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy near-dup pairs: first-token blocking + fused
     Levenshtein verification on the 40-char prefix (dedup.fuzzy_pairs)."""
@@ -2255,6 +2284,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_fuzzy": dedup_fuzzy,
+    "dedup_canonical": dedup_canonical,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_docs": dedup_keep_docs,
@@ -2319,6 +2349,7 @@ ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_fuzzy": _DEDUP_FUZZY_SQL,
+    "dedup_canonical": _DEDUP_CANONICAL_SQL,
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_keep_docs": _dedup_keep_sql(),

@@ -386,3 +386,17 @@ def test_cross_minhash_pairs_match_bruteforce_jaccard(spark):
     assert all(j >= 0.3 for j in got.values())
     assert all(b in (100, 101) for (_, b) in got)  # id_b always probe-side
     assert (0, 101) not in got
+
+
+def test_canonical_dedup_merges_formatting_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO ... world"),
+            (4, "a different document"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.keep_id: r.n_copies for r in D.canonical_dedup(df, "text", "doc_id").collect()}
+    assert got == {1: 3, 4: 1}
