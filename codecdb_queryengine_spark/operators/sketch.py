@@ -147,3 +147,57 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.lit(int(threshold)))
         .orderBy(F.col("cnt").desc(), F.col(item_col).asc())
     )
+
+
+def grouped_topk(
+    df: DataFrame, group_cols: list, order_col: str, k: int = 3
+) -> DataFrame:
+    """Exact top-k rows per group WITHOUT shuffling whole groups — the
+    two-phase pattern next to heavy_hitters:
+
+    1. local: each partition keeps its own top-k per group (Arrow-batched
+       mapInPandas, no shuffle).  Superset guarantee by pigeonhole: every
+       globally-top-k row lives in some partition, where at most k-1
+       group rows can outrank it — so it survives that partition's local
+       top-k.
+    2. global: one window over the surviving ≤ k·partitions rows per
+       group — not the full group — ranked by (order_col DESC, tie_col
+       ASC), where tie_col is the frame's first non-group non-order
+       column (pass an id-like column there for determinism).
+
+    Result is EXACT when (order_col, tie_col) totally orders each group's
+    rows — the same (order, tie) ranking is applied locally and globally,
+    so the pigeonhole argument above holds under ties too; a plain window
+    row_number is its oracle.  Shuffle volume is k·partitions rows per
+    group instead of the whole group — the difference between ranking
+    inside a 1e9-row group and a k·partitions sliver of it.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    cols = df.columns
+    tie_col = next(c for c in cols if c not in group_cols and c != order_col)
+
+    def local_topk(batches):
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf])
+            # keep the running candidate set bounded per batch
+            acc = (
+                acc.sort_values([order_col, tie_col], ascending=[False, True])
+                .groupby(group_cols, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc
+
+    schema = df.schema
+    cand = df.mapInPandas(local_topk, schema=schema)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(tie_col).asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

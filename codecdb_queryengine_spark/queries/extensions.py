@@ -890,6 +890,33 @@ def q13_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per priority via the two-phase
+    grouped top-k (sketch.grouped_topk): per-partition local top-k
+    (superset by pigeonhole), then a window over k·partitions rows per
+    group instead of the whole group — the shape that survives 1e9-row
+    groups.  Result is exact; the oracle is the plain window."""
+    from codecdb_queryengine_spark.operators.sketch import grouped_topk
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return grouped_topk(o, ["o_orderpriority"], "o_totalprice", k=3).select(
+        "o_orderpriority", "rk", "o_orderkey", "o_totalprice"
+    ).orderBy("o_orderpriority", "rk")
+
+
+_GROUPED_TOPK_SQL = """
+    SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+        FROM orders)
+    WHERE rk <= 3 ORDER BY o_orderpriority, rk
+"""
+
+
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
@@ -998,6 +1025,7 @@ QUERIES = {
     "ext_profile": ext_profile,
     "ext_snapshot_diff": ext_snapshot_diff,
     "ext_corr": ext_corr,
+    "ext_grouped_topk": ext_grouped_topk,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -1029,6 +1057,7 @@ ORACLE: dict[str, str] = {
     "ext_profile": _profile_sql(),
     "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "ext_corr": _CORR_SQL,
+    "ext_grouped_topk": _GROUPED_TOPK_SQL,
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],

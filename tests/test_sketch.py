@@ -59,3 +59,25 @@ def test_heavy_hitters_boundary_item_survives(spark):
     df = spark.createDataFrame([(x,) for x in items], ["term"]).repartition(8)
     got = {r.term for r in SK.heavy_hitters(df, "term", ratio=0.1).collect()}
     assert "edge" in got
+
+
+def test_grouped_topk_exact_vs_window_under_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 5}", i, float(rng.randint(0, 50))) for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "id", "score"]).repartition(16)
+    got = {
+        (r.g, r.rk, r.id)
+        for r in SK.grouped_topk(df, ["g"], "score", k=4).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {
+        (r.g, r.rk, r.id)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter("rk <= 4")
+        .collect()
+    }
+    assert got == want
