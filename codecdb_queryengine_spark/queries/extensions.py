@@ -917,6 +917,46 @@ _GROUPED_TOPK_SQL = """
 """
 
 
+def ext_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of extended price via ntile —
+    the profiling twin of docs_length_hist's fixed-width bins: 10 buckets
+    with (lo, hi, count) each.  Determinism: ntile needs a TOTAL order to
+    assign ties identically across engines, so the sort key appends the
+    (l_orderkey, l_linenumber) row identity; both engines then use the
+    standard ntile split (first n mod k buckets one row larger).
+
+    Scale note: a global ntile is a single total sort — fine for
+    profiling runs; the streaming-friendly form is percentile_approx
+    boundaries (ext_stats_approx) + a bucket join.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_SQL = """
+    SELECT bucket, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+           count(*) AS n
+    FROM (
+        SELECT l_extendedprice,
+               CAST(ntile(10) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+                 AS bucket
+        FROM lineitem)
+    GROUP BY bucket ORDER BY bucket
+"""
+
+
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
@@ -1026,6 +1066,7 @@ QUERIES = {
     "ext_snapshot_diff": ext_snapshot_diff,
     "ext_corr": ext_corr,
     "ext_grouped_topk": ext_grouped_topk,
+    "ext_equidepth_hist": ext_equidepth_hist,
     "ext_grouping_sets": ext_grouping_sets,
     "q2_plan": q2_plan,
     "q3_plan": q3_plan,
@@ -1058,6 +1099,7 @@ ORACLE: dict[str, str] = {
     "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "ext_corr": _CORR_SQL,
     "ext_grouped_topk": _GROUPED_TOPK_SQL,
+    "ext_equidepth_hist": _EQUIDEPTH_SQL,
     "ext_grouping_sets": _GROUPING_SETS_SQL,
     "q2_plan": _TPCH_ORACLE["q2"],
     "q3_plan": _TPCH_ORACLE["q3"],
