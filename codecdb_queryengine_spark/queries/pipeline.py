@@ -1145,6 +1145,67 @@ _DEDUP_INCR_SQL = """
 # --- corpus term statistics ------------------------------------------------
 
 
+def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report — the rollup a data team reads
+    after every ingest: doc count, char volume, and total quality score.
+    The quality sum is decimal-anchored (the ssb._money_sum discipline)
+    so the grouped float sum is order-free across engines; consumers
+    derive the mean as sum/n.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            T.quality_score("text").cast("decimal(18,6)").alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("q").cast("double").alias("quality_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_BY_SOURCE_SQL = f"""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           CAST(sum(CAST(
+               0.3 * least({_SQL_NTOK} / 64.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
+             + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
+             + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0))
+           AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def docs_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 word bigrams by occurrence (duplicates counted) — the
+    n-gram frequency pass next to docs_topterms' unigram document
+    frequency.  One explode + one count shuffle; TakeOrderedAndProject."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            F.explode(
+                T.word_shingles_all_from_tokens(T.tokens("text"), 2)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(15)
+    )
+
+
+_BIGRAMS_SQL = f"""
+    SELECT bigram, count(*) AS n FROM (
+        SELECT unnest({_sql_word_shingles_all(2)}) AS bigram FROM documents)
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 15
+"""
+
+
 def docs_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 terms by document frequency (distinct docs containing the
     term).  Explode of per-doc DISTINCT tokens -> one count shuffle with
@@ -1541,6 +1602,48 @@ _DOCS_SAMPLE_WEIGHTED_SQL = f"""
 
 
 # --- event funnels / retention ---------------------------------------------
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier report per event type: flag events more than 2.5
+    sample standard deviations from their type's mean value — the
+    monitoring pass an event pipeline runs continuously.  Per-type stats
+    are one tiny aggregate broadcast back to the scan (no second shuffle
+    of the fact stream); the gated output is the per-type outlier count
+    plus decimal-anchored outlier value volume, so the only float
+    comparison is the threshold itself (not a rounding grid).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "outlier_value_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type)
+    SELECT event_type, count(*) AS n_outliers,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS outlier_value_sum
+    FROM events JOIN stats USING (event_type)
+    WHERE abs((value - mu) / sd) > 2.5
+    GROUP BY event_type ORDER BY event_type
+"""
 
 
 def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2291,6 +2394,8 @@ QUERIES = {
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "dedup_incremental": dedup_incremental,
     "docs_topterms": docs_topterms,
+    "docs_bigrams": docs_bigrams,
+    "docs_quality_by_source": docs_quality_by_source,
     "docs_train_split": docs_train_split,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_sample_weighted": docs_sample_weighted,
@@ -2309,6 +2414,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
+    "events_anomaly": events_anomaly,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -2356,6 +2462,8 @@ ORACLE: dict[str, str] = {
     "dedup_simhash_clusters": _simhash_clusters_sql(),
     "dedup_incremental": _DEDUP_INCR_SQL,
     "docs_topterms": _DOCS_TOPTERMS_SQL,
+    "docs_bigrams": _BIGRAMS_SQL,
+    "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
     "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
@@ -2374,6 +2482,7 @@ ORACLE: dict[str, str] = {
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
+    "events_anomaly": _EVENTS_ANOMALY_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
