@@ -886,6 +886,47 @@ _EVENTS_ASOF_SQL = """
 """
 
 
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT purchase
+    (inclusive) — the other direction of the same union+running-last
+    operator (temporal.asof_join(direction="forward")); the attribution
+    query ("which purchase did this click lead to")."""
+    from codecdb_queryengine_spark.operators import temporal as TJ
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    j = TJ.asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", payload=["purchase_id"],
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "ts",
+        "purchase_id",
+        (F.unix_micros("ts_matched") - F.unix_micros("ts")).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+_EVENTS_ASOF_FWD_SQL = """
+    WITH c AS (SELECT user_id, event_id AS click_id, ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, min(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.user_id, click_id, c.ts, p.purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY click_id
+"""
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-range join: views by the same user within ±30 min of each
     error.  Bucketed candidate equi-join — at most two bins probed per
@@ -2429,6 +2470,7 @@ QUERIES = {
     "events_window": events_window,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
+    "events_asof_forward": events_asof_forward,
     "events_range_join": events_range_join,
     "events_stream_window": events_stream_window,
     "events_stream_totals": events_stream_totals,
@@ -2495,6 +2537,7 @@ ORACLE: dict[str, str] = {
     "events_window": _EVENTS_WINDOW_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "events_asof": _EVENTS_ASOF_SQL,
+    "events_asof_forward": _EVENTS_ASOF_FWD_SQL,
     "events_range_join": _EVENTS_RANGE_SQL,
     "events_stream_window": _EVENTS_STREAM_WINDOW_SQL,
     "events_stream_totals": _EVENTS_STREAM_TOTALS_SQL,
