@@ -118,3 +118,28 @@ def test_z_value_decodes_back_to_inputs(spark, pts):
         x = sum(((r.z >> (2 * b)) & 1) << b for b in range(8))
         y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(8))
         assert (x, y) == (r.x, r.y)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=side, right=side)
+def test_asof_join_forward_matches_pandas(spark, left, right):
+    left = list({(k, s): (k, s, v) for k, s, v in left}.values())
+    right = list({(k, s): (k, s, v) for k, s, v in right}.values())
+
+    ldf = spark.createDataFrame(_rows(left), "k int, ts timestamp, lv double")
+    rdf = spark.createDataFrame(_rows(right), "k int, ts timestamp, v double")
+    got = {
+        (r.k, r.ts): r.v
+        for r in temporal.asof_join(
+            ldf, rdf, ["k"], "ts", ["v"], direction="forward"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(_rows(left), columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(_rows(right), columns=["k", "ts", "v"]).sort_values("ts")
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    exp = {
+        (int(r.k), r.ts.to_pydatetime()): (None if pd.isna(r.v) else float(r.v))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
