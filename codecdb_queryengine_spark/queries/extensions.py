@@ -957,6 +957,40 @@ _EQUIDEPTH_SQL = """
 """
 
 
+def q14_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 through the plan builder — the FilterTransformJoin shape
+    (cpp/src/lqf/join.h:201-214, tpch/query14.cc): filtered fact rows join
+    the broadcast dimension and each matched row is TRANSFORMED into its
+    promo/non-promo contribution, folded by one keyless agg.  In the
+    builder vocabulary: scan → filter → join(broadcast) → agg with the
+    when/otherwise transform inline."""
+    from pyspark.sql import functions as FX
+
+    from codecdb_queryengine_spark.plans.builder import Plan
+    from codecdb_queryengine_spark.queries.tpch import _ts
+
+    t = load_tables(spark, sf_dir)
+    disc = FX.col("l_extendedprice") * (1 - FX.col("l_discount"))
+    return (
+        Plan.scan(t["lineitem"])
+        .filter(
+            (FX.col("l_shipdate") >= _ts("1996-09-01"))
+            & (FX.col("l_shipdate") < _ts("1996-10-01"))
+        )
+        .join(t["part"], FX.col("l_partkey") == FX.col("p_partkey"), broadcast=True)
+        .agg(
+            (
+                FX.lit(100.0)
+                * FX.sum(
+                    FX.when(FX.col("p_type").startswith("PROMO"), disc).otherwise(0.0)
+                )
+                / FX.sum(disc)
+            ).alias("promo_revenue")
+        )
+        .done()
+    )
+
+
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
@@ -1073,6 +1107,7 @@ QUERIES = {
     "q17_plan": q17_plan,
     "q21_plan": q21_plan,
     "q13_plan": q13_plan,
+    "q14_plan": q14_plan,
     "ssb_q2_1_plan": ssb_q2_1_plan,
     "ext_cube": ext_cube,
     "ext_window_funcs": ext_window_funcs,
@@ -1106,6 +1141,7 @@ ORACLE: dict[str, str] = {
     "q17_plan": _TPCH_ORACLE["q17"],
     "q21_plan": _TPCH_ORACLE["q21"],
     "q13_plan": _TPCH_ORACLE["q13"],
+    "q14_plan": _TPCH_ORACLE["q14"],
     "ssb_q2_1_plan": _SSB_ORACLE["ssb_q2_1"],
     "ext_cube": _CUBE_SQL,
     "ext_window_funcs": _WINDOW_SQL,
