@@ -58,6 +58,7 @@ def bucket_verified_pairs(
     payload_col: str,
     bucket_cols: Sequence[str],
     verify_sql: str,
+    keep_sql: str = "p.keep",
 ) -> DataFrame:
     """bucket_candidate_pairs with the verification fused INTO the
     per-bucket expansion: each bucket row carries (id, payload); pairs are
@@ -75,17 +76,22 @@ def bucket_verified_pairs(
 
     verify_sql: a SQL expression over `a`/`b` structs returning a struct
     that MUST contain `id_a`, `id_b`, plus any verified columns, e.g.
-    ``struct(a.id AS id_a, b.id AS id_b, bit_count(a.p ^ b.p) AS hamming)``
-    with the keep-predicate appended via `verify_pred` (over `p`).
+    ``struct(a.id AS id_a, b.id AS id_b, bit_count(a.p ^ b.p) AS hamming)``.
+    keep_sql: the keep-predicate over the emitted struct `p` (default: a
+    boolean `keep` field inside the struct).  Expressing the predicate
+    over an EMITTED field (e.g. ``p.edits >= 0``) lets an expensive
+    verification value be computed once — HOF lambdas are interpreted
+    with no common-subexpression elimination, so a predicate that repeats
+    the verify expression doubles its cost.
     """
     pairs = F.explode(
         F.expr(
             "flatten(transform(xs, (a, i) -> "
             f"filter(transform(slice(xs, i + 2, size(xs)), b -> {verify_sql}), "
-            "p -> p.id_a <> p.id_b AND p.keep)))"
+            f"p -> p.id_a <> p.id_b AND ({keep_sql}))))"
         )
     )
-    return (
+    out = (
         bk.groupBy(*bucket_cols)
         .agg(
             F.sort_array(
@@ -95,6 +101,7 @@ def bucket_verified_pairs(
         .filter(F.size("xs") >= 2)
         .select(pairs.alias("p"))
         .select("p.*")
-        .drop("keep")
-        .distinct()
     )
+    if "keep" in out.columns:
+        out = out.drop("keep")
+    return out.distinct()

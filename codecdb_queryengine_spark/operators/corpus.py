@@ -248,3 +248,45 @@ def redact(
         F.length(red).cast("long").alias("red_len"),
         F.md5(red).alias("red_md5"),
     )
+
+
+def lm_scores(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram-LM mean surprisal (-log2 p(token) under the
+    corpus's own MLE unigram model) — the KenLM-style perplexity proxy a
+    quality filter thresholds on.
+
+    Cross-engine float discipline: per-token surprisal is quantized to
+    integer micro-bits (round(1e6·log2(total/cnt))) BEFORE the per-doc
+    sum, so the sum is a BIGINT — order-free across engines — and the
+    mean is one exact IEEE division chain.
+
+    Scale: one vocabulary-sized count shuffle broadcast back to the token
+    stream, a 1-row total broadcast, and one keyed per-doc aggregation
+    with map-side combine.  Output: (id_col, n_tokens, bits_micro,
+    avg_bits).
+    """
+    tok = df.select(F.col(id_col), F.explode(T.tokens(content_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    term_surp = (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "surp_micro",
+            F.round(
+                F.lit(1e6) * F.log2(F.col("total").cast("double") / F.col("cnt"))
+            ).cast("long"),
+        )
+        .select("term", "surp_micro")
+    )
+    return (
+        tok.join(F.broadcast(term_surp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surp_micro").alias("bits_micro"),
+        )
+        .withColumn(
+            "avg_bits",
+            F.col("bits_micro").cast("double") / F.col("n_tokens") / F.lit(1e6),
+        )
+    )

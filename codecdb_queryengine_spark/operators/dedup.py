@@ -459,12 +459,15 @@ def fuzzy_pairs(
     ).filter(F.col("block").isNotNull() & (F.col("block") != ""))
     from codecdb_queryengine_spark.operators.bucketing import bucket_verified_pairs
 
+    # bounded levenshtein computed ONCE: the keep-predicate reads the
+    # emitted field (-1 = past the bound) instead of re-running the DP
     verify = (
         "struct(a.id AS id_a, b.id AS id_b, "
-        f"CAST(levenshtein(a.p, b.p, {int(max_edits)}) AS BIGINT) AS edits, "
-        f"levenshtein(a.p, b.p, {int(max_edits)}) >= 0 AS keep)"
+        f"CAST(levenshtein(a.p, b.p, {int(max_edits)}) AS BIGINT) AS edits)"
     )
-    return bucket_verified_pairs(bk, "fz_id", "prefix", ["block"], verify)
+    return bucket_verified_pairs(
+        bk, "fz_id", "prefix", ["block"], verify, keep_sql="p.edits >= 0"
+    )
 
 
 def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:

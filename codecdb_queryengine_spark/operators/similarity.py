@@ -450,6 +450,11 @@ def pq_topk(
     ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])).alias("m")
     if codebooks is not None:
         cbm = codebooks
+        # The ADC map key is m·K + c_id; a K smaller than the frame's
+        # actual codeword count would alias adjacent subspaces' entries
+        # and silently corrupt every score — derive K from the frame
+        # (tiny by construction: num_subspaces·K rows).
+        num_codewords = codebooks.agg(F.max("c_id")).first()[0] + 1
     else:
         cbm = (
             vectors.filter(

@@ -110,17 +110,21 @@ def heavy_hitters(
        item stream against the distinct candidate set, then one small
        groupBy), filtered by the exact threshold count ≥ ceil(r·N).
 
-    The result is therefore EXACT (a plain GROUP BY ... HAVING oracle),
-    but the only shuffles move candidate rows — O(partitions/r) keys —
-    instead of the whole vocabulary.  The Misra-Gries-style bound: each
-    partition emits < 1/r items, so the candidate set is ≤ partitions/r
-    regardless of corpus size.
+    The result is therefore EXACT over non-NULL items (NULLs are excluded
+    from both candidates and the total, matching GROUP BY ... HAVING over
+    `WHERE item IS NOT NULL`); the only shuffles move candidate rows —
+    O(partitions/r) keys — instead of the whole vocabulary.  The
+    Misra-Gries-style bound: each partition emits < 1/r items, so the
+    candidate set is ≤ partitions/r regardless of corpus size — small
+    enough that the single candidate pass also carries the partition row
+    counts and is collected driver-side (a bounded scalar-probe-style
+    action), making the whole operator TWO passes over the items: one for
+    candidates+N, one for the exact recount.
     """
     import pandas as pd
 
     spark = items.sparkSession
-    n_total = items.count()
-    threshold = -(-ratio * n_total // 1)  # ceil
+    items = items.filter(F.col(item_col).isNotNull())
 
     def local_heavy(batches):
         counts: dict = {}
@@ -130,16 +134,24 @@ def heavy_hitters(
             n += len(pdf)
             for k, v in vc.items():
                 counts[k] = counts.get(k, 0) + int(v)
-        if n:
-            # one-count slack so float rounding of ratio·n can never drop a
-            # boundary item — the exact global recount re-filters anyway
-            out = [k for k, v in counts.items() if v >= ratio * n - 1]
-            yield pd.DataFrame({item_col: out})
+        # one-count slack so float rounding of ratio·n can never drop a
+        # boundary item — the exact global recount re-filters anyway; the
+        # n_rows row rides along so N needs no separate pass
+        out = [k for k, v in counts.items() if v >= ratio * n - 1]
+        yield pd.DataFrame(
+            {item_col: out + [None], "n_rows": [0] * len(out) + [n]}
+        )
 
     item_type = items.schema[item_col].dataType.simpleString()
-    cand = items.mapInPandas(
-        local_heavy, schema=f"{item_col} {item_type}"
-    ).distinct()
+    collected = items.mapInPandas(
+        local_heavy, schema=f"{item_col} {item_type}, n_rows long"
+    ).collect()
+    n_total = sum(r["n_rows"] for r in collected)
+    threshold = -(-ratio * n_total // 1)  # ceil
+    cand_values = sorted({r[item_col] for r in collected if r[item_col] is not None})
+    cand = spark.createDataFrame(
+        [(v,) for v in cand_values], f"{item_col} {item_type}"
+    )
     return (
         items.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)
@@ -150,7 +162,11 @@ def heavy_hitters(
 
 
 def grouped_topk(
-    df: DataFrame, group_cols: list, order_col: str, k: int = 3
+    df: DataFrame,
+    group_cols: list,
+    order_col: str,
+    k: int = 3,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k rows per group WITHOUT shuffling whole groups — the
     two-phase pattern next to heavy_hitters:
@@ -162,8 +178,9 @@ def grouped_topk(
        top-k.
     2. global: one window over the surviving ≤ k·partitions rows per
        group — not the full group — ranked by (order_col DESC, tie_col
-       ASC), where tie_col is the frame's first non-group non-order
-       column (pass an id-like column there for determinism).
+       ASC).  `tie_col` defaults to the frame's first non-group non-order
+       column; pass an id-like column explicitly for determinism.  NULL
+       group keys form their own group (matching the window oracle).
 
     Result is EXACT when (order_col, tie_col) totally orders each group's
     rows — the same (order, tie) ranking is applied locally and globally,
@@ -176,17 +193,24 @@ def grouped_topk(
 
     from pyspark.sql import Window
 
-    cols = df.columns
-    tie_col = next(c for c in cols if c not in group_cols and c != order_col)
+    if tie_col is None:
+        candidates = [c for c in df.columns if c not in group_cols and c != order_col]
+        if not candidates:
+            raise ValueError(
+                "grouped_topk needs a tie-break column besides the group/order "
+                "columns; pass tie_col or include an id-like column"
+            )
+        tie_col = candidates[0]
 
     def local_topk(batches):
         acc = None
         for pdf in batches:
             acc = pdf if acc is None else pd.concat([acc, pdf])
-            # keep the running candidate set bounded per batch
+            # keep the running candidate set bounded per batch; NULL group
+            # keys must survive (dropna=False) to match the window oracle
             acc = (
                 acc.sort_values([order_col, tie_col], ascending=[False, True])
-                .groupby(group_cols, sort=False)
+                .groupby(group_cols, sort=False, dropna=False)
                 .head(k)
             )
         if acc is not None:

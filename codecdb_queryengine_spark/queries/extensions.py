@@ -738,9 +738,10 @@ def ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) low
     bits — the layout pass sources/layout.zorder_write sorts by before
     writing, so parquet min/max stats prune on BOTH columns.  The gated
-    result aggregates rows into 16 coarse z-cells (top 4 interleaved
-    bits): it exercises the full interleave on every lineitem row while
-    keeping the compared output O(cells).
+    result aggregates rows into coarse z-cells (the 16-bit interleave's
+    top 6 bits, i.e. up to 64 cells — fewer where the key ranges leave
+    high bits empty): it exercises the full interleave on every lineitem
+    row while keeping the compared output O(cells).
 
     Plan: one scan + projection (the z-value is pure shift/mask
     arithmetic in whole-stage codegen), one 16-group aggregation.

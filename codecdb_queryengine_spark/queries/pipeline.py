@@ -1380,48 +1380,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus quality filter runs: per document, the mean surprisal
     (-log2 p(token)) under the corpus's own MLE unigram model.  High mean
     surprisal = rare-token-heavy (gibberish / boilerplate-stripped) docs.
-
-    Cross-engine float discipline (the ssb._money_sum / dedup_embedding
-    lesson): per-token surprisal is quantized to integer micro-bits
-    (round(1e6·log2(total/cnt))) BEFORE the per-doc sum, so the sum is a
-    BIGINT — order-free across engines — and the mean is one exact IEEE
-    division chain.  log2 of the same double is last-ulp-identical here
-    because both engines compute it from the same rational total/cnt
-    (empirically pinned by the gate; a boundary hit needs the log to land
-    within ~1e-10 of a .5 micro-unit — vanishing for the vocab-sized set
-    of distinct counts).
-
-    Scale: one (term) count shuffle (vocab-sized result, broadcast back),
-    total-token count is a 1-row broadcast, per-doc agg is one keyed
-    shuffle with map-side combine.
+    Implementation + float discipline: operators/corpus.lm_scores (the
+    same operator the incremental-ingest example composes).
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
-    term_surp = (
-        counts.join(F.broadcast(total))
-        .withColumn(
-            "surp_micro",
-            F.round(
-                F.lit(1e6) * F.log2(F.col("total").cast("double") / F.col("cnt"))
-            ).cast("long"),
-        )
-        .select("term", "surp_micro")
-    )
-    return (
-        tok.join(F.broadcast(term_surp), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("surp_micro").alias("bits_micro"),
-        )
-        .withColumn(
-            "avg_bits",
-            F.col("bits_micro").cast("double") / F.col("n_tokens") / F.lit(1e6),
-        )
-        .orderBy("doc_id")
-    )
+    return C.lm_scores(docs, "text", "doc_id").orderBy("doc_id")
 
 
 _LM_SCORE_SQL = f"""

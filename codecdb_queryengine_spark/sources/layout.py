@@ -71,7 +71,25 @@ def zorder_write(
     the z-value, an in-partition sort, then a parquet write (the z column
     itself is dropped — it is derivable).  Files end up covering disjoint
     z-ranges, so min/max stats prune on every clustered column.
+
+    Every clustered column must fit in [0, 2^bits): values past the bit
+    budget would WRAP in the interleave (1024 → 0 at bits=10), silently
+    destroying the z-order ↔ column-order correlation the pruning promise
+    rests on — so the bounds are checked up front (one cheap aggregate)
+    and violations fail loudly; pre-bucket wide columns (e.g. `col % 2^b`
+    or `col div scale`) before clustering.
     """
+    bounds = df.agg(
+        *[F.min(c).alias(f"{c}__mn") for c in cols],
+        *[F.max(c).alias(f"{c}__mx") for c in cols],
+    ).first()
+    for c in cols:
+        lo, hi = bounds[f"{c}__mn"], bounds[f"{c}__mx"]
+        if lo is not None and (lo < 0 or hi >= 2**bits):
+            raise ValueError(
+                f"zorder_write column {c!r} spans [{lo}, {hi}] which exceeds "
+                f"the {bits}-bit budget [0, {2**bits}); pre-bucket it or raise bits"
+            )
     z = z_value([F.col(c) for c in cols], bits).alias("__z")
     zdf = df.withColumn("__z", z)
     if num_files:

@@ -33,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
-from codecdb_queryengine_spark.functions import text as T
 from codecdb_queryengine_spark.operators.membership import dedup_against_reference
 from codecdb_queryengine_spark.session import get_spark
 from codecdb_queryengine_spark.sources.layout import zorder_write
@@ -61,32 +60,14 @@ def ingest_shard(spark, sf_dir: str, out_dir: str):
     report.append(("after cross-shard dedup", fresh.count()))
 
     # --- unigram-LM quality scoring over the surviving shard --------------
-    tok = fresh.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
-    surp = counts.join(F.broadcast(total)).select(
-        "term",
-        F.round(F.lit(1e6) * F.log2(F.col("total").cast("double") / F.col("cnt")))
-        .cast("long")
-        .alias("surp_micro"),
-    )
-    scored = (
-        tok.join(F.broadcast(surp), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("surp_micro").cast("double") / F.count(F.lit(1)) / 1e6).alias(
-                "avg_bits"
-            ),
-        )
-    )
+    from codecdb_queryengine_spark.operators.corpus import lm_scores
+
+    scored = lm_scores(fresh, "text", "doc_id")
     flagged = scored.filter(F.col("avg_bits") > 8.0)
     report.append(("flagged high-surprisal", flagged.count()))
 
     # --- clustered write --------------------------------------------------
-    final = fresh.join(scored, "doc_id").withColumn(
-        "n_tokens_c", F.col("n_tokens").cast("long")
-    )
+    final = fresh.join(scored, "doc_id")
     zorder_write(
         final.select("doc_id", "text", "lang", "n_chars", "n_tokens", "avg_bits"),
         ["n_chars", "n_tokens"],
