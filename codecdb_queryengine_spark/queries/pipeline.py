@@ -1183,6 +1183,66 @@ _DEDUP_INCR_SQL = """
 """
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-stage dedup funnel report — the summary a pipeline run
+    emits: corpus size, exact-distinct digests, canonical-distinct
+    digests, LSH-verified near-dup pairs, and near-dup clusters.  Each
+    metric is a 1-row aggregate of an already-gated stage; the union is
+    O(stages) rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("raw_docs").alias("stage"), F.col("n")
+    )
+    exact = (
+        docs.select(F.md5("text").alias("d")).distinct().agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("exact_distinct").alias("stage"), F.col("n"))
+    )
+    canonical = (
+        docs.select(F.md5(D.canonical_text("text")).alias("d")).distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("canonical_distinct").alias("stage"), F.col("n"))
+    )
+    pairs = D.minhash_verified_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("near_dup_pairs").alias("stage"), F.col("n")
+    )
+    from codecdb_queryengine_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, "id_a", "id_b")
+    n_clusters = (
+        cc.select("component").distinct().agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("near_dup_clusters").alias("stage"), F.col("n"))
+    )
+    return (
+        raw.unionByName(exact)
+        .unionByName(canonical)
+        .unionByName(n_pairs)
+        .unionByName(n_clusters)
+        .orderBy("stage")
+    )
+
+
+def _dedup_report_sql() -> str:
+    return f"""
+        WITH pairs AS ({_minhash_verified_sql()}),
+        cc AS ({_dedup_clusters_sql()})
+        SELECT 'raw_docs' AS stage, count(*) AS n FROM documents
+        UNION ALL
+        SELECT 'exact_distinct', count(DISTINCT md5(text)) FROM documents
+        UNION ALL
+        SELECT 'canonical_distinct',
+               count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) FROM documents
+        UNION ALL
+        SELECT 'near_dup_pairs', count(*) FROM pairs
+        UNION ALL
+        SELECT 'near_dup_clusters', count(DISTINCT cluster_id) FROM cc
+        ORDER BY stage
+    """
+
+
 # --- corpus term statistics ------------------------------------------------
 
 
@@ -2395,6 +2455,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_docs": dedup_keep_docs,
+    "dedup_report": dedup_report,
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "dedup_incremental": dedup_incremental,
     "docs_topterms": docs_topterms,
@@ -2464,6 +2525,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_keep_docs": _dedup_keep_sql(),
+    "dedup_report": _dedup_report_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),
     "dedup_incremental": _DEDUP_INCR_SQL,
     "docs_topterms": _DOCS_TOPTERMS_SQL,

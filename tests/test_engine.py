@@ -44,3 +44,13 @@ def test_cli_list(capsys):
     assert main(["list", "--prefix", "q1"]) == 0
     out = capsys.readouterr().out.split()
     assert "q1" in out and "q19" in out
+
+
+def test_cli_run_and_sql(capsys, sf_dir):
+    from codecdb_queryengine_spark.__main__ import main
+
+    assert main(["run", "q6", "--sf-dir", sf_dir, "-n", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "revenue" in out
+    assert main(["sql", "SELECT count(*) AS n FROM lineitem", "--sf-dir", sf_dir]) == 0
+    assert "n" in capsys.readouterr().out
