@@ -2198,13 +2198,19 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins the STATIC already-ingested corpus on content digest, so
     only never-seen documents land.
 
-    Stateless per microbatch: the stream-static left_anti join broadcasts
-    the reference digest set per batch (no state store, no watermark
-    needed), which is exactly the per-batch shape of the batch operator —
-    at 100 TB the static side is the membership.bloom_build broadcast +
-    confirm join instead of the full digest set.  Oracle: the batch
-    anti-join (same row set as dedup_incremental).
+    Stateless per microbatch, with the SAME bloom-prefilter shape as the
+    batch operator: the one-row bloom map broadcasts into the stream
+    (definite-new rows pass a pure map-side bit-test and never join), and
+    only bloom-positives pay the stream-static anti-join against the
+    digest set — so per microbatch the dominant shard stream stays
+    map-side, exactly the membership.dedup_against_reference plan.  No
+    state store, no watermark.  Oracle: the batch anti-join (same row set
+    as dedup_incremental — the bloom's false positives are re-checked).
     """
+    from codecdb_queryengine_spark.operators.membership import (
+        bloom_build,
+        bloom_might_contain,
+    )
     from codecdb_queryengine_spark.streaming import events as E
 
     s1 = (
@@ -2224,7 +2230,22 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("digest"))
         .distinct()
     )
-    kept = new_shard.join(ref, "digest", "left_anti").select("doc_id", "digest")
+    num_bits, num_hashes = 1 << 16, 5
+    bloom = bloom_build(ref, "digest", num_bits, num_hashes)
+    probed = new_shard.join(F.broadcast(bloom)).withColumn(
+        "__maybe",
+        bloom_might_contain(F.col("bloom"), F.col("digest"), num_bits, num_hashes),
+    )
+    definite_new = probed.filter(~F.coalesce(F.col("__maybe"), F.lit(False))).select(
+        "doc_id", "digest"
+    )
+    confirmed_new = (
+        probed.filter(F.col("__maybe"))
+        .select("doc_id", "digest")
+        .join(ref, "digest", "left_anti")
+        .select("doc_id", "digest")
+    )
+    kept = definite_new.unionByName(confirmed_new)
     res = E.run_to_memory(kept, "q_docs_stream_ingest", output_mode="append")
     return res.orderBy("doc_id")
 
