@@ -2250,6 +2250,75 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("doc_id")
 
 
+def docs_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document quality scoring: the docs file stream scored
+    row-wise with the same expression-only quality/langid functions the
+    batch queries use (stateless append — scan-side scoring is exactly
+    the shape that keeps a 100-TB ingest stream map-side), rolled up per
+    language batch-side after the drain.  Oracle: the batch twin."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    stream = E.read_table_stream(spark, sf_dir, "documents")
+    scored = stream.select(
+        "doc_id",
+        "lang",
+        T.quality_score("text").cast("decimal(18,6)").alias("q"),
+    )
+    res = E.run_to_memory(scored, "q_docs_stream_quality", output_mode="append")
+    return (
+        res.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q").cast("double").alias("quality_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DOCS_STREAM_QUALITY_SQL = f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CAST(
+               0.3 * least({_SQL_NTOK} / 64.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
+             + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
+             + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0))
+           AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def events_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring-in-stream: per-type mean/stddev computed ONCE from
+    the static (historical) events table broadcast into the live stream,
+    which flags z-score outliers row-wise — the production pattern of a
+    trained model scoring an unbounded stream (stateless append, no state
+    store; contrast events_anomaly, which is the batch training pass).
+    Gated output: per-type outlier count + decimal-anchored value volume,
+    equal to the batch computation since the stream replays the table."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    static = load_tables(spark, sf_dir)["events"]
+    stats = static.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    stream = E.read_events_stream(spark, sf_dir)
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_type", F.col("value").cast("decimal(18,4)").alias("v"))
+    )
+    res = E.run_to_memory(flagged, "q_events_stream_score", output_mode="append")
+    return (
+        res.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.sum("v").cast("double").alias("outlier_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing word 3-shingles
     with the held-out eval slice (doc_id % 23 == 0 stands in for the
@@ -2527,6 +2596,8 @@ QUERIES = {
     "events_stream_enrich": events_stream_enrich,
     "events_stream_rollup": events_stream_rollup,
     "docs_stream_ingest": docs_stream_ingest,
+    "docs_stream_quality": docs_stream_quality,
+    "events_stream_score": events_stream_score,
 }
 
 ORACLE: dict[str, str] = {
@@ -2595,4 +2666,6 @@ ORACLE: dict[str, str] = {
     "events_stream_enrich": _EVENTS_STREAM_ENRICH_SQL,
     "events_stream_rollup": _EVENTS_STREAM_ROLLUP_SQL,
     "docs_stream_ingest": _DEDUP_INCR_SQL,
+    "docs_stream_quality": _DOCS_STREAM_QUALITY_SQL,
+    "events_stream_score": _EVENTS_ANOMALY_SQL,
 }
