@@ -2319,6 +2319,88 @@ def events_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index ingestion: the embeddings file stream is
+    ENCODED in-stream — each vector assigned to its nearest IVF centroid
+    by a pure expression fold over the centroid model embedded as a
+    literal (the model-broadcast pattern: ~C·d floats, collected once
+    driver-side like every deployed scorer) — fully stateless append, no
+    state store, no join.  Rolled up to per-list counts batch-side after
+    the drain; oracle = the batch IVF assignment (same dot/|c| ranking
+    and min-c_id tie-break as similarity.ivf_topk).
+    """
+    from codecdb_queryengine_spark.streaming import events as E
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select("vec_id", "embedding").collect()
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("c_id"),
+                F.lit([float(x) for x in r.embedding]).alias("c_vec"),
+            )
+            for r in cents
+        ]
+    )
+
+    def sim_to(c):
+        return S.dot(F.col("embedding"), c["c_vec"]) / S.norm(c["c_vec"])
+
+    init = F.struct(
+        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("c_id")
+    )
+    # similarity computed ONCE per centroid (transform), then a cheap fold
+    # picks the argmax — HOF lambdas are interpreted with no CSE, so a
+    # fold whose predicate repeats the dot would pay it three times
+    sims = F.transform(
+        cent_lits,
+        lambda c: F.struct(sim_to(c).alias("sim"), c["c_id"].cast("long").alias("c_id")),
+    )
+    best = F.aggregate(
+        sims,
+        init,
+        lambda acc, s: F.when(
+            (s["sim"] > acc["sim"])
+            | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
+            s,
+        ).otherwise(acc),
+    )
+    stream = E.read_table_stream(spark, sf_dir, "embeddings")
+    encoded = stream.select(
+        F.col("vec_id").alias("n_id"), best["c_id"].alias("c_list")
+    )
+    res = E.run_to_memory(encoded, "q_emb_stream_encode", output_mode="append")
+    return (
+        res.groupBy("c_list")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("c_list")
+    )
+
+
+def _emb_stream_encode_sql(dim: int = 64, centroid_mod: int = 29) -> str:
+    def dotvc(va: str, vb: str) -> str:
+        return " + ".join(
+            f"CAST({va}[{d + 1}] AS DOUBLE) * CAST({vb}[{d + 1}] AS DOUBLE)"
+            for d in range(dim)
+        )
+
+    sim = f"({dotvc('v.embedding', 'c.c_vec')}) / sqrt({dotvc('c.c_vec', 'c.c_vec')})"
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {centroid_mod} = 0),
+        assign AS (
+            SELECT n_id, c_id AS c_list FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {sim} DESC, c.c_id ASC) AS r
+                FROM embeddings v CROSS JOIN cents c) WHERE r = 1)
+        SELECT c_list, count(*) AS n_vectors
+        FROM assign GROUP BY c_list ORDER BY c_list
+    """
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing word 3-shingles
     with the held-out eval slice (doc_id % 23 == 0 stands in for the
@@ -2598,6 +2680,7 @@ QUERIES = {
     "docs_stream_ingest": docs_stream_ingest,
     "docs_stream_quality": docs_stream_quality,
     "events_stream_score": events_stream_score,
+    "emb_stream_encode": emb_stream_encode,
 }
 
 ORACLE: dict[str, str] = {
@@ -2668,4 +2751,5 @@ ORACLE: dict[str, str] = {
     "docs_stream_ingest": _DEDUP_INCR_SQL,
     "docs_stream_quality": _DOCS_STREAM_QUALITY_SQL,
     "events_stream_score": _EVENTS_ANOMALY_SQL,
+    "emb_stream_encode": _emb_stream_encode_sql(),
 }
