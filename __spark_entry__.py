@@ -51,7 +51,7 @@ DRIVER_FIRST = [
     "sim_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "sim_ann_pq",  # similarity (4) -> 35
+    "sim_ann_ivfpq",  # similarity (4) -> 35
     "events_stream_window",
     "events_stream_totals",
     "events_stream_sessions",

@@ -992,6 +992,44 @@ def q14_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the profiling pass that decides whether a
+    key needs salting (operators/skew.py) before a shuffle join: for each
+    candidate lineitem join key, distinct-key count, the heaviest key's
+    row count, and the ideal-uniform row count (rows/keys) whose ratio to
+    max_rows is the skew factor.  One grouped count + one tiny aggregate
+    per key, unioned; integers only, so the gate is exact.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def profile(key: str) -> DataFrame:
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return per_key.agg(
+            F.lit(key).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("total_rows"),
+        )
+    out = profile("l_orderkey")
+    for k in ("l_partkey", "l_suppkey"):
+        out = out.unionByName(profile(k))
+    return out.orderBy("join_key")
+
+
+_JOIN_SKEW_SQL = """
+    SELECT 'l_orderkey' AS join_key, count(*) AS n_keys, max(n) AS max_rows,
+           sum(n) AS total_rows
+    FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'l_partkey', count(*), max(n), sum(n)
+    FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+    UNION ALL
+    SELECT 'l_suppkey', count(*), max(n), sum(n)
+    FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)
+    ORDER BY join_key
+"""
+
+
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
@@ -1100,6 +1138,7 @@ QUERIES = {
     "ext_profile": ext_profile,
     "ext_snapshot_diff": ext_snapshot_diff,
     "ext_corr": ext_corr,
+    "ext_join_skew": ext_join_skew,
     "ext_grouped_topk": ext_grouped_topk,
     "ext_equidepth_hist": ext_equidepth_hist,
     "ext_grouping_sets": ext_grouping_sets,
@@ -1134,6 +1173,7 @@ ORACLE: dict[str, str] = {
     "ext_profile": _profile_sql(),
     "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "ext_corr": _CORR_SQL,
+    "ext_join_skew": _JOIN_SKEW_SQL,
     "ext_grouped_topk": _GROUPED_TOPK_SQL,
     "ext_equidepth_hist": _EQUIDEPTH_SQL,
     "ext_grouping_sets": _GROUPING_SETS_SQL,

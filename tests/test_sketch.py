@@ -81,3 +81,40 @@ def test_grouped_topk_exact_vs_window_under_partitioning(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_topk_null_group_keys_match_window_oracle(spark):
+    rows = [(None if i % 3 == 0 else f"g{i % 2}", i, float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, id long, score double").repartition(8)
+    got = {
+        (r.g, r.rk, r.id)
+        for r in SK.grouped_topk(df, ["g"], "score", k=2, tie_col="id").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {
+        (r.g, r.rk, r.id)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter("rk <= 2")
+        .collect()
+    }
+    assert got == want
+    assert any(g is None for g, _, _ in got)  # the NULL group is present
+
+
+def test_grouped_topk_requires_tie_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, score double")
+    with pytest.raises(ValueError, match="tie"):
+        SK.grouped_topk(df, ["g"], "score", k=1)
+
+
+def test_heavy_hitters_excludes_nulls_from_items_and_total(spark):
+    # 60 NULLs + 40 'a': with NULLs excluded N=40, 'a' ratio=1.0 -> kept;
+    # NULL itself is never a result row
+    rows = [(None,)] * 60 + [("a",)] * 40
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+    got = {(r.term, r.cnt) for r in SK.heavy_hitters(df, "term", ratio=0.5).collect()}
+    assert got == {("a", 40)}
