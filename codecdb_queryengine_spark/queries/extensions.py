@@ -996,8 +996,8 @@ def ext_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report — the profiling pass that decides whether a
     key needs salting (operators/skew.py) before a shuffle join: for each
     candidate lineitem join key, distinct-key count, the heaviest key's
-    row count, and the ideal-uniform row count (rows/keys) whose ratio to
-    max_rows is the skew factor.  One grouped count + one tiny aggregate
+    row count, and the total row count — max_rows / (total_rows/n_keys)
+    is the skew factor.  One grouped count + one tiny aggregate
     per key, unioned; integers only, so the gate is exact.
     """
     li = load_tables(spark, sf_dir)["lineitem"]

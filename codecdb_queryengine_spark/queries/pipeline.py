@@ -304,13 +304,19 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_dedup(with_variants, "text", "doc_id").orderBy("keep_id")
 
 
-_DEDUP_CANONICAL_SQL = """
+# must mirror operators/dedup.canonical_text exactly (single source for
+# every oracle that canonicalizes)
+_SQL_CANONICAL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_DEDUP_CANONICAL_SQL = f"""
     WITH with_variants AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 10 = 0)
-    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                   ' +', ' ', 'g'))) AS digest,
+    SELECT md5({_SQL_CANONICAL}) AS digest,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM with_variants
     GROUP BY digest ORDER BY keep_id
@@ -1202,9 +1208,14 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("canonical_distinct").alias("stage"), F.col("n"))
     )
+    # persist the LSH+verify pair pipeline: connected_components eagerly
+    # checkpoints its edges at build time and the near_dup_pairs branch
+    # re-reads them at execution time — without the cache the dominant
+    # shingle+banding+Jaccard pass would run twice (the gate/bench clear
+    # caches between queries, so the entry lives only for this query)
     pairs = D.minhash_verified_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
-    )
+    ).persist()
     n_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("near_dup_pairs").alias("stage"), F.col("n")
     )
@@ -1233,8 +1244,7 @@ def _dedup_report_sql() -> str:
         SELECT 'exact_distinct', count(DISTINCT md5(text)) FROM documents
         UNION ALL
         SELECT 'canonical_distinct',
-               count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) FROM documents
+               count(DISTINCT md5({_SQL_CANONICAL})) FROM documents
         UNION ALL
         SELECT 'near_dup_pairs', count(*) FROM pairs
         UNION ALL
@@ -2207,10 +2217,7 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store, no watermark.  Oracle: the batch anti-join (same row set
     as dedup_incremental — the bloom's false positives are re-checked).
     """
-    from codecdb_queryengine_spark.operators.membership import (
-        bloom_build,
-        bloom_might_contain,
-    )
+    from codecdb_queryengine_spark.operators.membership import dedup_against_reference
     from codecdb_queryengine_spark.streaming import events as E
 
     s1 = (
@@ -2223,29 +2230,11 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    new_shard = s1.unionByName(s2).withColumn("digest", F.md5("text"))
-    ref = (
-        load_tables(spark, sf_dir)["documents"]
-        .filter(F.col("doc_id") % 5 == 0)
-        .select(F.md5("text").alias("digest"))
-        .distinct()
-    )
-    num_bits, num_hashes = 1 << 16, 5
-    bloom = bloom_build(ref, "digest", num_bits, num_hashes)
-    probed = new_shard.join(F.broadcast(bloom)).withColumn(
-        "__maybe",
-        bloom_might_contain(F.col("bloom"), F.col("digest"), num_bits, num_hashes),
-    )
-    definite_new = probed.filter(~F.coalesce(F.col("__maybe"), F.lit(False))).select(
-        "doc_id", "digest"
-    )
-    confirmed_new = (
-        probed.filter(F.col("__maybe"))
-        .select("doc_id", "digest")
-        .join(ref, "digest", "left_anti")
-        .select("doc_id", "digest")
-    )
-    kept = definite_new.unionByName(confirmed_new)
+    ref = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 5 == 0)
+    # the batch operator's plan is stream-compatible end to end (bloom
+    # broadcast + map-side bit test + stream-static anti-join on the
+    # bloom-positive slice) — ONE implementation serves both faces
+    kept = dedup_against_reference(s1.unionByName(s2), ref, "text", "doc_id")
     res = E.run_to_memory(kept, "q_docs_stream_ingest", output_mode="append")
     return res.orderBy("doc_id")
 
@@ -2365,7 +2354,11 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             s,
         ).otherwise(acc),
     )
-    stream = E.read_table_stream(spark, sf_dir, "embeddings")
+    # NULL embeddings would fold to the init sentinel while the oracle's
+    # NULLS-LAST ranking assigns a centroid — exclude them on both sides
+    stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     encoded = stream.select(
         F.col("vec_id").alias("n_id"), best["c_id"].alias("c_list")
     )
@@ -2395,7 +2388,8 @@ def _emb_stream_encode_sql(dim: int = 64, centroid_mod: int = 29) -> str:
                        row_number() OVER (
                            PARTITION BY v.vec_id
                            ORDER BY {sim} DESC, c.c_id ASC) AS r
-                FROM embeddings v CROSS JOIN cents c) WHERE r = 1)
+                FROM embeddings v CROSS JOIN cents c
+                WHERE v.embedding IS NOT NULL) WHERE r = 1)
         SELECT c_list, count(*) AS n_vectors
         FROM assign GROUP BY c_list ORDER BY c_list
     """
