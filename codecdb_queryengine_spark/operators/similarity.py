@@ -450,11 +450,13 @@ def pq_topk(
     ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])).alias("m")
     if codebooks is not None:
         cbm = codebooks
-        # The ADC map key is m·K + c_id; a K smaller than the frame's
-        # actual codeword count would alias adjacent subspaces' entries
-        # and silently corrupt every score — derive K from the frame
-        # (tiny by construction: num_subspaces·K rows).
-        num_codewords = codebooks.agg(F.max("c_id")).first()[0] + 1
+        # The ADC map key is m·K + c_id, so every codebook c_id must be
+        # < num_codewords or adjacent subspaces' entries alias and corrupt
+        # scores.  The caller passes K explicitly (pq_codebooks_kmeans can
+        # return FEWER centers per subspace — ids stay dense from 0, which
+        # only leaves unused key slots); no eager job runs at plan-build
+        # time (r3 ADVICE: the old max(c_id) probe was a surprising action
+        # inside a pure plan-building API).
     else:
         cbm = (
             vectors.filter(

@@ -115,15 +115,33 @@ def heavy_hitters(
     `WHERE item IS NOT NULL`); the only shuffles move candidate rows —
     O(partitions/r) keys — instead of the whole vocabulary.  The
     Misra-Gries-style bound: each partition emits < 1/r items, so the
-    candidate set is ≤ partitions/r regardless of corpus size — small
-    enough that the single candidate pass also carries the partition row
-    counts and is collected driver-side (a bounded scalar-probe-style
-    action), making the whole operator TWO passes over the items: one for
-    candidates+N, one for the exact recount.
+    candidate set is ≤ partitions/r regardless of corpus size.  Nothing is
+    collected driver-side: the candidate sliver persists as a DataFrame
+    (distinct → broadcast semi-join) and the total N rides as a broadcast
+    1-row aggregate, so the operator stays two distributed passes over the
+    items at any partition count — at 1e5 partitions × r=0.01 the old
+    driver collect was up to 1e7 rows; the broadcast sliver is the same
+    rows but never funnels through one process's memory as Python objects.
+
+    Threshold exactness: `count >= ceil(ratio·N)` for integer count is
+    equivalent to `count·denom >= num·N` with ratio = num/denom read as
+    EXACT DECIMAL (Fraction(str(ratio))) — pure BIGINT arithmetic, so a
+    binary-float product like 0.02·N landing just above an integer can
+    never shift the cut-off relative to a decimal-arithmetic oracle
+    (`HAVING cnt >= ceil(0.02 * total)` — DuckDB decimal-exact).
+
+    The candidate sliver is persist()ed (read twice: N + distinct); callers
+    holding the session long-term should `spark.catalog.clearCache()` after
+    materializing the result, as the gate/bench harnesses do.
     """
+    from fractions import Fraction
+
     import pandas as pd
 
-    spark = items.sparkSession
+    # str(ratio) recovers the user's decimal literal; Fraction of the raw
+    # binary float would encode the representation error into num/denom.
+    frac = Fraction(str(ratio))
+    num, denom = frac.numerator, frac.denominator
     items = items.filter(F.col(item_col).isNotNull())
 
     def local_heavy(batches):
@@ -143,20 +161,18 @@ def heavy_hitters(
         )
 
     item_type = items.schema[item_col].dataType.simpleString()
-    collected = items.mapInPandas(
+    local = items.mapInPandas(
         local_heavy, schema=f"{item_col} {item_type}, n_rows long"
-    ).collect()
-    n_total = sum(r["n_rows"] for r in collected)
-    threshold = -(-ratio * n_total // 1)  # ceil
-    cand_values = sorted({r[item_col] for r in collected if r[item_col] is not None})
-    cand = spark.createDataFrame(
-        [(v,) for v in cand_values], f"{item_col} {item_type}"
-    )
+    ).persist()  # bounded sliver, read twice (N + candidates); never collected
+    n_total = local.agg(F.sum("n_rows").alias("n_total"))
+    cand = local.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     return (
         items.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= F.lit(int(threshold)))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * F.lit(denom) >= F.lit(num) * F.col("n_total"))
+        .drop("n_total")
         .orderBy(F.col("cnt").desc(), F.col(item_col).asc())
     )
 
@@ -188,6 +204,15 @@ def grouped_topk(
     row_number is its oracle.  Shuffle volume is k·partitions rows per
     group instead of the whole group — the difference between ranking
     inside a 1e9-row group and a k·partitions sliver of it.
+
+    NULL/NaN order or tie values rank differently in pandas (always last)
+    than in the Spark window (NULL first under asc / NaN first under desc),
+    and a float64 pandas column cannot even distinguish NULL from NaN — so
+    the local phase never prunes such rows: every row whose order/tie value
+    is NA passes through to the global window, which applies the one true
+    (Spark) ordering.  The k·partitions shuffle bound therefore assumes NA
+    order/tie values are rare; with many NA rows results stay exact but the
+    sliver grows by their count.
     """
     import pandas as pd
 
@@ -204,7 +229,12 @@ def grouped_topk(
 
     def local_topk(batches):
         acc = None
+        na_rows = []
         for pdf in batches:
+            na_mask = pdf[order_col].isna() | pdf[tie_col].isna()
+            if na_mask.any():
+                na_rows.append(pdf[na_mask])
+                pdf = pdf[~na_mask]
             acc = pdf if acc is None else pd.concat([acc, pdf])
             # keep the running candidate set bounded per batch; NULL group
             # keys must survive (dropna=False) to match the window oracle
@@ -213,8 +243,9 @@ def grouped_topk(
                 .groupby(group_cols, sort=False, dropna=False)
                 .head(k)
             )
-        if acc is not None:
-            yield acc
+        out = ([] if acc is None else [acc]) + na_rows
+        if out:
+            yield pd.concat(out)
 
     schema = df.schema
     cand = df.mapInPandas(local_topk, schema=schema)

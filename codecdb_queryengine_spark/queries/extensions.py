@@ -99,38 +99,84 @@ _WINDOW_SQL = """
 def ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution statistics per return flag: stddev, variance, median.
 
+    Cross-engine float discipline (r3 driver red, What's wrong #1): built-in
+    var_samp is a streaming central-moment fold whose summation order no
+    oracle can mirror, so the moments are anchored exactly — prices are
+    cent-quantized, so sum and sum-of-squares over DECIMAL(18,2) are exact
+    integers-in-disguise in BOTH engines — and the variance is one identical
+    double expression over those exact inputs:
+    (ss - s*s/n) / (n-1).  Exact percentile interpolation follows Spark's
+    own formula ((hi-pos)*lo_val + (pos-lo)*hi_val), which the oracle
+    restates verbatim over order statistics.
+
     Scale note: exact `percentile` collects per-group values and is kept
     here to stay oracle-exact; the 100-TB form swaps in
-    `percentile_approx` (t-digest, mergeable partial aggregation).
+    `percentile_approx` (t-digest, mergeable partial aggregation), and the
+    decimal anchor is itself the scale-grade answer for the moments — the
+    sums are order-free, so a 1000-executor merge is bit-deterministic.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_ss"),
+        # one percentile() call with both fractions: the per-group value
+        # buffer is built and sorted ONCE, not once per quantile
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_pcts"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return base.select(
+        "l_returnflag",
+        F.sqrt(var).alias("price_stddev"),
+        var.alias("price_var"),
+        F.col("_pcts")[0].alias("price_median"),
+        F.col("_pcts")[1].alias("price_p95"),
+    ).orderBy("l_returnflag")
+
+
+def _stats_pct(q: str, lo: str, hi: str) -> str:
+    """Spark Percentile.getPercentile mirror: pos = q*(n-1);
+    (hi-pos)*lo_val + (pos-lo)*hi_val, collapse when pos is integral."""
+    pos = f"({q} * CAST(n - 1 AS DOUBLE))"
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.stddev_samp("l_extendedprice").alias("price_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
-            # one percentile() call with both fractions: the per-group value
-            # buffer is built and sorted ONCE, not once per quantile
-            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_pcts"),
-        )
-        .select(
-            "l_returnflag",
-            "price_stddev",
-            "price_var",
-            F.col("_pcts")[0].alias("price_median"),
-            F.col("_pcts")[1].alias("price_p95"),
-        )
-        .orderBy("l_returnflag")
+        f"CASE WHEN floor({pos}) = ceil({pos}) THEN {lo} "
+        f"ELSE (ceil({pos}) - {pos}) * {lo} + ({pos} - floor({pos})) * {hi} END"
     )
 
 
-_STATS_SQL = """
+_STATS_SQL = f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    g AS (
+        SELECT l_returnflag,
+               max(n) AS n,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+               max(CASE WHEN rn = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS m_lo,
+               max(CASE WHEN rn = CAST(ceil(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS m_hi,
+               max(CASE WHEN rn = CAST(floor(0.95 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS p_lo,
+               max(CASE WHEN rn = CAST(ceil(0.95 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS p_hi
+        FROM ranked GROUP BY l_returnflag)
     SELECT l_returnflag,
-           stddev_samp(l_extendedprice) AS price_stddev,
-           var_samp(l_extendedprice) AS price_var,
-           quantile_cont(l_extendedprice, 0.5) AS price_median,
-           quantile_cont(l_extendedprice, 0.95) AS price_p95
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             AS price_stddev,
+           (ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+             AS price_var,
+           {_stats_pct('0.5', 'm_lo', 'm_hi')} AS price_median,
+           {_stats_pct('0.95', 'p_lo', 'p_hi')} AS price_p95
+    FROM g ORDER BY l_returnflag
 """
 
 
@@ -465,7 +511,7 @@ def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q3; proves the builder vocabulary composes to the identical result.
     """
     from codecdb_queryengine_spark.plans.builder import Plan
-    from codecdb_queryengine_spark.queries.tpch import _ts
+    from codecdb_queryengine_spark.queries.tpch import _msum, _ts
 
     t = load_tables(spark, sf_dir)
     cust = Plan.scan(t["customer"], ["c_custkey", "c_mktsegment"]).filter(
@@ -482,7 +528,7 @@ def q3_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             by=["l_orderkey", "o_orderdate", "o_orderpriority"],
         )
         .topk(10, F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
@@ -592,7 +638,10 @@ def q17_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.join(avg_q, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
         .done()
     )
     return out
@@ -1018,13 +1067,13 @@ def ext_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_SKEW_SQL = """
     SELECT 'l_orderkey' AS join_key, count(*) AS n_keys, max(n) AS max_rows,
-           sum(n) AS total_rows
+           CAST(sum(n) AS BIGINT) AS total_rows
     FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
     UNION ALL
-    SELECT 'l_partkey', count(*), max(n), sum(n)
+    SELECT 'l_partkey', count(*), max(n), CAST(sum(n) AS BIGINT)
     FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
     UNION ALL
-    SELECT 'l_suppkey', count(*), max(n), sum(n)
+    SELECT 'l_suppkey', count(*), max(n), CAST(sum(n) AS BIGINT)
     FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)
     ORDER BY join_key
 """
@@ -1033,31 +1082,69 @@ _JOIN_SKEW_SQL = """
 def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation and
     sample covariance between quantity and extended price (the classic
-    correlated-columns pair), plus the regression slope derived from
-    them.  Single-pass algebraic aggregates (Welford-style merge states),
-    map-side combinable — the same scale shape as sum/avg."""
+    correlated-columns pair), plus the regression slope derived from them.
+
+    Cross-engine float discipline (the ext_stats treatment): built-in
+    corr/covar are streaming central-moment folds whose merge order no
+    oracle can mirror, so the five raw moments are aggregated EXACTLY over
+    DECIMAL(18,2) (quantity is integral, price cent-quantized — products
+    stay exact decimals) and the statistics are one identical double
+    expression over them on both engines.  Still single-pass, map-side
+    combinable — decimal sums are associative, the 100-TB-determinism
+    bonus of the anchor.
+    """
     li = load_tables(spark, sf_dir)["lineitem"]
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-            (
-                F.covar_samp("l_quantity", "l_extendedprice")
-                / F.var_samp("l_quantity")
-            ).alias("regr_slope"),
-        )
-        .orderBy("l_returnflag")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
     )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    covar = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
+    return base.select(
+        "l_returnflag",
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("qty_price_corr"),
+        covar.alias("qty_price_covar"),
+        (covar / var_x).alias("regr_slope"),
+    ).orderBy("l_returnflag")
 
 
 _CORR_SQL = """
+    WITH g AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice) AS qty_price_corr,
-           covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-           covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)
+           ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+             AS qty_price_corr,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+             AS qty_price_covar,
+           ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             / ((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
              AS regr_slope
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM g ORDER BY l_returnflag
 """
 
 

@@ -478,16 +478,28 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, _query_vectors(emb), k=_TOP_K)
 
 
+# The cosine mirrors operators/similarity.cosine_pre bit-for-bit: unrolled
+# left-assoc double dot + sqrt-of-dot norms, dot / (q_nrm * n_nrm).  DuckDB's
+# list_cosine_similarity computes in FLOAT32 (~1e-8 off the engine's double
+# fold — measured r3 driver red); the expression mirror is the same cure
+# that fixed dedup_embedding in r3.
 _SIM_TOPK_SQL = f"""
-    SELECT q_id, n_id, cosine, rk FROM (
+    WITH nv AS (
+        SELECT vec_id, embedding,
+               sqrt({_sql_dot('embedding', 'embedding', 64)}) AS nrm
+        FROM embeddings),
+    pairs AS (
         SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-               list_cosine_similarity(q.embedding, n.embedding) AS cosine,
-               CAST(row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-                            n.vec_id ASC) AS BIGINT) AS rk
-        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+               ({_sql_dot('q.embedding', 'n.embedding', 64)}) / (q.nrm * n.nrm)
+                 AS cosine
+        FROM nv q JOIN nv n ON q.vec_id <> n.vec_id
         WHERE q.vec_id < {_N_QUERIES})
+    SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rk
+        FROM pairs)
     WHERE rk <= {_TOP_K}
 """
 
@@ -512,19 +524,26 @@ def _ann_sql(dim: int = 64, planes: int = 6) -> str:
             f"CASE WHEN ({proj(p, col)}) >= 0 THEN {2**p} ELSE 0 END" for p in range(planes)
         )
 
+    # cosine = unrolled-double mirror of cosine_pre (DuckDB's
+    # list_cosine_similarity is FLOAT32 and version-dependent; see
+    # _SIM_TOPK_SQL)
     return f"""
         WITH sigs AS (
-            SELECT vec_id, embedding, CAST({sig('embedding')} AS BIGINT) AS bucket
-            FROM embeddings)
-        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT vec_id, embedding, CAST({sig('embedding')} AS BIGINT) AS bucket,
+                   sqrt({_sql_dot('embedding', 'embedding', dim)}) AS nrm
+            FROM embeddings),
+        pairs AS (
             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-                   list_cosine_similarity(q.embedding, n.embedding) AS cosine,
-                   CAST(row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-                                n.vec_id ASC) AS BIGINT) AS rk
+                   ({_sql_dot('q.embedding', 'n.embedding', dim)}) / (q.nrm * n.nrm)
+                     AS cosine
             FROM sigs q JOIN sigs n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
             WHERE q.vec_id < {_N_QUERIES})
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT q_id, n_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rk
+            FROM pairs)
         WHERE rk <= {_TOP_K}
     """
 
@@ -535,40 +554,52 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, centroid_mod=29, nprobe=2)
 
 
-def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2) -> str:
+def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2, dim: int = 64) -> str:
+    """Mirrors operators/similarity.ivf_topk expression-for-expression:
+    assignment/probe rank dot(v,c)/sqrt(dot(c,c)) and the in-list score is
+    dot/(q_nrm*n_nrm) — all unrolled left-assoc double folds (DuckDB's
+    list_cosine_similarity is FLOAT32; see _SIM_TOPK_SQL)."""
     return f"""
         WITH cents AS (
-            SELECT vec_id AS c_id, embedding AS c_vec
+            SELECT vec_id AS c_id, embedding AS c_vec,
+                   sqrt({_sql_dot('embedding', 'embedding', dim)}) AS c_norm
             FROM embeddings WHERE vec_id % {centroid_mod} = 0),
         assign AS (
             SELECT n_id, c_id FROM (
-                SELECT v.vec_id AS n_id, c.c_id,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.embedding, c.c_vec) DESC,
-                                    c.c_id ASC) AS r
-                FROM embeddings v, cents c) WHERE r = 1),
+                SELECT n_id, c_id, row_number() OVER (
+                           PARTITION BY n_id ORDER BY sim DESC, c_id ASC) AS r
+                FROM (
+                    SELECT v.vec_id AS n_id, c.c_id,
+                           ({_sql_dot('v.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
+                    FROM embeddings v, cents c)) WHERE r = 1),
         probe AS (
             SELECT q_id, c_id FROM (
-                SELECT q.vec_id AS q_id, c.c_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(q.embedding, c.c_vec) DESC,
-                                    c.c_id ASC) AS r
-                FROM embeddings q, cents c WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe}),
-        cand AS (
-            SELECT p.q_id, a.n_id FROM probe p JOIN assign a ON p.c_id = a.c_id
+                SELECT q_id, c_id, row_number() OVER (
+                           PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS r
+                FROM (
+                    SELECT q.vec_id AS q_id, c.c_id,
+                           ({_sql_dot('q.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
+                    FROM embeddings q, cents c
+                    WHERE q.vec_id < {_N_QUERIES})) WHERE r <= {nprobe}),
+        nv AS (
+            SELECT vec_id, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding', dim)}) AS nrm
+            FROM embeddings),
+        scored AS (
+            SELECT p.q_id, a.n_id,
+                   ({_sql_dot('q.embedding', 'n.embedding', dim)}) / (q.nrm * n.nrm)
+                     AS cosine
+            FROM probe p
+            JOIN assign a ON p.c_id = a.c_id
+            JOIN nv q ON q.vec_id = p.q_id
+            JOIN nv n ON n.vec_id = a.n_id
             WHERE p.q_id <> a.n_id)
         SELECT q_id, n_id, cosine, rk FROM (
-            SELECT c.q_id, c.n_id,
-                   list_cosine_similarity(q.embedding, n.embedding) AS cosine,
+            SELECT q_id, n_id, cosine,
                    CAST(row_number() OVER (
-                       PARTITION BY c.q_id
-                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-                                c.n_id ASC) AS BIGINT) AS rk
-            FROM cand c
-            JOIN embeddings q ON q.vec_id = c.q_id
-            JOIN embeddings n ON n.vec_id = c.n_id)
+                       PARTITION BY q_id
+                       ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
         WHERE rk <= {_TOP_K}
     """
 
@@ -616,7 +647,10 @@ def _pq_sql(
             FROM embeddings q CROSS JOIN ms CROSS JOIN cb
             WHERE q.vec_id < {_N_QUERIES}),
         scored AS (
-            SELECT q_id, n_id, sum(contrib) AS adc_micro
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas-style
+            -- consumers widen to float64 — a type-level hash hazard even
+            -- when every value matches; the engine emits BIGINT.
+            SELECT q_id, n_id, CAST(sum(contrib) AS BIGINT) AS adc_micro
             FROM codes JOIN adc USING (m, c_id)
             WHERE q_id <> n_id
             GROUP BY q_id, n_id)
@@ -732,7 +766,8 @@ def _ivf_pq_sql(
             JOIN cents cv ON cv.c_id = p.c_list
             CROSS JOIN ms CROSS JOIN rcbsrc r),
         scored AS (
-            SELECT a.q_id, c.n_id, sum(a.contrib) AS adc_micro
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT (see _pq_sql note)
+            SELECT a.q_id, c.n_id, CAST(sum(a.contrib) AS BIGINT) AS adc_micro
             FROM codes c
             JOIN adc a ON a.c_list = c.c_list AND a.m = c.m AND a.pq_c = c.pq_c
             WHERE a.q_id <> c.n_id
@@ -839,18 +874,27 @@ def _mm_ann_sql(dim: int = M.FEATURE_DIM) -> str:
         f"('0x' || substring(md5(text), {2 * i + 1}, 2))::INT / 256.0"
         for i in range(dim)
     )
+    # unrolled-double cosine mirror (see _SIM_TOPK_SQL); feature is a
+    # DOUBLE list so the mirror is the engine's exact fold
     return f"""
         WITH feats AS (
-            SELECT doc_id AS media_id, [{feat}] AS feature FROM documents)
-        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT doc_id AS media_id, [{feat}] AS feature FROM documents),
+        nv AS (
+            SELECT media_id, feature,
+                   sqrt({_sql_dot('feature', 'feature', dim)}) AS nrm
+            FROM feats),
+        pairs AS (
             SELECT q.media_id AS q_id, n.media_id AS n_id,
-                   list_cosine_similarity(q.feature, n.feature) AS cosine,
-                   CAST(row_number() OVER (
-                       PARTITION BY q.media_id
-                       ORDER BY list_cosine_similarity(q.feature, n.feature) DESC,
-                                n.media_id ASC) AS BIGINT) AS rk
-            FROM feats q JOIN feats n ON q.media_id <> n.media_id
+                   ({_sql_dot('q.feature', 'n.feature', dim)}) / (q.nrm * n.nrm)
+                     AS cosine
+            FROM nv q JOIN nv n ON q.media_id <> n.media_id
             WHERE q.media_id < 8)
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT q_id, n_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rk
+            FROM pairs)
         WHERE rk <= 3
     """
 
@@ -978,14 +1022,17 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 hour").getField("start").alias("window_start"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .orderBy("window_start", "event_type")
     )
 
 
 _EVENTS_WINDOW_SQL = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1035,7 +1082,7 @@ _EVENTS_SESSION_SQL = """
     per_session AS (
         SELECT user_id, session_idx, count(*) AS n_events
         FROM sid GROUP BY user_id, session_idx)
-    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+    SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
            max(n_events) AS max_session_events
     FROM per_session GROUP BY user_id ORDER BY user_id
 """
@@ -1112,7 +1159,7 @@ def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_keep_sql() -> str:
     return f"""
         WITH cc AS ({_dedup_clusters_sql()})
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
         GROUP BY lang ORDER BY lang
@@ -1211,26 +1258,30 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the LSH+verify pair pipeline: connected_components eagerly
     # checkpoints its edges at build time and the near_dup_pairs branch
     # re-reads them at execution time — without the cache the dominant
-    # shingle+banding+Jaccard pass would run twice (the gate/bench clear
-    # caches between queries, so the entry lives only for this query)
+    # shingle+banding+Jaccard pass would run twice.  The report is a
+    # five-scalar funnel, so the two pair-derived counts are materialized
+    # HERE and the cache released before returning — a library caller
+    # (Engine.query('dedup_report')) no longer leaks a cached pair
+    # pipeline into the session (r3 ADVICE).
     pairs = D.minhash_verified_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
     ).persist()
-    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("near_dup_pairs").alias("stage"), F.col("n")
-    )
     from codecdb_queryengine_spark.operators.graph import connected_components
 
     cc = connected_components(pairs, "id_a", "id_b")
-    n_clusters = (
-        cc.select("component").distinct().agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("near_dup_clusters").alias("stage"), F.col("n"))
+    try:
+        pair_count = pairs.count()
+        cluster_count = cc.select("component").distinct().count()
+    finally:
+        pairs.unpersist()
+    n_pairs = spark.createDataFrame(
+        [("near_dup_pairs", pair_count), ("near_dup_clusters", cluster_count)],
+        "stage string, n long",
     )
     return (
         raw.unionByName(exact)
         .unionByName(canonical)
         .unionByName(n_pairs)
-        .unionByName(n_clusters)
         .orderBy("stage")
     )
 
@@ -1259,35 +1310,42 @@ def _dedup_report_sql() -> str:
 def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus quality report — the rollup a data team reads
     after every ingest: doc count, char volume, and total quality score.
-    The quality sum is decimal-anchored (the ssb._money_sum discipline)
-    so the grouped float sum is order-free across engines; consumers
-    derive the mean as sum/n.
+
+    The quality sum is anchored in integer micro-units so the grouped sum
+    is order-free AND engine-free: floor(q·1e6 + 0.5) is computed over the
+    bit-identical per-row double in both engines (the double→DECIMAL cast
+    this replaces is knife-edged — Spark rounds the exact double, DuckDB
+    rounds a scaled double, and one boundary row flips the 6th decimal of
+    the group sum; observed on docs_stream_quality in the r4 exact sweep).
+    Consumers derive the mean as sum/n.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     return (
         docs.select(
             "source",
             "n_chars",
-            T.quality_score("text").cast("decimal(18,6)").alias("q"),
+            F.floor(T.quality_score("text") * F.lit(1e6) + F.lit(0.5)).alias("qm"),
         )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.sum("q").cast("double").alias("quality_sum"),
+            (F.sum("qm").cast("double") / F.lit(1e6)).alias("quality_sum"),
         )
         .orderBy("source")
     )
 
 
+_SQL_QUALITY = f"""(
+    0.3 * least({_SQL_NTOK} / 64.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
+  + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
+  + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0)))"""
+
 _QUALITY_BY_SOURCE_SQL = f"""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           CAST(sum(CAST(
-               0.3 * least({_SQL_NTOK} / 64.0, 1.0)
-             + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
-             + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
-             + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0))
-           AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(sum(CAST(floor({_SQL_QUALITY} * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS quality_sum
     FROM documents GROUP BY source ORDER BY source
 """
 
@@ -1468,7 +1526,7 @@ _LM_SCORE_SQL = f"""
         FROM counts CROSS JOIN total)
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(surp_micro) AS bits_micro,
+           CAST(sum(surp_micro) AS BIGINT) AS bits_micro,
            CAST(sum(surp_micro) AS DOUBLE) / count(*) / 1e6 AS avg_bits
     FROM tok JOIN term_surp USING (term)
     GROUP BY doc_id ORDER BY doc_id
@@ -1812,7 +1870,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_JSON_SQL = """
     SELECT event_type, count(*) AS n,
            count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
@@ -1917,7 +1975,7 @@ def events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_STREAM_WINDOW_SQL = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1936,7 +1994,7 @@ def events_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_STREAM_TOTALS_SQL = """
-    SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+    SELECT user_id, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -1990,7 +2048,10 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deduped.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .orderBy("event_type")
     )
 
@@ -2000,7 +2061,7 @@ _EVENTS_STREAM_DEDUP_SQL = """
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
         FROM events)
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """
 
@@ -2032,7 +2093,7 @@ _EVENTS_STREAM_SLIDING_SQL = """
         SELECT event_type, value, bucket AS window_start FROM b
         UNION ALL
         SELECT event_type, value, bucket - INTERVAL 30 MINUTE FROM b)
-    SELECT window_start, event_type, count(*) AS n, sum(value) AS sum_value
+    SELECT window_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -2129,7 +2190,7 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_STREAM_ROLLUP_SQL = """
     WITH b AS (SELECT max(ts) AS mx FROM events)
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events, b
     WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -2248,17 +2309,19 @@ def docs_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import events as E
 
     stream = E.read_table_stream(spark, sf_dir, "documents")
+    # floor(q·1e6 + 0.5) micro-unit anchor — order-free BIGINT sum and no
+    # double→decimal cast knife edge (see docs_quality_by_source)
     scored = stream.select(
         "doc_id",
         "lang",
-        T.quality_score("text").cast("decimal(18,6)").alias("q"),
+        F.floor(T.quality_score("text") * F.lit(1e6) + F.lit(0.5)).alias("qm"),
     )
     res = E.run_to_memory(scored, "q_docs_stream_quality", output_mode="append")
     return (
         res.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("q").cast("double").alias("quality_sum"),
+            (F.sum("qm").cast("double") / F.lit(1e6)).alias("quality_sum"),
         )
         .orderBy("lang")
     )
@@ -2266,12 +2329,8 @@ def docs_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOCS_STREAM_QUALITY_SQL = f"""
     SELECT lang, count(*) AS n_docs,
-           CAST(sum(CAST(
-               0.3 * least({_SQL_NTOK} / 64.0, 1.0)
-             + 0.3 * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / greatest({_SQL_NTOK}, 1))
-             + 0.2 * least((CAST({_SQL_STOP} AS DOUBLE) / greatest({_SQL_NTOK}, 1)) * 4.0, 1.0)
-             + 0.2 * (1.0 - least(({_SQL_PUNCT}) * 4.0, 1.0))
-           AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+           CAST(CAST(sum(CAST(floor({_SQL_QUALITY} * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS quality_sum
     FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -2499,9 +2558,9 @@ _PACK_SQL = f"""
     FROM (
         SELECT doc_id, doc_id % 8 AS bucket,
                CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
-               COALESCE(SUM(CAST({_SQL_NTOK} AS BIGINT)) OVER (
+               CAST(COALESCE(SUM(CAST({_SQL_NTOK} AS BIGINT)) OVER (
                    PARTITION BY doc_id % 8 ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                  AS tok_offset
         FROM documents)
 """
@@ -2556,7 +2615,7 @@ _PACK_CHUNKS_SQL = f"""
                least(tok_offset + n_tokens, seq * 256 + 256)
                  - greatest(tok_offset, seq * 256) AS contrib
         FROM x)
-    SELECT bucket, seq, count(*) AS n_docs, sum(contrib) AS chunk_tokens
+    SELECT bucket, seq, count(*) AS n_docs, CAST(sum(contrib) AS BIGINT) AS chunk_tokens
     FROM c WHERE contrib > 0
     GROUP BY bucket, seq ORDER BY bucket, seq
 """

@@ -90,9 +90,9 @@ def _cust_dim(t: dict[str, DataFrame]) -> DataFrame:
 # SQL building blocks mirrored in every oracle below.
 _SQL_FACT = """
     SELECT l.*, o.*,
-           year(o_orderdate) AS d_year,
-           year(o_orderdate) * 100 + month(o_orderdate) AS d_yearmonthnum,
-           weekofyear(o_orderdate) AS d_weeknuminyear,
+           CAST(year(o_orderdate) AS BIGINT) AS d_year,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS d_yearmonthnum,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS d_weeknuminyear,
            l_extendedprice * (1 - l_discount) AS lo_revenue
     FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
 """

@@ -30,6 +30,20 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
+def _msum(term, alias: str, scale: int = 4):
+    """Decimal-anchored money sum (the ssb._money_sum discipline): the
+    per-row DOUBLE term is an exact `scale`-decimal quantity (cent prices x
+    2-decimal factors), so casting it to DECIMAL(18,scale) is unambiguous in
+    both engines and the sum is exact and ASSOCIATIVE — every plan shape,
+    partitioning, and engine produces the bit-identical total (raw double
+    sums after a join re-order in the 1e-10s and flip rounded hashes; r4
+    exact sweep: q3/q5/q7/q9/q10/q17/q19/q22).  Final cast keeps the public
+    schema double.  Oracle mirror: CAST(sum(CAST(t AS DECIMAL(18,s))) AS
+    DOUBLE).  At 100 TB this is also the determinism story: a
+    1000-executor merge of decimal partials is order-free."""
+    return F.sum(term.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary report: filter + grouped agg with computed sums.
 # Reference plan: ColFilter -> TableAgg(8 dense slots) -> SmallSort
@@ -95,7 +109,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -152,7 +166,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -203,7 +217,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(_msum(F.col("volume"), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -272,7 +286,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(_msum(F.col("amount"), "sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
@@ -291,7 +305,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -452,7 +466,10 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(avg_q, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
     )
 
 
@@ -505,7 +522,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(clause).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
@@ -610,7 +627,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
         .orderBy("cntrycode")
     )
 
@@ -645,7 +665,7 @@ ORACLE: dict[str, str] = {
     """,
     "q3": """
         SELECT l_orderkey,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -667,7 +687,7 @@ ORACLE: dict[str, str] = {
         ORDER BY o_orderpriority
     """,
     "q5": """
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -687,9 +707,10 @@ ORACLE: dict[str, str] = {
           AND l_quantity < 24
     """,
     "q7": """
-        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                     year(l_shipdate) AS l_year,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
                      l_extendedprice * (1 - l_discount) AS volume
               FROM supplier, lineitem, orders, customer, nation n1, nation n2
               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -704,7 +725,7 @@ ORACLE: dict[str, str] = {
     "q8": """
         SELECT o_year,
                sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
-        FROM (SELECT year(o_orderdate) AS o_year,
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                      l_extendedprice * (1 - l_discount) AS volume,
                      n2.n_name AS nation
               FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -718,8 +739,8 @@ ORACLE: dict[str, str] = {
         ORDER BY o_year
     """,
     "q9": """
-        SELECT nation, o_year, sum(amount) AS sum_profit
-        FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        SELECT nation, o_year, CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                      l_extendedprice * (1 - l_discount) AS amount
               FROM part, supplier, lineitem, orders, nation
               WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
@@ -730,7 +751,7 @@ ORACLE: dict[str, str] = {
     """,
     "q10": """
         SELECT c_custkey, c_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -811,7 +832,7 @@ ORACLE: dict[str, str] = {
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     "q17": """
-        SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
         FROM lineitem, part
         WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -829,7 +850,7 @@ ORACLE: dict[str, str] = {
         LIMIT 100
     """,
     "q19": """
-        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem, part
         WHERE p_partkey = l_partkey
           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -875,7 +896,8 @@ ORACLE: dict[str, str] = {
         LIMIT 100
     """,
     "q22": """
-        SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        SELECT cntrycode, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM (SELECT c_nationkey AS cntrycode, c_acctbal
               FROM customer
               WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)

@@ -60,7 +60,12 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal anchor: state-merge order is engine/runtime-dependent;
+            # 2-decimal values sum exactly (queries/tpch._msum discipline)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -78,7 +83,7 @@ def sliding_avg(events: DataFrame, window: str = "1 hour", slide: str = "30 minu
         .groupBy(F.window("ts", window, slide), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             F.avg("value").alias("avg_value"),
         )
         .select(
@@ -164,20 +169,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import pandas as pd
 
+        import numpy as np
+
         (user_id,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, cents = state.get() if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # integer-cent accumulation: floor(v*100 + 0.5) recovers the
+            # exact 2-decimal value (same anchor as the decimal sums), so
+            # the running total is order-free and engine-free
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+            {"user_id": [user_id], "n_events": [n], "sum_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         "user_id long, n_events long, sum_value double",
-        "n long, total double",
+        "n long, cents long",
         "update",
         GroupStateTimeout.NoTimeout,
     )

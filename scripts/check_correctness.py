@@ -7,6 +7,15 @@ any caller-provided session.  Set CHECK_TUNED_SESSION=1 to use get_spark()
 instead.
 
 Usage: python scripts/check_correctness.py [sf_dir] [name_filter...]
+
+Precision: ORACLE_NDIGITS env, default 9 decimal places; "exact" = bit-exact.
+Empirical driver model (r3 post-mortem + r4 precision sweep): every query the
+driver failed diverges at 9-decimal rounding and every query it passed for
+three rounds agrees at 9 (incl. join-order double-sum noise of ~1e-10 in
+q5/q7/q9/q17/q19/q22 that bit-exact comparison flags).  New float-emitting
+queries should still aim for bit-exact (run with ORACLE_NDIGITS=exact) via
+oracle-mirrored expressions or integer/decimal anchoring; 9-digit rounding is
+the gate floor, not the design target.
 """
 
 from __future__ import annotations
@@ -36,6 +45,8 @@ def main() -> int:
             .config("spark.driver.memory", "24g")
             .getOrCreate()
         )
+    nd_env = os.environ.get("ORACLE_NDIGITS", "9")
+    ndigits = None if nd_env == "exact" else int(nd_env)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
@@ -46,7 +57,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             if name in oracles:
-                ok, detail = compare(df, oracles[name], sf_dir)
+                ok, detail = compare(df, oracles[name], sf_dir, ndigits=ndigits)
             else:
                 n = df.count()
                 ok, detail = True, f"rows-only ({n} rows, no oracle)"
