@@ -207,16 +207,19 @@ def grouped_topk(
 
     NULL/NaN order or tie values rank differently in pandas (always last)
     than in the Spark window (NULL first under asc / NaN first under desc),
-    and a float64 pandas column cannot even distinguish NULL from NaN — so
-    the local phase never prunes such rows: every row whose order/tie value
-    is NA passes through to the global window, which applies the one true
-    (Spark) ordering.  The k·partitions shuffle bound therefore assumes NA
-    order/tie values are rare; with many NA rows results stay exact but the
-    sliver grows by their count.
+    a float64 pandas column cannot even distinguish NULL from NaN, and the
+    Arrow round trip itself rewrites NaN to NULL — so rows whose order/tie
+    value is NA never enter the pandas phase at all: they are split off
+    Spark-side and unioned back in front of the global window, which
+    applies the one true (Spark) ordering to the combined sliver.  The
+    k·partitions shuffle bound therefore assumes NA order/tie values are
+    rare; with many NA rows results stay exact but the sliver grows by
+    their count.
     """
     import pandas as pd
 
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     if tie_col is None:
         candidates = [c for c in df.columns if c not in group_cols and c != order_col]
@@ -227,14 +230,19 @@ def grouped_topk(
             )
         tie_col = candidates[0]
 
+    def _is_na(col_name: str):
+        cond = F.col(col_name).isNull()
+        if isinstance(df.schema[col_name].dataType, (T.DoubleType, T.FloatType)):
+            cond = cond | F.isnan(F.col(col_name))
+        return cond
+
+    na_cond = _is_na(order_col) | _is_na(tie_col)
+    na_rows = df.filter(na_cond)
+    clean = df.filter(~na_cond)
+
     def local_topk(batches):
         acc = None
-        na_rows = []
         for pdf in batches:
-            na_mask = pdf[order_col].isna() | pdf[tie_col].isna()
-            if na_mask.any():
-                na_rows.append(pdf[na_mask])
-                pdf = pdf[~na_mask]
             acc = pdf if acc is None else pd.concat([acc, pdf])
             # keep the running candidate set bounded per batch; NULL group
             # keys must survive (dropna=False) to match the window oracle
@@ -243,12 +251,11 @@ def grouped_topk(
                 .groupby(group_cols, sort=False, dropna=False)
                 .head(k)
             )
-        out = ([] if acc is None else [acc]) + na_rows
-        if out:
-            yield pd.concat(out)
+        if acc is not None:
+            yield acc
 
     schema = df.schema
-    cand = df.mapInPandas(local_topk, schema=schema)
+    cand = clean.mapInPandas(local_topk, schema=schema).unionByName(na_rows)
     w = Window.partitionBy(*group_cols).orderBy(
         F.col(order_col).desc(), F.col(tie_col).asc()
     )

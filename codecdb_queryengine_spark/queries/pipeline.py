@@ -1091,6 +1091,48 @@ _EVENTS_SESSION_SQL = """
 # --- dedup clustering ------------------------------------------------------
 
 
+def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over ADVERSARIAL long-chain graphs via the
+    large-star/small-star algorithm (operators/graph.connected_components_star)
+    — the O(log²n)-round path that label propagation cannot walk (a
+    66-node chain needs 66 propagation rounds but ~6 star rounds).
+
+    Graph: each user's events, ordered by (ts, event_id), become one chain
+    on synthetic node ids user_id·100000 + seq — so every user is one
+    maximal-diameter component and the oracle knows each component exactly:
+    id = user_id·100000 + 1 (the min node), size = the user's event count.
+    Output (component, n_nodes) is integers only — gate is exact.
+    """
+    from codecdb_queryengine_spark.operators.graph import connected_components_star
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqed = ev.select(
+        (F.col("user_id") * 100000 + F.row_number().over(w)).alias("nid"),
+        F.col("user_id"),
+    )
+    edges = seqed.select(
+        F.col("nid").alias("id_a"),
+        F.lead("nid").over(
+            Window.partitionBy("user_id").orderBy("nid")
+        ).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    cc = connected_components_star(edges, "id_a", "id_b")
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
+_GRAPH_CC_CHAIN_SQL = """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT user_id * 100000 + 1 AS component, n AS n_nodes
+    FROM per_user WHERE n >= 2 ORDER BY component
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: minhash-verified pairs become edges of a
     similarity graph; connected components assigns each involved doc its
@@ -1583,6 +1625,23 @@ def _countmin_sql(depth: int = 4, width: int = 64) -> str:
         GROUP BY term, true_count
         ORDER BY true_count DESC, term ASC
     """
+
+
+def text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE corpus accounting: learn 12 merge rules from the
+    documents corpus (operators/bpe.bpe_train — iterative DataFrame
+    pair-count + argmax), then encode every document under them and emit
+    per-doc word/piece counts.  Rows-only gated BY DESIGN: the iterative
+    argmax has no SQL oracle (a recursive-CTE replay would be the engine
+    under test); exactness is pinned against a pure-Python BPE reference
+    in tests/test_bpe.py instead.  Replaces the untrained bpe_pieces
+    pre-tokenizer proxy as the genuine tokenizer path (r3 verdict item 8).
+    """
+    from codecdb_queryengine_spark.operators import bpe as B
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = B.bpe_train(docs, "text", num_merges=12)
+    return B.bpe_encode(docs, merges)
 
 
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2679,6 +2738,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "graph_cc_chain": graph_cc_chain,
     "dedup_keep_docs": dedup_keep_docs,
     "dedup_report": dedup_report,
     "dedup_simhash_clusters": dedup_simhash_clusters,
@@ -2699,6 +2759,7 @@ QUERIES = {
     "docs_length_hist": docs_length_hist,
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
+    "text_bpe_trained": text_bpe_trained,
     "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
@@ -2752,6 +2813,7 @@ ORACLE: dict[str, str] = {
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "dedup_keep_docs": _dedup_keep_sql(),
     "dedup_report": _dedup_report_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),

@@ -219,3 +219,59 @@ def test_ivfpq_structure_and_candidates_come_from_probed_lists(spark, sf_dir):
         probed.setdefault(r.q_id, set()).add(r.c_id)
     for r in out:
         assert assigned[r.n_id] in probed[r.q_id], (r.q_id, r.n_id)
+
+
+def _clustered_fixture(spark, n_clusters=16, n=400, dim=64, sigma=0.15):
+    """Mixture-of-gaussians embeddings (vec_id i belongs to cluster i % C):
+    a non-vacuous recall fixture — the sf* synthetic embeddings are
+    near-isotropic, where ANN recall is uninformative (r3 verdict item 4).
+    Seeded numpy -> deterministic across runs."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(0, 1.0, (n_clusters, dim))
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + rng.normal(0, sigma, dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_clustered_recall_all_ann_tiers(spark):
+    """recall@5 vs brute force on clustered data, per ANN tier.
+
+    Measured on this fixture (seed 7): lsh 0.72, trained-IVF 1.0, mod-IVF
+    1.0, PQ-ADC exact-recall 0.17 but cluster-recall ~1.0 — PQ collapses
+    same-cluster near-twins to identical codes, so it retrieves the right
+    CLUSTER while tie-breaking arbitrarily inside it; that is the designed
+    coarse-quantization behavior, hence the cluster-level assertion.
+    Thresholds carry slack below the measured values."""
+    n_clusters = 16
+    emb = _clustered_fixture(spark, n_clusters=n_clusters)
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.n_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(df):
+        hits = {(r.q_id, r.n_id) for r in df.collect()}
+        return len(hits & exact) / len(exact)
+
+    def cluster_recall(df):
+        rows = df.collect()
+        same = sum(1 for r in rows if r.n_id % n_clusters == r.q_id % n_clusters)
+        return same / len(rows)
+
+    assert recall(S.lsh_bucket_topk(emb, queries, dim=64, k=5, num_planes=6)) >= 0.5
+    cents = S.kmeans_centroids(emb, k=n_clusters, seed=13)
+    assert recall(S.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents)) >= 0.9
+    assert recall(S.ivf_topk(emb, queries, k=5, centroid_mod=29, nprobe=2)) >= 0.9
+    cbs = S.pq_codebooks_kmeans(emb, dim=64, num_subspaces=4, num_codewords=16)
+    pq = S.pq_topk(emb, queries, dim=64, k=5, codebooks=cbs, num_codewords=16)
+    assert cluster_recall(pq) >= 0.8
+    ivfpq = S.ivf_pq_topk(emb, queries, dim=64, k=5, centroid_mod=29, nprobe=2)
+    assert cluster_recall(ivfpq) >= 0.8
+    # every tier must beat the random-guess baseline on exact recall too
+    # (5 correct of 399 candidates ~ 0.0125)
+    assert recall(pq) >= 0.1
+    assert recall(ivfpq) >= 0.1

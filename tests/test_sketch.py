@@ -118,3 +118,38 @@ def test_heavy_hitters_excludes_nulls_from_items_and_total(spark):
     df = spark.createDataFrame(rows, "term string").repartition(4)
     got = {(r.term, r.cnt) for r in SK.heavy_hitters(df, "term", ratio=0.5).collect()}
     assert got == {("a", 40)}
+
+
+def test_grouped_topk_nan_and_null_order_values_match_window_oracle(spark):
+    """NaN order values rank FIRST under the Spark desc window (NaN >
+    everything) and NULL order values rank LAST — but pandas sorts both as
+    NA-last and cannot even tell them apart in a float64 column, so the
+    local prune must pass NA rows through untouched (r3 advice).  Small
+    groups force the old bug: a local head(k) that evicted the NaN row
+    made it vanish from the global top-k."""
+    rows = []
+    # group 'a': k=2 of [NaN, 3.0, 1.0] -> NaN (rank 1), 3.0 (rank 2)
+    rows += [("a", float("nan"), 1), ("a", 3.0, 2), ("a", 1.0, 3)]
+    # group 'b': [NULL, 5.0] -> 5.0 (rank 1), NULL (rank 2)
+    rows += [("b", None, 4), ("b", 5.0, 5)]
+    # group 'c': NULL tie values must also survive the local phase
+    rows += [("c", 7.0, None), ("c", 7.0, 6), ("c", 2.0, 7)]
+    df = spark.createDataFrame(rows, "g string, score double, id int").repartition(4)
+    got = {
+        (r.g, r.rk, r.id)
+        for r in SK.grouped_topk(df, ["g"], "score", k=2, tie_col="id").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {
+        (r.g, r.rk, r.id)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter("rk <= 2")
+        .collect()
+    }
+    assert got == want
+    by_group = {}
+    for g, rk, i in got:
+        by_group.setdefault(g, set()).add(rk)
+    assert by_group == {"a": {1, 2}, "b": {1, 2}, "c": {1, 2}}
