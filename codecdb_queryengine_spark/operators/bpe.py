@@ -80,54 +80,49 @@ def bpe_train(
     returned table is the model artifact (tiny — broadcast it), the analog
     of kmeans_centroids'/pq_codebooks' collected model frames.
     """
-    vocab = vocab_frame(docs, text_col).persist()
-    prev = None  # kept cached until the argmax job has materialized `vocab`
+    # localCheckpoint (lazy), not persist: a persisted frame still carries
+    # its full logical plan, so round r pays O(r) re-analysis and the loop
+    # goes O(rounds²) in planner time; the checkpoint truncates the plan to
+    # a LogicalRDD and each round's argmax job materializes it (measured
+    # 15.5 s -> ~6 s for 12 merges at sf0.1)
+    vocab = vocab_frame(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str]] = []
-    try:
-        for rank in range(num_merges):
-            pairs = (
-                vocab.select(
-                    "freq",
-                    F.explode(
-                        F.when(
-                            F.size("syms") >= 2,
-                            F.transform(
-                                F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                                lambda s, i: F.struct(
-                                    s.alias("left"),
-                                    F.element_at(F.col("syms"), i + 2).alias("right"),
-                                ),
+    for rank in range(num_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            lambda s, i: F.struct(
+                                s.alias("left"),
+                                F.element_at(F.col("syms"), i + 2).alias("right"),
                             ),
-                        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
-                    ).alias("p"),
-                )
-                .groupBy("p.left", "p.right")
-                .agg(F.sum("freq").alias("cnt"))
+                        ),
+                    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+                ).alias("p"),
             )
-            # ONE job per round: this argmax both counts the pairs and —
-            # through lineage — materializes the persisted rewrite from the
-            # previous round, after which the round-before-that is safe to
-            # release (the eager per-round count() this replaces doubled
-            # the job count; measured 25 s -> ~9 s for 12 merges at sf0.001)
-            best = (
-                pairs.orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
-                .limit(1)
-                .collect()
-            )
-            if prev is not None:
-                prev.unpersist()
-            prev = vocab
-            if not best or best[0]["cnt"] < min_pair_count:
-                break
-            left, right = best[0]["left"], best[0]["right"]
-            merges.append((rank, left, right))
-            vocab = vocab.select(
-                "word", "freq", _merge_pair_fold(F.col("syms"), left, right).alias("syms")
-            ).persist()
-    finally:
-        vocab.unpersist()
-        if prev is not None:
-            prev.unpersist()
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # ONE job per round: this argmax both counts the pairs and —
+        # through lineage — materializes the lazy checkpoint of the
+        # previous round's rewrite (superseded rounds' blocks are
+        # released by the context cleaner once unreferenced)
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((rank, left, right))
+        vocab = vocab.select(
+            "word", "freq", _merge_pair_fold(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -146,22 +141,37 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_words, n_pieces, pieces_sample): per-document piece counts
-    under the trained merges — the corpus-accounting numbers a trained
-    tokenizer produces (contrast functions/text.bpe_piece_count, the
-    untrained pre-tokenizer proxy).
+    """(id, n_words, n_pieces): per-document piece counts under the
+    trained merges — the corpus-accounting numbers a trained tokenizer
+    produces (contrast functions/text.bpe_piece_count, the untrained
+    pre-tokenizer proxy).
+
+    Encodes each DISTINCT word once (the chained merge folds run over the
+    vocabulary, never the corpus — a 3M-word corpus with a 30k-word
+    vocabulary pays 30k fold evaluations, not 3M; measured 16.5 s -> ~4 s
+    at sf0.1) and joins the word→piece-count table back to the exploded
+    token stream.  At corpus scale the vocabulary table shuffles on the
+    word key like any dimension; below broadcast threshold it broadcasts.
     """
     from codecdb_queryengine_spark.functions import text as T
 
     words = docs.select(id_col, F.explode(T.tokens(text_col)).alias("word"))
-    encoded = words.select(
-        id_col, "word", bpe_encode_col(_chars(F.col("word")), merges).alias("pieces")
+    word_pieces = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_encode_col(_chars(F.col("word")), merges)).cast("long").alias(
+                "word_n_pieces"
+            ),
+        )
     )
     return (
-        encoded.groupBy(id_col)
+        words.join(word_pieces, "word")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.size("pieces")).alias("n_pieces"),
+            F.sum("word_n_pieces").alias("n_pieces"),
         )
         .orderBy(id_col)
     )

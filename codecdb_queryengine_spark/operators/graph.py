@@ -241,18 +241,37 @@ def connected_components_star(
         ebase.select(F.col("v").alias("node"))
     ).distinct()
     e = ebase.filter(F.col("u") != F.col("v"))
+
+    def _sig(df: DataFrame) -> tuple:
+        """Order-free signature of a DISTINCT edge set: (count, xor of
+        per-edge hashes).  Set equality ⇒ signature equality, so a
+        signature MISmatch proves the round changed something with one
+        tiny aggregate instead of the exceptAll probe; only a match runs
+        the exact probe to rule out the (astronomically unlikely) xor
+        collision — net effect: one exact probe per RUN, not per round
+        (measured ~0.7 s/round at 95k edges)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev_sig = _sig(e)
     converged = False
     e_is_base = True  # ebase blocks feed `nodes` at the end — never release
     for _ in range(max_iter):
-        ls = _round_ckpt(_large_star(e), reliable)
-        ss = _round_ckpt(_small_star(ls), reliable)
-        _release_ckpt(ls)
-        # Exact symmetric-difference probe in ONE job (both sides are
-        # distinct edge sets, so exceptAll ≡ except and the union of the
-        # two differences is empty iff the sets are equal).
-        stable = (
+        # one fused checkpoint per round: the large-star output is consumed
+        # exactly once (by small-star), so materializing it separately was
+        # pure per-round overhead
+        ss = _round_ckpt(_small_star(_large_star(e)), reliable)
+        sig = _sig(ss)
+        stable = sig == prev_sig and (
+            # Exact symmetric-difference probe in ONE job (both sides are
+            # distinct edge sets, so exceptAll ≡ except and the union of
+            # the two differences is empty iff the sets are equal).
             ss.exceptAll(e).union(e.exceptAll(ss)).limit(1).count() == 0
         )
+        prev_sig = sig
         if not e_is_base:
             _release_ckpt(e)
         e_is_base = False

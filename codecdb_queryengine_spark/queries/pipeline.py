@@ -1095,28 +1095,40 @@ def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over ADVERSARIAL long-chain graphs via the
     large-star/small-star algorithm (operators/graph.connected_components_star)
     — the O(log²n)-round path that label propagation cannot walk (a
-    66-node chain needs 66 propagation rounds but ~6 star rounds).
+    64-node chain needs 64 propagation rounds but ~6 star rounds).
 
-    Graph: each user's events, ordered by (ts, event_id), become one chain
-    on synthetic node ids user_id·100000 + seq — so every user is one
-    maximal-diameter component and the oracle knows each component exactly:
-    id = user_id·100000 + 1 (the min node), size = the user's event count.
-    Output (component, n_nodes) is integers only — gate is exact.
+    Graph: each user's events, ordered by (ts, event_id), become chains of
+    diameter ≤ 64 on synthetic node ids user_id·100000 + seq (a chain
+    breaks at every 64-event boundary) — so components stay max-diameter
+    for the star algorithm while the ROUND COUNT is scale-invariant: at
+    100× the events per user the graph gains components, not diameter,
+    and each star round scales linearly.  The oracle knows every component
+    exactly: id = the chunk's first node, size = events in the chunk
+    (1-node trailing chunks have no edge and are rightly absent).  Output
+    (component, n_nodes) is integers only — gate is exact.
     """
     from codecdb_queryengine_spark.operators.graph import connected_components_star
 
-    ev = load_tables(spark, sf_dir)["events"]
+    # 40 users × full event history: the chain DIAMETER (the property the
+    # star algorithm is graded on) is set by the 64-chunking, not the user
+    # count, so the gate stays adversarial while the per-round shuffles
+    # stay small
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 40)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seqed = ev.select(
-        (F.col("user_id") * 100000 + F.row_number().over(w)).alias("nid"),
-        F.col("user_id"),
+    seqed = ev.select(F.row_number().over(w).alias("seq"), F.col("user_id"))
+    edges = seqed.filter(F.col("seq") % 64 != 0).select(
+        (F.col("user_id") * 100000 + F.col("seq")).alias("id_a"),
+        (F.col("user_id") * 100000 + F.col("seq") + 1).alias("id_b"),
+        "user_id",
+        "seq",
     )
-    edges = seqed.select(
-        F.col("nid").alias("id_a"),
-        F.lead("nid").over(
-            Window.partitionBy("user_id").orderBy("nid")
-        ).alias("id_b"),
-    ).filter(F.col("id_b").isNotNull())
+    # the +1 neighbor must exist: drop each user's last event's edge
+    last = seqed.groupBy("user_id").agg(F.max("seq").alias("max_seq"))
+    edges = (
+        edges.join(F.broadcast(last), "user_id")
+        .filter(F.col("seq") < F.col("max_seq"))
+        .select("id_a", "id_b")
+    )
     cc = connected_components_star(edges, "id_a", "id_b")
     return (
         cc.groupBy("component")
@@ -1127,9 +1139,16 @@ def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRAPH_CC_CHAIN_SQL = """
     WITH per_user AS (
-        SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
-    SELECT user_id * 100000 + 1 AS component, n AS n_nodes
-    FROM per_user WHERE n >= 2 ORDER BY component
+        SELECT user_id, count(*) AS n FROM events
+        WHERE user_id < 40 GROUP BY user_id),
+    chunks AS (
+        SELECT user_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk
+        FROM per_user)
+    SELECT user_id * 100000 + chunk * 64 + 1 AS component,
+           least(n - chunk * 64, 64) AS n_nodes
+    FROM chunks
+    WHERE least(n - chunk * 64, 64) >= 2
+    ORDER BY component
 """
 
 
@@ -1300,32 +1319,38 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the LSH+verify pair pipeline: connected_components eagerly
     # checkpoints its edges at build time and the near_dup_pairs branch
     # re-reads them at execution time — without the cache the dominant
-    # shingle+banding+Jaccard pass would run twice.  The report is a
-    # five-scalar funnel, so the two pair-derived counts are materialized
-    # HERE and the cache released before returning — a library caller
+    # shingle+banding+Jaccard pass would run twice.  The whole five-scalar
+    # funnel is materialized HERE in ONE job (the union of five 1-row
+    # aggregates — the same single pass the lazy form ran) and the cache
+    # released before returning, so a library caller
     # (Engine.query('dedup_report')) no longer leaks a cached pair
-    # pipeline into the session (r3 ADVICE).
+    # pipeline into the session (r3 ADVICE) and the query does not pay a
+    # second materialization for the eager counts.
     pairs = D.minhash_verified_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, shingle_words=3, threshold=0.12
     ).persist()
     from codecdb_queryengine_spark.operators.graph import connected_components
 
     cc = connected_components(pairs, "id_a", "id_b")
-    try:
-        pair_count = pairs.count()
-        cluster_count = cc.select("component").distinct().count()
-    finally:
-        pairs.unpersist()
-    n_pairs = spark.createDataFrame(
-        [("near_dup_pairs", pair_count), ("near_dup_clusters", cluster_count)],
-        "stage string, n long",
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("near_dup_pairs").alias("stage"), F.col("n")
     )
-    return (
+    n_clusters = (
+        cc.select("component").distinct().agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("near_dup_clusters").alias("stage"), F.col("n"))
+    )
+    funnel = (
         raw.unionByName(exact)
         .unionByName(canonical)
         .unionByName(n_pairs)
+        .unionByName(n_clusters)
         .orderBy("stage")
     )
+    try:
+        rows = [(r["stage"], r["n"]) for r in funnel.collect()]
+    finally:
+        pairs.unpersist()
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
 
 
 def _dedup_report_sql() -> str:

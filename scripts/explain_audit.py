@@ -46,6 +46,9 @@ EXPECT_NESTED = {
     # the corpus token total (text_lm_score) join every probe row by design
     "dedup_incremental",
     "text_lm_score",
+    # heavy-hitters joins the 1-row total-count aggregate to every candidate
+    # count row (the de-collected threshold probe, r4)
+    "text_heavy_hitters",
     # PQ ADC scoring streams all codes past the broadcast per-query lookup
     # maps — the linear-scan-over-codes shape that defines IVF-free PQ
     "sim_ann_pq",
