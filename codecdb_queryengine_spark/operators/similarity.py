@@ -702,3 +702,54 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivf_assign_arrow(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = 29,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(n_id, c_list): nearest-centroid assignment as ONE vectorized Arrow
+    batch matmul — the throughput twin of ivf_topk's expression-fold
+    assignment (r3 verdict item 8: the interpreted 69-centroid HOF fold is
+    the local cost driver of in-stream encoding).
+
+    Semantics match the expression form: rank dot(v,c)/|c| descending,
+    tie-break to the smallest c_id (centroid rows are ordered by c_id and
+    np.argmax returns the FIRST maximum).  Numerics: the matmul sums
+    pairwise where the fold sums left-to-right — assignments can only
+    differ when two centroids' similarities agree to ~1e-13, so the
+    expression form remains the oracle-gated face and this one is pinned
+    equal on separated data in tests (same contract as lsh_band_keys_arrow
+    vs the expression signatures).
+
+    Works unchanged on a streaming DataFrame (stateless projection).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
+    model = sorted(centroids.collect(), key=lambda r: r["c_id"])
+    ids = np.array([int(r["c_id"]) for r in model], dtype=np.int64)
+    C = np.array([[float(x) for x in r["c_vec"]] for r in model], dtype=np.float64)
+    norms = np.array([float(r["c_norm"]) for r in model], dtype=np.float64)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(returnType=LongType())
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)  # (n, d)
+        sims = (mat @ C.T) / norms  # (n, K)
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return vectors.select(
+        F.col(id_col).alias("n_id"), assign(F.col(vec_col)).alias("c_list")
+    )

@@ -604,6 +604,24 @@ def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2, dim: int = 64) -> str:
     """
 
 
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through the PERSISTED index path (sources/ann_index): build the
+    partitioned inverted-file layout once, then answer the top-k query by
+    reading only the probed list partitions (dynamic partition pruning on
+    the c_list partition column).  Bit-identical to sim_ann_ivf — same
+    assignment/scoring expressions, norms persisted exactly — so the same
+    oracle gates the serving path end-to-end through storage.
+    """
+    import tempfile
+
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    AI.ivf_index_build(emb, path, centroid_mod=29)
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.pq_topk):
     4 subspaces × 8 sampled codewords over the 64-dim embeddings."""
@@ -2513,6 +2531,35 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_stream_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_stream_encode's vectorized twin: the same stateless in-stream
+    IVF assignment through ONE Arrow batch matmul per partition
+    (similarity.ivf_assign_arrow) instead of the interpreted 69-centroid
+    expression fold — the throughput path for a production ingest stream.
+    Rows-only gated BY DESIGN: numpy's pairwise summation can diverge
+    from the oracle's left-to-right fold on near-tied centroids, so the
+    expression form keeps the value oracle and this path is pinned equal
+    to it on separated data in tests/test_ann_recall.py."""
+    from codecdb_queryengine_spark.streaming import events as E
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    encoded = S.ivf_assign_arrow(stream, centroids=cents)
+    res = E.run_to_memory(encoded, "q_emb_stream_encode_fast", output_mode="append")
+    return (
+        res.groupBy("c_list")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("c_list")
+    )
+
+
 def _emb_stream_encode_sql(dim: int = 64, centroid_mod: int = 29) -> str:
     def dotvc(va: str, vb: str) -> str:
         return " + ".join(
@@ -2795,6 +2842,7 @@ QUERIES = {
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_pq_trained": sim_ann_pq_trained,
@@ -2820,6 +2868,7 @@ QUERIES = {
     "docs_stream_quality": docs_stream_quality,
     "events_stream_score": events_stream_score,
     "emb_stream_encode": emb_stream_encode,
+    "emb_stream_encode_fast": emb_stream_encode_fast,
 }
 
 ORACLE: dict[str, str] = {
@@ -2869,6 +2918,7 @@ ORACLE: dict[str, str] = {
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
+    "sim_ann_ivf_indexed": _ivf_sql(),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "mm_features": _mm_sql(),

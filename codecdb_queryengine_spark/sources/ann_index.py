@@ -1,0 +1,129 @@
+"""Persisted IVF index: build once, store as a partitioned parquet layout,
+query with partition-pruned probes.
+
+The similarity operators (operators/similarity.py) recompute centroid
+assignment per query — right for one-shot analytics, wrong for a serving
+path that answers many top-k queries against the same corpus.  This module
+is the index-as-a-table form:
+
+- `ivf_index_build` runs the SAME expression-form assignment ivf_topk uses
+  (dot/|c| ranking, min-c_id tie-break — oracle-compatible) ONCE and writes
+  two parquet tables: `centroids/` (K rows) and `lists/` partitioned BY
+  THE LIST ID, with each vector's norm precomputed.
+- `ivf_index_topk` ranks the nprobe nearest lists per query and joins the
+  broadcast probe set against `lists/` ON THE PARTITION COLUMN — Spark's
+  dynamic partition pruning turns that into reading only the probed
+  partitions, i.e. ~nprobe/K of the index regardless of corpus size.
+  That is the scale contract of an inverted-file index expressed in
+  storage layout instead of a custom in-memory structure: at 1e10 vectors
+  a query touches nprobe partitions, not the corpus.
+
+Results are bit-identical to operators/similarity.ivf_topk (same
+assignment expressions, norms persisted as exact doubles, same
+cosine_pre scoring), so the sim_ann_ivf oracle gates the indexed path too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.operators.similarity import cosine_pre, dot, norm
+
+
+def ivf_index_build(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = 29,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Assign every vector to its nearest centroid and persist the index.
+
+    Layout: `<path>/centroids` (c_id, c_vec, c_norm) and `<path>/lists`
+    (n_id, n_vec, n_norm) partitioned by c_list.
+    """
+    if centroids is None:
+        centroids = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    pref = F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))
+    assigned = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col).alias("n_id"),
+            "c_id",
+            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+        )
+        .groupBy("n_id")
+        .agg(F.max_by("c_id", pref).alias("c_list"))
+    )
+    lists = assigned.join(
+        vectors.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(F.col(vec_col)).alias("n_norm"),
+        ),
+        "n_id",
+    )
+    (
+        lists.repartition("c_list")
+        .write.mode("overwrite")
+        .partitionBy("c_list")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over the persisted index: rank nprobe lists per query against
+    the (broadcast) centroid table, then score ONLY the probed partitions
+    of `lists/` — the c_list equi-join on the partition column lets
+    dynamic partition pruning skip every unprobed list's files."""
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    lists = spark.read.parquet(os.path.join(path, "lists")).withColumn(
+        "c_list", F.col("c_list").cast("long")
+    )
+    probes = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "q_vec",
+        "c_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    probe_lists = (
+        probes.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select(
+            "q_id",
+            "q_vec",
+            F.col("c_id").alias("c_list"),
+            norm(F.col("q_vec")).alias("q_norm"),
+        )
+    )
+    scored = (
+        F.broadcast(probe_lists)
+        .join(lists, "c_list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine",
+            cosine_pre(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )

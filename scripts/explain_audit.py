@@ -38,6 +38,7 @@ EXPECT_NESTED = {
     # IVF assignment is definitionally all-vectors × broadcast(centroids)
     "sim_ann_ivf",
     "sim_ann_ivf_trained",
+    "sim_ann_ivf_indexed",
     # media retrieval composition ends in the brute-force exact top-k
     "mm_ann",
     # N (1-row count) is joined to every profile row by construction

@@ -275,3 +275,31 @@ def test_clustered_recall_all_ann_tiers(spark):
     # (5 correct of 399 candidates ~ 0.0125)
     assert recall(pq) >= 0.1
     assert recall(ivfpq) >= 0.1
+
+
+def test_ivf_assign_arrow_matches_expression_assignment(spark):
+    """The vectorized Arrow assignment must agree with the expression-fold
+    assignment (the oracle-gated face) wherever centroids are separated —
+    clustered fixture: every vector sits near its own center."""
+    emb = _clustered_fixture(spark)
+    cents = S.kmeans_centroids(emb, k=8, seed=13)
+    fast = {r.n_id: r.c_list for r in S.ivf_assign_arrow(emb, centroids=cents).collect()}
+    # expression form: same ranking ivf_topk uses for its inverted lists
+    from pyspark.sql import functions as FX
+
+    scored = (
+        emb.crossJoin(FX.broadcast(cents))
+        .select(
+            FX.col("vec_id").alias("n_id"),
+            "c_id",
+            (S.dot(FX.col("embedding"), FX.col("c_vec")) / FX.col("c_norm")).alias("sim"),
+        )
+        .groupBy("n_id")
+        .agg(
+            FX.max_by(
+                "c_id", FX.struct(FX.col("sim").alias("s"), (-FX.col("c_id")).alias("t"))
+            ).alias("c_id")
+        )
+    )
+    slow = {r.n_id: r.c_id for r in scored.collect()}
+    assert fast == slow

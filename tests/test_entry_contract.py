@@ -32,6 +32,9 @@ def test_every_oracle_key_has_a_query_and_no_orphans():
         # iterative argmax has no SQL oracle; pinned vs a pure-Python BPE
         # reference in tests/test_bpe.py
         "text_bpe_trained",
+        # numpy matmul near-tie divergence vs the fold oracle — pinned
+        # equal to the expression assignment in tests/test_ann_recall.py
+        "emb_stream_encode_fast",
     }
 
 
