@@ -86,7 +86,7 @@ DRIVER_FIRST = [
     "events_asof_forward",
     # streaming executions not yet driver-seen
     "events_stream_sliding",
-    "events_stream_files",
+    "emb_stream_index_ingest",  # stream -> exactly-once index append -> pruned serve
     "events_stream_enrich",
     "events_stream_rollup",
     "events_stream_score",

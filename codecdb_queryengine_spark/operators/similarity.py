@@ -753,3 +753,46 @@ def ivf_assign_arrow(
     return vectors.select(
         F.col(id_col).alias("n_id"), assign(F.col(vec_col)).alias("c_list")
     )
+
+
+def ivf_assign_expr(vec: Column, centroid_rows: list) -> Column:
+    """Nearest-centroid id for `vec` as a pure expression fold over the
+    centroid model embedded as ONE nested literal — the stateless
+    model-broadcast scorer used by the in-stream encoders.  Ranking and
+    tie-break match ivf_topk's assignment exactly (dot/|c| descending,
+    smaller c_id wins), and every dot is the same left-to-right
+    zip_with/aggregate fold the oracle SQL mirrors — so outputs stay
+    value-gateable.  `centroid_rows` are collected (c_id, c_vec[, ...])
+    rows, the usual tiny model artifact."""
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["c_id"])).alias("c_id"),
+                F.lit([float(x) for x in r["c_vec"]]).alias("c_vec"),
+            )
+            for r in centroid_rows
+        ]
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("c_id")
+    )
+    # similarity computed ONCE per centroid (transform), then a cheap fold
+    # picks the argmax — HOF lambdas are interpreted with no CSE, so a
+    # fold whose predicate repeats the dot would pay it three times
+    sims = F.transform(
+        cent_lits,
+        lambda c: F.struct(
+            (dot(vec, c["c_vec"]) / norm(c["c_vec"])).alias("sim"),
+            c["c_id"].cast("long").alias("c_id"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        init,
+        lambda acc, s: F.when(
+            (s["sim"] > acc["sim"])
+            | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
+            s,
+        ).otherwise(acc),
+    )
+    return best["c_id"]

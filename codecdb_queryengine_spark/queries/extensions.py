@@ -127,7 +127,13 @@ def ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("_n").cast("double")
     s = F.col("_s").cast("double")
-    ss = F.col("_ss").cast("double")
+    # decimal -> STRING -> double: the scaled sum-of-squares exceeds 2^53,
+    # where DuckDB's decimal->double (int128 cast + divide, two roundings)
+    # can differ by one ulp from the JVM's single correctly-rounded
+    # conversion; both engines' string->double parses are correctly
+    # rounded, so the string detour pins them equal (observed: sf0.001
+    # group 'A' variance off in the last ulp)
+    ss = F.col("_ss").cast("string").cast("double")
     var = (ss - s * s / n) / (n - F.lit(1.0))
     return base.select(
         "l_returnflag",
@@ -159,7 +165,7 @@ _STATS_SQL = f"""
         SELECT l_returnflag,
                max(n) AS n,
                CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s,
-               CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+               CAST(CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS ss,
                max(CASE WHEN rn = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
                         THEN v END) AS m_lo,
                max(CASE WHEN rn = CAST(ceil(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT)
@@ -1107,9 +1113,11 @@ def ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
+    # string-routed conversions: see ext_stats — the scaled product sums
+    # can exceed 2^53 where duck's two-step decimal->double rounds twice
+    sxx = F.col("_sxx").cast("string").cast("double")
+    syy = F.col("_syy").cast("string").cast("double")
+    sxy = F.col("_sxy").cast("string").cast("double")
     covar = (sxy - sx * sy / n) / (n - F.lit(1.0))
     var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
     var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
@@ -1127,12 +1135,12 @@ _CORR_SQL = """
                count(*) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))

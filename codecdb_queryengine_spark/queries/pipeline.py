@@ -2482,38 +2482,10 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import events as E
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = emb.filter(F.col("vec_id") % 29 == 0).select("vec_id", "embedding").collect()
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("c_id"),
-                F.lit([float(x) for x in r.embedding]).alias("c_vec"),
-            )
-            for r in cents
-        ]
-    )
-
-    def sim_to(c):
-        return S.dot(F.col("embedding"), c["c_vec"]) / S.norm(c["c_vec"])
-
-    init = F.struct(
-        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("c_id")
-    )
-    # similarity computed ONCE per centroid (transform), then a cheap fold
-    # picks the argmax — HOF lambdas are interpreted with no CSE, so a
-    # fold whose predicate repeats the dot would pay it three times
-    sims = F.transform(
-        cent_lits,
-        lambda c: F.struct(sim_to(c).alias("sim"), c["c_id"].cast("long").alias("c_id")),
-    )
-    best = F.aggregate(
-        sims,
-        init,
-        lambda acc, s: F.when(
-            (s["sim"] > acc["sim"])
-            | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
-            s,
-        ).otherwise(acc),
+    cents = (
+        emb.filter(F.col("vec_id") % 29 == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        .collect()
     )
     # NULL embeddings would fold to the init sentinel while the oracle's
     # NULLS-LAST ranking assigns a centroid — exclude them on both sides
@@ -2521,7 +2493,8 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     encoded = stream.select(
-        F.col("vec_id").alias("n_id"), best["c_id"].alias("c_list")
+        F.col("vec_id").alias("n_id"),
+        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_list"),
     )
     res = E.run_to_memory(encoded, "q_emb_stream_encode", output_mode="append")
     return (
@@ -2529,6 +2502,54 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("c_list")
     )
+
+
+def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone serving composition: the embeddings stream is encoded
+    in-stream (stateless expression-fold assignment against the broadcast
+    quantizer model) and appended EXACTLY-ONCE into the persisted IVF
+    index's partitioned list layout (file-sink commit log); the drained
+    index then answers the standard top-k query through the
+    partition-pruned read path (sources/ann_index.ivf_index_topk).
+
+    Every stage is the value-gated primitive it composes — the in-stream
+    assignment is emb_stream_encode's, the storage layout and probe path
+    are sim_ann_ivf_indexed's — so the whole ingest→index→serve loop is
+    gated by the same exact sim_ann_ivf oracle.
+    """
+    import os
+    import tempfile
+
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.streaming import events as E
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents_df = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    base = tempfile.mkdtemp(prefix="ivf_stream_index_")
+    cents_df.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    cents = cents_df.select("c_id", "c_vec").collect()
+    stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    enc = stream.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        S.norm(F.col("embedding")).alias("n_norm"),
+        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_list"),
+    )
+    q = SK.stream_to_parquet(
+        enc,
+        os.path.join(base, "lists"),
+        os.path.join(base, "ckpt"),
+        partition_by=("c_list",),
+    )
+    q.awaitTermination()
+    return AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
 def emb_stream_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2869,6 +2890,7 @@ QUERIES = {
     "events_stream_score": events_stream_score,
     "emb_stream_encode": emb_stream_encode,
     "emb_stream_encode_fast": emb_stream_encode_fast,
+    "emb_stream_index_ingest": emb_stream_index_ingest,
 }
 
 ORACLE: dict[str, str] = {
@@ -2942,4 +2964,5 @@ ORACLE: dict[str, str] = {
     "docs_stream_quality": _DOCS_STREAM_QUALITY_SQL,
     "events_stream_score": _EVENTS_ANOMALY_SQL,
     "emb_stream_encode": _emb_stream_encode_sql(),
+    "emb_stream_index_ingest": _ivf_sql(),
 }
