@@ -1711,6 +1711,42 @@ _HEAVY_HITTERS_SQL = f"""
 """
 
 
+def docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded training-order shuffle: every document gets a
+    global position from ranking md5('shuffle|seed|doc_id') — the standard
+    pre-training data-order pass, with the properties random.shuffle
+    lacks at corpus scale: reproducible across runs/partitionings (pure
+    hash of the id), mergeable (a doc's sort key never changes when the
+    corpus grows), and skew-free (md5 keys are uniform).  The global
+    row_number here is the gate-exact form; at 100 TB the same key feeds
+    a range-partitioned WRITE (sortWithinPartitions by key) instead of a
+    single global window — the order is identical because the key is.
+    Output sample: every 25th position, so the gate pins the whole
+    permutation through O(n/25) rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = T.md5_slice32("shuffle|13|", F.col("doc_id").cast("string"))
+    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", key.alias("k"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter((F.col("pos") % 25) == 1)
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    )
+
+
+_DOCS_SHUFFLE_SQL = """
+    SELECT doc_id, pos FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY ('0x' || substring(md5(concat('shuffle|13|',
+                       CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT ASC,
+                   doc_id ASC) AS BIGINT) AS pos
+        FROM documents)
+    WHERE pos % 25 = 1 ORDER BY pos
+"""
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (90/5/5) by content-stable
     hash bucket: bucket = first 32 md5 bits of the doc id, mod 100.  The
@@ -2839,6 +2875,7 @@ QUERIES = {
     "docs_topterms": docs_topterms,
     "docs_bigrams": docs_bigrams,
     "docs_quality_by_source": docs_quality_by_source,
+    "docs_shuffle_order": docs_shuffle_order,
     "docs_train_split": docs_train_split,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_sample_weighted": docs_sample_weighted,
@@ -2917,6 +2954,7 @@ ORACLE: dict[str, str] = {
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_bigrams": _BIGRAMS_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
+    "docs_shuffle_order": _DOCS_SHUFFLE_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
     "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
