@@ -820,7 +820,10 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the mapInPandas path."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return M.extract_features(M.documents_as_media(docs))
+    # decoder="stub": the gate's payloads are text; pinning one tier keeps
+    # the oracle deterministic (real PPM/PGM decode is pinned by fixtures
+    # in tests/test_multimodal_decode.py)
+    return M.extract_features(M.documents_as_media(docs), decoder="stub")
 
 
 def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
@@ -872,7 +875,7 @@ def mm_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_features (md5-derived stub features) + sim_topk (expression cosine).
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    feats = M.extract_features(M.documents_as_media(docs)).select(
+    feats = M.extract_features(M.documents_as_media(docs), decoder="stub").select(
         "media_id", "feature"
     )
     # Filter BELOW the mapInPandas barrier: media_id == doc_id, so pruning
@@ -880,7 +883,7 @@ def mm_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtering feats on media_id would re-decode the whole corpus a
     # second time (Catalyst can't push a predicate through mapInPandas).
     queries = M.extract_features(
-        M.documents_as_media(docs.filter(F.col("doc_id") < 8))
+        M.documents_as_media(docs.filter(F.col("doc_id") < 8)), decoder="stub"
     ).select(F.col("media_id").alias("q_id"), F.col("feature").alias("q_vec"))
     return S.brute_force_topk(
         feats, queries, vec_col="feature", id_col="media_id", k=3

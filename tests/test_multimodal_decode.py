@@ -1,0 +1,84 @@
+"""Real (numpy-only) image decode tier: PPM/PGM parsing, content features,
+nearest-neighbor resize — pinned against locally-computed expectations on
+generated fixtures (no codec library exists in this container, so the
+uncompressed netpbm formats ARE the real-decode surface)."""
+
+import numpy as np
+import pytest
+
+from codecdb_queryengine_spark.operators import multimodal as M
+
+
+def _ppm(w, h, px=None, comment=False):
+    if px is None:
+        px = (np.arange(w * h * 3, dtype=np.uint64) % 251).astype(np.uint8).reshape(h, w, 3)
+    head = b"P6\n"
+    if comment:
+        head += b"# a comment line\n"
+    head += f"{w} {h}\n255\n".encode()
+    return head + px.tobytes(), px
+
+
+def _pgm(w, h):
+    px = (np.arange(w * h, dtype=np.uint64) % 241).astype(np.uint8).reshape(h, w, 1)
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def test_decode_ppm_roundtrip_and_comments():
+    payload, px = _ppm(7, 5, comment=True)
+    w, h, got = M.decode_image(payload)
+    assert (w, h) == (7, 5)
+    assert np.array_equal(got, px)
+
+
+def test_decode_pgm_replicates_gray_to_rgb():
+    payload, px = _pgm(4, 3)
+    w, h, got = M.decode_image(payload)
+    assert (w, h) == (4, 3)
+    assert np.array_equal(got, np.repeat(px, 3, axis=2))
+
+
+def test_decode_rejects_non_images_and_garbage_headers():
+    assert M.decode_image(b"hello world, not an image") is None
+    assert M.decode_image(b"P6\nnot numbers\n") is None
+    assert M.decode_image(b"P6\n4 4\n65535\n" + b"\0" * 96) is None  # 2-byte samples
+    with pytest.raises(NotImplementedError):
+        M.decode_image(None)
+
+
+def test_image_features_match_local_numpy():
+    payload, px = _ppm(8, 4)
+    feats = M.decode_features(payload)
+    f = px.astype(np.float64) / 255.0
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    want = [
+        np.log1p(8), np.log1p(4), 2.0,
+        f[:, :, 0].mean(), f[:, :, 1].mean(), f[:, :, 2].mean(),
+        luma.std(), np.abs(np.diff(luma, axis=1)).mean(),
+    ]
+    assert feats == pytest.approx(want)
+    # non-image payloads take the stub tier with the same dimensionality
+    stub = M.decode_features(b"plain text")
+    assert len(stub) == len(feats) == M.FEATURE_DIM
+
+
+def test_resize_real_pixels_nearest_neighbor():
+    payload, px = _ppm(6, 6)
+    out = M.resize_image(payload, 3, 2)
+    w, h, got = M.decode_image(out)
+    assert (w, h) == (3, 2)
+    ys = (np.arange(2) * 6) // 2
+    xs = (np.arange(3) * 6) // 3
+    assert np.array_equal(got, px[ys][:, xs])
+
+
+def test_extract_features_auto_tier_through_spark(spark):
+    payload, px = _ppm(5, 5)
+    rows = [
+        (1, "image", bytearray(payload), 5, 5),
+        (2, "text", bytearray(b"just words"), 10, 1),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: list(r.feature) for r in M.extract_features(media).collect()}
+    assert got[1] == pytest.approx(M.image_features(5, 5, px))
+    assert got[2] == pytest.approx(M.decode_stub(b"just words"))
