@@ -5,10 +5,13 @@ column with a metadata struct; decode/feature-extract runs as Arrow-batched
 pandas functions over mapInPandas — the only sanctioned Python hot path.
 
 Decoding tiers:
-- REAL decode for uncompressed raster formats (binary PPM "P6" and PGM
-  "P5") implemented numpy-only — header parse, pixel array, channel/
-  luma statistics, nearest-neighbor resize.  No codec library needed.
-- Codec formats (JPEG/PNG/audio/video) need libs absent from this
+- REAL decode for uncompressed formats, implemented numpy-only — images
+  as binary PPM "P6"/PGM "P5" (header parse, pixel array, channel/luma
+  statistics, nearest-neighbor resize), audio as RIFF/WAVE PCM (chunk
+  walk, sample array, rms/zero-crossings/duration), video as YUV4MPEG2
+  (stream header + per-FRAME slicing of real luma planes).  No codec
+  library needed.
+- Compressed formats (JPEG/PNG/MP3/H.264/...) need libs absent from this
   container; those payloads fall back to `decode_stub` (deterministic
   md5-derived fake features) so the pipeline shape stays total.  The
   oracle-gated queries run text payloads and pin the stub tier explicitly
@@ -134,12 +137,121 @@ def image_features(width: int, height: int, px: "np.ndarray") -> list[float]:
     ]
 
 
+def decode_wav(payload: bytes):
+    """REAL decode of RIFF/WAVE PCM audio — numpy only.
+
+    Walks the chunk list for 'fmt ' + 'data', supports PCM (format 1)
+    with 8-bit unsigned or 16-bit signed samples.  Returns
+    (sample_rate, channels, samples) with samples float64 in [-1, 1]
+    shaped (n_frames, channels), or None when not decodable PCM.
+    """
+    if payload is None:
+        raise NotImplementedError("decode of NULL payload")
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+            return None
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2")
+            samples = raw.astype(np.float64) / 32768.0
+        else:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            samples = (raw.astype(np.float64) - 128.0) / 128.0
+        n = (len(samples) // channels) * channels
+        return sample_rate, channels, samples[:n].reshape(-1, channels)
+    except (ValueError, IndexError):
+        return None
+
+
+def audio_features(sample_rate: int, channels: int, samples: "np.ndarray") -> list[float]:
+    """Real audio content features (FEATURE_DIM values): log duration/rate,
+    channel count, rms, peak, zero-crossing rate, mean |amplitude|, and
+    first-difference energy — the curation signals (silence/clipping/noise
+    screens) an audio pipeline filters on."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zc = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    d1 = float(np.abs(np.diff(mono)).mean()) if n > 1 else 0.0
+    return [
+        float(np.log1p(n / sample_rate)),
+        float(np.log1p(sample_rate)),
+        float(channels),
+        float(np.sqrt((mono**2).mean())) if n else 0.0,
+        float(np.abs(mono).max()) if n else 0.0,
+        zc,
+        float(np.abs(mono).mean()) if n else 0.0,
+        d1,
+    ]
+
+
+def decode_y4m(payload: bytes):
+    """REAL parse of a YUV4MPEG2 stream — numpy only.
+
+    Returns (width, height, [luma_plane, ...]) with one (h, w) uint8 array
+    per FRAME (4:2:0 chroma is skipped per frame; the luma plane is what
+    frame-level features/dedup consume), or None when not Y4M.
+    """
+    if payload is None:
+        raise NotImplementedError("decode of NULL payload")
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+        width = height = None
+        for tok in payload[9:nl].split():
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+        if not width or not height:
+            return None
+        y_size = width * height
+        frame_size = y_size + (y_size // 2)  # 4:2:0
+        frames = []
+        pos = nl + 1
+        while payload[pos : pos + 5] == b"FRAME":
+            fnl = payload.index(b"\n", pos)
+            start = fnl + 1
+            luma = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=start)
+            frames.append(luma.reshape(height, width))
+            pos = start + frame_size
+        return (width, height, frames) if frames else None
+    except (ValueError, IndexError):
+        return None
+
+
 def decode_features(payload: bytes) -> list[float]:
-    """Tiered decode: real pixels where the format allows, stub otherwise."""
+    """Tiered decode: real pixels/samples where the format allows
+    (PPM/PGM images, WAV PCM audio, first Y4M frame), stub otherwise."""
     decoded = decode_image(payload)
-    if decoded is None:
-        return decode_stub(payload)
-    return image_features(*decoded)
+    if decoded is not None:
+        return image_features(*decoded)
+    wav = decode_wav(payload)
+    if wav is not None:
+        return audio_features(*wav)
+    y4m = decode_y4m(payload)
+    if y4m is not None:
+        w, h, frames = y4m
+        first = np.repeat(frames[0][:, :, None], 3, axis=2)
+        return image_features(w, h, first)
+    return decode_stub(payload)
 
 
 def extract_features(media: DataFrame, decoder: str = "auto") -> DataFrame:
@@ -230,25 +342,45 @@ def resize(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """Video frame-sampling plumbing: one media row explodes to ≤max_frames
-    frame rows via mapInPandas (1→N fan-out inside the Arrow batch — no
-    shuffle; downstream repartitions if frames need re-balancing).  Frame
-    extraction is STUBBED as fixed-stride byte slices standing in for
-    decoded frames; signature (payload → indexed frame payloads) is the
-    real contract."""
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    sampler: str = "auto",
+) -> DataFrame:
+    """Video frame sampling: one media row explodes to ≤max_frames frame
+    rows via mapInPandas (1→N fan-out inside the Arrow batch — no shuffle;
+    downstream repartitions if frames need re-balancing).
+
+    sampler="auto": Y4M payloads yield REAL frames — evenly-strided luma
+    planes from decode_y4m — and anything else the fixed-stride byte-slice
+    stand-in; sampler="bytes" pins the stand-in (the oracle-gated query
+    uses it because its payloads are text and the oracle re-slices in
+    SQL).  Signature (payload → indexed frame payloads) is the contract
+    either way."""
+
+    def slice_frames(payload: bytes):
+        if payload is None:
+            raise NotImplementedError("frame_sample of NULL payload")
+        if sampler == "auto":
+            y4m = decode_y4m(payload)
+            if y4m is not None:
+                _, _, lumas = y4m
+                # evenly strided selection across the real frame sequence
+                stride = max(1, len(lumas) // max_frames)
+                picked = lumas[::stride][:max_frames]
+                return [y.tobytes() for y in picked]
+        n = min(max_frames, max(1, len(payload) // every_n_bytes))
+        return [payload[i * every_n_bytes : (i + 1) * every_n_bytes] for i in range(n)]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    raise NotImplementedError("frame_sample of NULL payload")
-                n = min(max_frames, max(1, len(payload) // every_n_bytes))
-                for i in range(n):
+                for i, fr in enumerate(slice_frames(payload)):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    frames.append(fr)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
             )

@@ -845,7 +845,9 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_sample).  Gated on per-frame digests; the oracle re-slices in
     SQL — byte slice == char slice because the corpus is ASCII."""
     docs = load_tables(spark, sf_dir)["documents"]
-    frames = M.frame_sample(M.documents_as_media(docs))
+    # sampler="bytes": text payloads + an oracle that re-slices in SQL
+    # (real Y4M frame extraction is pinned in tests/test_multimodal_decode)
+    frames = M.frame_sample(M.documents_as_media(docs), sampler="bytes")
     return frames.select(
         "media_id", "frame_idx", F.md5("frame_payload").alias("frame_digest")
     )

@@ -82,3 +82,58 @@ def test_extract_features_auto_tier_through_spark(spark):
     got = {r.media_id: list(r.feature) for r in M.extract_features(media).collect()}
     assert got[1] == pytest.approx(M.image_features(5, 5, px))
     assert got[2] == pytest.approx(M.decode_stub(b"just words"))
+
+
+def _y4m(w, h, n_frames):
+    frames = []
+    payload = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    for k in range(n_frames):
+        y = ((np.arange(w * h, dtype=np.uint64) + 10 * k) % 256).astype(np.uint8)
+        frames.append(y.reshape(h, w))
+        payload += b"FRAME\n" + y.tobytes() + bytes((w * h) // 2)
+    return payload, frames
+
+
+def test_decode_y4m_frames():
+    payload, frames = _y4m(4, 2, 3)
+    w, h, got = M.decode_y4m(payload)
+    assert (w, h) == (4, 2) and len(got) == 3
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    assert M.decode_y4m(b"not a video") is None
+
+
+def test_decode_wav_and_features():
+    import struct
+
+    sr = 8000
+    samples = (np.sin(np.linspace(0, 40, 800)) * 20000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    srr, ch, ss = M.decode_wav(wav)
+    assert (srr, ch, len(ss)) == (8000, 1, 800)
+    feats = M.decode_features(wav)
+    mono = ss.mean(axis=1)
+    assert feats[3] == pytest.approx(np.sqrt((mono**2).mean()))  # rms
+    assert len(feats) == M.FEATURE_DIM
+    # a non-PCM RIFF falls through to the stub tier
+    not_pcm = wav[:20] + struct.pack("<H", 3) + wav[22:]
+    assert M.decode_wav(not_pcm) is None
+
+
+def test_frame_sample_real_y4m_through_spark(spark):
+    payload, frames = _y4m(4, 2, 6)
+    rows = [(7, "video", bytearray(payload), 4, 2)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = sorted(
+        M.frame_sample(media, max_frames=3).collect(), key=lambda r: r.frame_idx
+    )
+    assert len(got) == 3
+    # stride 2 over 6 frames -> frames 0, 2, 4, as raw luma planes
+    for row, want in zip(got, [frames[0], frames[2], frames[4]]):
+        assert bytes(row.frame_payload) == want.tobytes()
