@@ -6,8 +6,9 @@ pandas functions over mapInPandas — the only sanctioned Python hot path.
 
 Decoding tiers:
 - REAL decode for uncompressed formats, implemented numpy-only — images
-  as binary PPM "P6"/PGM "P5" (header parse, pixel array, channel/luma
-  statistics, nearest-neighbor resize), audio as RIFF/WAVE PCM (chunk
+  as binary PPM "P6"/PGM "P5"/24-bit BI_RGB BMP (header parse, pixel
+  array, channel/luma statistics, nearest-neighbor resize), audio as
+  RIFF/WAVE PCM (chunk
   walk, sample array, rms/zero-crossings/duration), video as YUV4MPEG2
   (stream header + per-FRAME slicing of real luma planes).  No codec
   library needed.
@@ -73,8 +74,37 @@ def decode_stub(payload: bytes) -> list[float]:
     return [h[i] / 256.0 for i in range(FEATURE_DIM)]
 
 
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BI_RGB Windows BMP: BGR samples, 4-byte-padded
+    rows, bottom-up (or top-down when height is negative)."""
+    try:
+        if int.from_bytes(payload[30:34], "little") != 0:  # BI_RGB only
+            return None
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp != 24:
+            return None
+        offset = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        top_down = height < 0
+        height = abs(height)
+        if width <= 0 or height <= 0:
+            return None
+        row_bytes = (width * 3 + 3) & ~3
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=offset
+        ).reshape(height, row_bytes)
+        px = raw[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR->RGB
+        if not top_down:
+            px = px[::-1]
+        return width, height, np.ascontiguousarray(px)
+    except (ValueError, IndexError):
+        return None
+
+
 def decode_image(payload: bytes):
-    """REAL decode of binary PPM (P6, RGB) / PGM (P5, gray) — numpy only.
+    """REAL decode of binary PPM (P6, RGB) / PGM (P5, gray) / uncompressed
+    24-bit BMP — numpy only.
 
     Returns (width, height, pixels) with pixels shaped (h, w, 3) uint8
     (gray replicated to 3 channels), or None when the payload is not one
@@ -84,6 +114,8 @@ def decode_image(payload: bytes):
     """
     if payload is None:
         raise NotImplementedError("decode of NULL payload")
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if len(payload) < 2 or payload[:2] not in (b"P6", b"P5"):
         return None
     try:

@@ -694,7 +694,10 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings (see the test's docstring).
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cbs = S.pq_codebooks_kmeans(emb, dim=64)
+    # 5 Lloyd iterations: converged on this data (codebooks stable vs 10,
+    # measured), and at scale a production quantizer trains once offline —
+    # the per-query fit here exists to gate the train->encode plumbing
+    cbs = S.pq_codebooks_kmeans(emb, dim=64, max_iter=5)
     return S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
 
 

@@ -137,3 +137,32 @@ def test_frame_sample_real_y4m_through_spark(spark):
     # stride 2 over 6 frames -> frames 0, 2, 4, as raw luma planes
     for row, want in zip(got, [frames[0], frames[2], frames[4]]):
         assert bytes(row.frame_payload) == want.tobytes()
+
+
+def _bmp(w, h, px=None, top_down=False):
+    import struct
+
+    if px is None:
+        px = (np.arange(w * h * 3, dtype=np.uint64) % 239).astype(np.uint8).reshape(h, w, 3)
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for y in rows:
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\0" * (row_bytes - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    return bytes(head + info + body), px
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    for top_down in (False, True):
+        payload, px = _bmp(5, 3, top_down=top_down)
+        w, h, got = M.decode_image(payload)
+        assert (w, h) == (5, 3)
+        assert np.array_equal(got, px)
+    # compressed/odd-bpp BMPs fall through to None (stub tier)
+    payload, _ = _bmp(4, 4)
+    rle = payload[:30] + (1).to_bytes(4, "little") + payload[34:]
+    assert M.decode_image(rle) is None
