@@ -93,7 +93,7 @@ DRIVER_FIRST = [
     "docs_stream_quality",
     "emb_stream_encode",
     # multimodal
-    "mm_frames",
+    "mm_decode_real",  # REAL numpy decode of Spark-synthesized PPM payloads
     "mm_ann",
     # extensions
     "ext_corr",

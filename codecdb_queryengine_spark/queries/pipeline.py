@@ -842,6 +842,87 @@ def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
     """
 
 
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-decode tier under the value gate: each document's
+    md5 bytes become a genuine 4×2 binary-PPM payload (header + 24 raw
+    samples, built with Spark binary expressions), mapInPandas runs the
+    actual numpy decoder (multimodal.decode_image → image_features), and
+    the gate pins micro-quantized pixel statistics — channel means, luma
+    σ, horizontal edge energy — against a DuckDB oracle that recomputes
+    every pixel from the same md5 hex.  floor(x·1e6 + 0.5) absorbs
+    numpy's pairwise-vs-left-fold summation-order noise (~1e-17 on 8
+    pixels) without leaving a knife edge.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = bytearray(b"P6\n4 2\n255\n")
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(F.md5(F.col("text"))),
+        F.unhex(F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16)),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(4).cast("long").alias("meta_width"),
+        F.lit(2).cast("long").alias("meta_height"),
+    )
+    feats = M.extract_features(media)  # auto tier -> real decode
+
+    def q(i: int, alias: str):
+        return F.floor(F.element_at("feature", i + 1) * F.lit(1e6) + F.lit(0.5)).alias(alias)
+
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        q(3, "mean_r_micro"),
+        q(4, "mean_g_micro"),
+        q(5, "mean_b_micro"),
+        q(6, "luma_std_micro"),
+        q(7, "edge_micro"),
+    ).orderBy("media_id")
+
+
+def _mm_decode_real_sql() -> str:
+    # pixel byte k (0-based): bytes 0..15 from md5(text), 16..23 from
+    # md5(text||'x'); pixel i has channels (3i, 3i+1, 3i+2); 4x2 row-major
+    def byte(k: int) -> str:
+        if k < 16:
+            return f"('0x' || substr(md5(text), {2 * k + 1}, 2))::INT"
+        k -= 16
+        return f"('0x' || substr(md5(text || 'x'), {2 * k + 1}, 2))::INT"
+
+    def ch(i: int, c: int) -> str:
+        return f"(CAST({byte(3 * i + c)} AS DOUBLE) / 255.0)"
+
+    def luma(i: int) -> str:
+        return f"(0.299 * {ch(i, 0)} + 0.587 * {ch(i, 1)} + 0.114 * {ch(i, 2)})"
+
+    def mean8(terms: list) -> str:
+        return "((" + " + ".join(terms) + ") / 8.0)"
+
+    mean_r = mean8([ch(i, 0) for i in range(8)])
+    mean_g = mean8([ch(i, 1) for i in range(8)])
+    mean_b = mean8([ch(i, 2) for i in range(8)])
+    lumas = [luma(i) for i in range(8)]
+    mean_l = mean8(lumas)
+    var_l = "((" + " + ".join(f"(({t}) - ml) * (({t}) - ml)" for t in lumas) + ") / 8.0)"
+    # width 4, height 2: row0 px0-3, row1 px4-7 -> 6 horizontal diffs
+    diffs = [f"abs({luma(i + 1)} - {luma(i)})" for i in (0, 1, 2, 4, 5, 6)]
+    edge = "((" + " + ".join(diffs) + ") / 6.0)"
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id, text, {mean_l} AS ml FROM documents)
+        SELECT media_id,
+               CAST(35 AS BIGINT) AS n_bytes,
+               CAST(floor({mean_r} * 1000000.0 + 0.5) AS BIGINT) AS mean_r_micro,
+               CAST(floor({mean_g} * 1000000.0 + 0.5) AS BIGINT) AS mean_g_micro,
+               CAST(floor({mean_b} * 1000000.0 + 0.5) AS BIGINT) AS mean_b_micro,
+               CAST(floor(sqrt({var_l}) * 1000000.0 + 0.5) AS BIGINT) AS luma_std_micro,
+               CAST(floor({edge} * 1000000.0 + 0.5) AS BIGINT) AS edge_micro
+        FROM m ORDER BY media_id
+    """
+
+
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling through mapInPandas: each payload fans
     out to ≤8 fixed-stride 64-byte frames (operators/multimodal.py
@@ -2914,6 +2995,7 @@ QUERIES = {
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
+    "mm_decode_real": mm_decode_real,
     "mm_frames": mm_frames,
     "mm_ann": mm_ann,
     "events_window": events_window,
@@ -2990,6 +3072,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "mm_features": _mm_sql(),
+    "mm_decode_real": _mm_decode_real_sql(),
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
