@@ -923,6 +923,85 @@ def _mm_decode_real_sql() -> str:
     """
 
 
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real AUDIO decode tier under the value gate (mm_decode_real's
+    audio sibling): each document's md5 bytes become a genuine 44-byte-
+    header RIFF/WAVE payload carrying 24 unsigned-8-bit PCM samples; the
+    numpy WAV decoder runs in mapInPandas and the gate pins zero-crossing
+    rate exactly plus micro-quantized rms / peak / mean-|x| /
+    first-difference energy against a DuckDB oracle recomputing every
+    sample from the same md5 hex ((byte-128)/128)."""
+    import struct
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    data_len = 24
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    header = bytearray(
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_len)
+    )
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(F.md5(F.col("text"))),
+        F.unhex(F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16)),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(24).cast("long").alias("meta_width"),
+        F.lit(1).cast("long").alias("meta_height"),
+    )
+    feats = M.extract_features(media)  # auto tier -> WAV decode
+
+    def q(i: int, alias: str):
+        return F.floor(F.element_at("feature", i + 1) * F.lit(1e6) + F.lit(0.5)).alias(alias)
+
+    return feats.select(
+        "media_id",
+        q(3, "rms_micro"),
+        q(4, "peak_micro"),
+        # zcr = crossings/23 exactly; emit the integer crossing count
+        F.round(F.element_at("feature", 6) * F.lit(23.0)).cast("long").alias("n_crossings"),
+        q(6, "mean_abs_micro"),
+        q(7, "d1_micro"),
+    ).orderBy("media_id")
+
+
+def _mm_decode_audio_sql() -> str:
+    def byte(k: int) -> str:
+        if k < 16:
+            return f"('0x' || substr(md5(text), {2 * k + 1}, 2))::INT"
+        k -= 16
+        return f"('0x' || substr(md5(text || 'x'), {2 * k + 1}, 2))::INT"
+
+    def smp(k: int) -> str:
+        return f"((CAST({byte(k)} AS DOUBLE) - 128.0) / 128.0)"
+
+    n = 24
+    sq_sum = " + ".join(f"({smp(k)} * {smp(k)})" for k in range(n))
+    abs_sum = " + ".join(f"abs({smp(k)})" for k in range(n))
+    peak = "greatest(" + ", ".join(f"abs({smp(k)})" for k in range(n)) + ")"
+    crossings = " + ".join(
+        f"(CASE WHEN ({smp(k)} < 0) <> ({smp(k + 1)} < 0) THEN 1 ELSE 0 END)"
+        for k in range(n - 1)
+    )
+    d1_sum = " + ".join(f"abs({smp(k + 1)} - {smp(k)})" for k in range(n - 1))
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(floor(sqrt(({sq_sum}) / {n}.0) * 1000000.0 + 0.5) AS BIGINT)
+                 AS rms_micro,
+               CAST(floor({peak} * 1000000.0 + 0.5) AS BIGINT) AS peak_micro,
+               CAST(({crossings}) AS BIGINT) AS n_crossings,
+               CAST(floor(({abs_sum}) / {n}.0 * 1000000.0 + 0.5) AS BIGINT)
+                 AS mean_abs_micro,
+               CAST(floor(({d1_sum}) / {n - 1}.0 * 1000000.0 + 0.5) AS BIGINT)
+                 AS d1_micro
+        FROM documents ORDER BY media_id
+    """
+
+
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling through mapInPandas: each payload fans
     out to ≤8 fixed-stride 64-byte frames (operators/multimodal.py
@@ -2996,6 +3075,7 @@ QUERIES = {
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
+    "mm_decode_audio": mm_decode_audio,
     "mm_frames": mm_frames,
     "mm_ann": mm_ann,
     "events_window": events_window,
@@ -3073,6 +3153,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
+    "mm_decode_audio": _mm_decode_audio_sql(),
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
