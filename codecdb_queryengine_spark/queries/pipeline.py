@@ -1002,6 +1002,49 @@ def _mm_decode_audio_sql() -> str:
     """
 
 
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real VIDEO decode tier under the value gate: each document's
+    md5 bytes become a genuine 2-frame YUV4MPEG2 stream (4x2 4:2:0 —
+    stream header, per-FRAME markers, 8 luma + 4 chroma bytes per frame);
+    frame_sample's auto tier runs the actual numpy Y4M parser and the
+    gate compares each extracted luma plane BYTE-FOR-BYTE (hex-encoded)
+    against the oracle's slice of the same md5 hex."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = bytearray(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n")
+    fr = bytearray(b"FRAME\n")
+    chroma = bytearray(4)
+    payload = F.concat(
+        F.lit(header),
+        F.lit(fr),
+        F.unhex(F.substring(F.md5(F.col("text")), 1, 16)),
+        F.lit(chroma),
+        F.lit(fr),
+        F.unhex(F.substring(F.md5(F.col("text")), 17, 16)),
+        F.lit(chroma),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(4).cast("long").alias("meta_width"),
+        F.lit(2).cast("long").alias("meta_height"),
+    )
+    frames = M.frame_sample(media, max_frames=8)  # auto tier -> real Y4M frames
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.hex(F.col("frame_payload")).alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")
+
+
+_MM_DECODE_VIDEO_SQL = """
+    SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_idx,
+           upper(substr(md5(text), 1 + 16 * k, 16)) AS frame_hex
+    FROM documents, (SELECT unnest(range(0, 2)) AS k)
+    ORDER BY media_id, frame_idx
+"""
+
+
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling through mapInPandas: each payload fans
     out to ≤8 fixed-stride 64-byte frames (operators/multimodal.py
@@ -3076,6 +3119,7 @@ QUERIES = {
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
     "mm_decode_audio": mm_decode_audio,
+    "mm_decode_video": mm_decode_video,
     "mm_frames": mm_frames,
     "mm_ann": mm_ann,
     "events_window": events_window,
@@ -3154,6 +3198,7 @@ ORACLE: dict[str, str] = {
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
     "mm_decode_audio": _mm_decode_audio_sql(),
+    "mm_decode_video": _MM_DECODE_VIDEO_SQL,
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
