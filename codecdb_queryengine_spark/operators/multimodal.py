@@ -237,8 +237,9 @@ def decode_y4m(payload: bytes):
     """REAL parse of a YUV4MPEG2 stream — numpy only.
 
     Returns (width, height, [luma_plane, ...]) with one (h, w) uint8 array
-    per FRAME (4:2:0 chroma is skipped per frame; the luma plane is what
-    frame-level features/dedup consume), or None when not Y4M.
+    per FRAME (the chroma planes — sized per the header's C colorspace tag —
+    are skipped; the luma plane is what frame-level features/dedup consume),
+    or None when not Y4M / an unsupported colorspace.
     """
     if payload is None:
         raise NotImplementedError("decode of NULL payload")
@@ -247,15 +248,31 @@ def decode_y4m(payload: bytes):
     try:
         nl = payload.index(b"\n")
         width = height = None
+        colorspace = b"420jpeg"  # the Y4M default when no C token is present
         for tok in payload[9:nl].split():
             if tok[:1] == b"W":
                 width = int(tok[1:])
             elif tok[:1] == b"H":
                 height = int(tok[1:])
+            elif tok[:1] == b"C":
+                colorspace = tok[1:]
         if not width or not height:
             return None
         y_size = width * height
-        frame_size = y_size + (y_size // 2)  # 4:2:0
+        # Chroma stride per colorspace (r4 ADVICE: hardcoded 4:2:0 mis-sliced
+        # valid C422/C444 streams from frame 2 on).  Unknown colorspaces
+        # return None so the caller falls back to the stub tier.
+        if colorspace.startswith(b"420"):
+            chroma = y_size // 2
+        elif colorspace == b"422":
+            chroma = y_size
+        elif colorspace == b"444":
+            chroma = 2 * y_size
+        elif colorspace == b"mono":
+            chroma = 0
+        else:
+            return None
+        frame_size = y_size + chroma
         frames = []
         pos = nl + 1
         while payload[pos : pos + 5] == b"FRAME":

@@ -481,6 +481,25 @@ def pq_topk(
     qm = queries.select("q_id", F.col("q_vec").alias("qv"), ms).select(
         "q_id", "m", F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub")
     )
+    # The ADC map key is m·K + c_id; a codebook row with c_id >= K would
+    # alias an adjacent subspace's entry and silently corrupt every score
+    # (r4 ADVICE).  Zero-cost lazy guard: misuse fails loudly at execution
+    # instead of returning wrong rankings.  Both map-build and lookup go
+    # through the same cbm, so guarding the key build covers the lookup too.
+    adc_key = F.when(
+        F.col("c_id") < num_codewords,
+        F.col("m") * num_codewords + F.col("c_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "pq_topk: codebook c_id %s >= num_codewords %s — ADC keys "
+                "would alias adjacent subspaces; pass num_codewords matching "
+                "the trained codebooks",
+                F.col("c_id").cast("string"),
+                F.lit(str(num_codewords)),
+            )
+        ).cast("long")
+    )
     adc_wide = (
         qm.join(F.broadcast(cbm), "m")
         .withColumn(
@@ -489,11 +508,7 @@ def pq_topk(
         .groupBy("q_id")
         .agg(
             F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("m") * num_codewords + F.col("c_id")).alias("key"), "contrib"
-                    )
-                )
+                F.collect_list(F.struct(adc_key.alias("key"), "contrib"))
             ).alias("amap")
         )
     )

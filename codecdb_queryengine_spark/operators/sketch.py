@@ -130,9 +130,11 @@ def heavy_hitters(
     never shift the cut-off relative to a decimal-arithmetic oracle
     (`HAVING cnt >= ceil(0.02 * total)` — DuckDB decimal-exact).
 
-    The candidate sliver is persist()ed (read twice: N + distinct); callers
-    holding the session long-term should `spark.catalog.clearCache()` after
-    materializing the result, as the gate/bench harnesses do.
+    Cache lifetime is operator-owned (r4 ADVICE): the sliver is persisted
+    only long enough to materialize its two tiny consumers (the 1-row N
+    aggregate and the candidate set, both eager localCheckpoints bounded by
+    partitions/r), then unpersisted before returning — nothing cached leaks
+    into library callers' sessions.
     """
     from fractions import Fraction
 
@@ -164,8 +166,17 @@ def heavy_hitters(
     local = items.mapInPandas(
         local_heavy, schema=f"{item_col} {item_type}, n_rows long"
     ).persist()  # bounded sliver, read twice (N + candidates); never collected
-    n_total = local.agg(F.sum("n_rows").alias("n_total"))
-    cand = local.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    # Eager localCheckpoints materialize both consumers off the persisted
+    # sliver (one scan each, tiny results), so `local` can be released NOW
+    # rather than parked in the session cache until someone clearCache()s.
+    n_total = local.agg(F.sum("n_rows").alias("n_total")).localCheckpoint(eager=True)
+    cand = (
+        local.filter(F.col(item_col).isNotNull())
+        .select(item_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    local.unpersist()
     return (
         items.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)

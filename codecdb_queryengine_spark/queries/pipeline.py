@@ -10,6 +10,11 @@ extensions for the 100-TB corpus use case.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -465,6 +470,28 @@ def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str
 _N_QUERIES = 5
 _TOP_K = 5
 
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch_dir(kind: str, sf_dir: str, fresh: bool = False) -> str:
+    """Per-(kind, sf, pid) scratch path for persisted index layouts, created
+    once per process and removed at interpreter exit — every repeated
+    gate/bench invocation reuses (overwrites) the same directory instead of
+    leaking a full index copy per run (r4 ADVICE).  `fresh=True` wipes the
+    content first, for callers whose exactly-once commit logs must not see
+    a previous invocation's state."""
+    key = f"{kind}:{sf_dir}"
+    path = _SCRATCH.get(key)
+    if path is None:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"codecdb_{kind}_{tag}_{os.getpid()}")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _SCRATCH[key] = path
+    if fresh and os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 
 def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -612,12 +639,10 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment/scoring expressions, norms persisted exactly — so the same
     oracle gates the serving path end-to-end through storage.
     """
-    import tempfile
-
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = _scratch_dir("ivf_index", sf_dir)
     AI.ivf_index_build(emb, path, centroid_mod=29)
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
@@ -2764,9 +2789,6 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sim_ann_ivf_indexed's — so the whole ingest→index→serve loop is
     gated by the same exact sim_ann_ivf oracle.
     """
-    import os
-    import tempfile
-
     from codecdb_queryengine_spark.sources import ann_index as AI
     from codecdb_queryengine_spark.streaming import events as E
     from codecdb_queryengine_spark.streaming import sinks as SK
@@ -2777,7 +2799,9 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_vec"),
         S.norm(F.col("embedding")).alias("c_norm"),
     )
-    base = tempfile.mkdtemp(prefix="ivf_stream_index_")
+    # fresh: the file sink's commit log must not see a prior invocation's
+    # ingested lists or the stream would (correctly) append nothing new
+    base = _scratch_dir("ivf_stream_index", sf_dir, fresh=True)
     cents_df.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
     cents = cents_df.select("c_id", "c_vec").collect()
     stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(

@@ -92,9 +92,13 @@ def ivf_index_topk(
     of `lists/` — the c_list equi-join on the partition column lets
     dynamic partition pruning skip every unprobed list's files."""
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    lists = spark.read.parquet(os.path.join(path, "lists")).withColumn(
-        "c_list", F.col("c_list").cast("long")
-    )
+    # The scan-side partition column stays UNTOUCHED: rewriting it with a
+    # cast can stop dynamic partition pruning from firing (r4 ADVICE), which
+    # would silently void the "read only nprobe partitions" contract.  The
+    # probe side casts to whatever type partition discovery inferred instead;
+    # scripts/explain_audit.py pins the dynamicpruning subquery on this scan.
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    part_type = dict(lists.dtypes)["c_list"]
     probes = queries.crossJoin(F.broadcast(cents)).select(
         "q_id",
         "q_vec",
@@ -108,7 +112,7 @@ def ivf_index_topk(
         .select(
             "q_id",
             "q_vec",
-            F.col("c_id").alias("c_list"),
+            F.col("c_id").cast(part_type).alias("c_list"),
             norm(F.col("q_vec")).alias("q_norm"),
         )
     )

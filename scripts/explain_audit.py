@@ -62,11 +62,27 @@ EXPECT_NESTED = {
 }
 
 
+# Queries whose scale contract REQUIRES dynamic partition pruning on a
+# partitioned index/layout scan: a missing dynamicpruning expression means
+# the "read only nprobe/K of the corpus" property silently regressed
+# (r4 ADVICE: a cast on the partition column can void DPP on some versions).
+EXPECT_DPP = {
+    "sim_ann_ivf_indexed",
+    "emb_stream_index_ingest",
+}
+
+
 def audit(name: str, plan: str) -> tuple[bool, str]:
     notes = []
     ok = True
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     notes.append(f"pushed={pushed}")
+    if name in EXPECT_DPP:
+        if "dynamicpruningexpression" in plan:
+            notes.append("dpp")
+        else:
+            notes.append("NO-DPP!")
+            ok = False
     if re.search(r"\*\(\d+\)", plan):
         notes.append("codegen")
     else:
