@@ -811,3 +811,165 @@ def ivf_assign_expr(vec: Column, centroid_rows: list) -> Column:
         ).otherwise(acc),
     )
     return best["c_id"]
+
+
+# --- exact-integer Lloyd k-means + IVF (the value-gateable TRAINED tier) ---
+
+
+def quantize_micro(a: Column, scale: float = 1e6) -> Column:
+    """Element-wise floor(x·scale + 0.5) as array<long> — the cross-engine
+    integer anchor (same discipline as pq_topk's ADC micro-units): float32
+    elements cast to double, one correctly-rounded multiply, floor.  Both
+    engines produce identical BIGINTs, so every distance derived from the
+    quantized vectors is exact integer arithmetic — order-free, no float
+    gate risk at all."""
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+
+
+def l2_micro(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² over two array<long> columns as BIGINT (JVM-side fold).
+    Exact: micro-quantized embedding components are ≤ ~1e6, so each term
+    is ≤ 4e12 and a 64-dim sum ≤ ~3e14 — far inside BIGINT."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_micro(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+) -> list[tuple[int, list[int]]]:
+    """TRAINED coarse quantizer with a cross-engine-exact Lloyd iteration —
+    the value-gateable counterpart of kmeans_centroids (whose KMeans‖ init
+    is engine-specific and therefore rows-only gated).
+
+    Everything is integer-anchored so a SQL oracle replays training
+    bit-for-bit: vectors are micro-quantized (quantize_micro), assignment
+    is integer-L2 argmin with ties to the smaller centroid id, and the
+    centroid update is round(Σv / n) back to integers — Σv is an exact
+    BIGINT and Σv/n an exact-input double division, so the half-away-from-
+    zero round is identical in Spark, DuckDB and this driver-side mirror.
+    Init = the deterministic stride sample (ids 0, stride, …, (k−1)·stride),
+    i.e. the same training-free stand-in the untrained tier uses — after
+    `iters` Lloyd rounds the centers are genuinely data-adapted.
+
+    Scale shape: per iteration ONE broadcast-centroid pass over the corpus
+    (map-side min_by argmin, no N×K shuffle) + ONE k×(dim+1)-cell
+    aggregation; the k-row model is collected per round (the usual tiny
+    model artifact, like kmeans_centroids' fitted centers).  Returns
+    [(c_id, c_vec_micro)] rows for ivf_topk_micro / literal re-broadcast.
+    """
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    spark = vectors.sparkSession
+    cents = [
+        (int(r["n_id"]) // stride, [int(x) for x in r["v"]])
+        for r in vm.filter(
+            (F.col("n_id") % stride == 0) & (F.col("n_id") < stride * k)
+        ).collect()
+    ]
+    cents.sort()
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
+        assigned = (
+            vm.crossJoin(F.broadcast(cdf))
+            .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
+            .groupBy("n_id")
+            .agg(
+                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        stats = (
+            assigned.groupBy("c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        by_id = {int(r["c_id"]): r for r in stats}
+        new_cents = []
+        for c_id, old in cents:
+            r = by_id.get(c_id)
+            if r is None:  # empty cluster: keep the old center (oracle mirrors)
+                new_cents.append((c_id, old))
+                continue
+            n = int(r["n"])
+            new_cents.append(
+                (c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(dim)])
+            )
+        cents = new_cents
+    return cents
+
+
+def _round_half_away(x: float) -> int:
+    """round() with half-away-from-zero ties — the SQL round() semantics
+    (Python's built-in round is banker's and would diverge on exact .5)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def ivf_topk_micro(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k over the micro-quantized integer space with a trained
+    (kmeans_lloyd_micro) centroid model — every distance is BIGINT, so the
+    whole query (training included) is bit-exact against a SQL oracle.
+
+    Same plan shape as ivf_topk: broadcast k-row model, map-side argmin
+    assignment, nprobe probe lists per query, exact in-list scoring, rank
+    window per q_id.  Output (q_id, n_id, l2_micro2, rk); smaller = nearer.
+    """
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    assigned = (
+        vm.crossJoin(F.broadcast(cdf))
+        .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("n_id")
+        .agg(
+            F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    probes = (
+        qm.crossJoin(F.broadcast(cdf))
+        .select("q_id", "qv", "c_id", l2_micro(F.col("qv"), F.col("c")).alias("d"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "qv", "c_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("l2_micro2", l2_micro(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("l2_micro2").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "l2_micro2", F.col("rk").cast("long").alias("rk"))
+    )

@@ -186,33 +186,105 @@ _STATS_SQL = f"""
 """
 
 
+_GK_ACCURACY = 10000
+
+
 def ext_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ext_stats' 100-TB form: percentile_approx (GK sketch — bounded-size
     mergeable partial aggregate, map-side combinable) instead of exact
     `percentile`, which buffers and sorts every group value on one reducer.
-    Rows-only gated: sketch results are engine-specific by construction,
-    so there is no cross-engine value oracle — the companion test pins
-    approx-vs-exact error ≤ the sketch's accuracy bound instead.
+
+    Value-gated via the sketch's CONTRACT (r4 verdict item 8): the
+    returned quantile values are engine-specific, but percentile_approx's
+    guarantee is not — the result must be an ELEMENT of the group whose
+    rank is within n/accuracy of the target rank p·n.  The query verifies
+    both Spark-side (one extra broadcast-join pass counting ranks of the
+    returned values) and emits booleans; the moments ride along under
+    ext_stats' decimal-anchored discipline.  Every output column is then
+    engine-independent, so the row value-hashes instead of `no_oracle`.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.stddev_samp("l_extendedprice").alias("price_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
-            F.expr(
-                "percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)"
-            ).alias("_pcts"),
-        )
-        .select(
-            "l_returnflag",
-            "price_stddev",
-            "price_var",
-            F.col("_pcts")[0].alias("price_median"),
-            F.col("_pcts")[1].alias("price_p95"),
-        )
-        .orderBy("l_returnflag")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_ss"),
+        F.expr(
+            f"percentile_approx(l_extendedprice, array(0.5, 0.95), {_GK_ACCURACY})"
+        ).alias("_pcts"),
     )
+    picked = base.select(
+        "l_returnflag",
+        "_n",
+        "_s",
+        "_ss",
+        F.col("_pcts")[0].alias("_med"),
+        F.col("_pcts")[1].alias("_p95"),
+    )
+    v = F.col("l_extendedprice")
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(picked), "l_returnflag")
+        .groupBy("l_returnflag", "_n", "_s", "_ss", "_med", "_p95")
+        .agg(
+            F.sum((v < F.col("_med")).cast("long")).alias("_lt_m"),
+            F.sum((v <= F.col("_med")).cast("long")).alias("_le_m"),
+            F.sum((v == F.col("_med")).cast("long")).alias("_eq_m"),
+            F.sum((v < F.col("_p95")).cast("long")).alias("_lt_p"),
+            F.sum((v <= F.col("_p95")).cast("long")).alias("_le_p"),
+            F.sum((v == F.col("_p95")).cast("long")).alias("_eq_p"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    # decimal -> STRING -> double: see ext_stats (DuckDB's DECIMAL->DOUBLE
+    # past 2^53 double-rounds; the string detour is correctly rounded in
+    # both engines)
+    ss = F.col("_ss").cast("string").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    eps_ranks = n / F.lit(float(_GK_ACCURACY)) + F.lit(1.0)  # +1 fencepost
+
+    def rank_ok(p: float, lt: str, le: str) -> Column:
+        target = F.lit(p) * n
+        # the value's true rank interval [lt+1, le] must intersect
+        # [target - eps, target + eps]
+        return (F.col(le).cast("double") >= target - eps_ranks) & (
+            (F.col(lt).cast("double") + 1.0) <= target + eps_ranks
+        )
+
+    return ranks.select(
+        "l_returnflag",
+        F.col("_n").alias("n_rows"),
+        F.sqrt(var).alias("price_stddev"),
+        var.alias("price_var"),
+        rank_ok(0.5, "_lt_m", "_le_m").alias("median_rank_ok"),
+        (F.col("_eq_m") >= 1).alias("median_is_element"),
+        rank_ok(0.95, "_lt_p", "_le_p").alias("p95_rank_ok"),
+        (F.col("_eq_p") >= 1).alias("p95_is_element"),
+    ).orderBy("l_returnflag")
+
+
+_STATS_APPROX_SQL = """
+    WITH g AS (
+        SELECT l_returnflag,
+               count(l_extendedprice) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                    AS DOUBLE) AS ss
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             AS price_stddev,
+           (ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+             AS price_var,
+           TRUE AS median_rank_ok,
+           TRUE AS median_is_element,
+           TRUE AS p95_rank_ok,
+           TRUE AS p95_is_element
+    FROM g ORDER BY l_returnflag
+"""
 
 
 def ext_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,20 +351,45 @@ _SETOPS_SQL = """
 
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approx-distinct (sketch aggregation; the reference's
-    IntDistinctCount is exact-only, cpp/src/lqf/agg.h:74-89).  No SQL
-    oracle — HLL estimates are engine-specific; gated rows-only plus the
-    accuracy assertion in tests/."""
+    IntDistinctCount is exact-only, cpp/src/lqf/agg.h:74-89).
+
+    Value-gated via the sketch's CONTRACT (r4 verdict item 8): the HLL++
+    estimate itself is engine-specific, but |approx − exact| ≤ 3·rsd·exact
+    (rsd = Spark's 0.05 default; rsd is ONE standard error, so the 3σ bound
+    is the deterministic-data-safe form — measured rel-err here: 6.4% at
+    sf0.001, 3.6% at sf0.01, 1.8% at sf0.1) is not — the query evaluates
+    the bound Spark-side and emits (exact BIGINT, bound-held BOOLEAN), both
+    of which the DuckDB oracle states independently, so the row hashes end
+    to end instead of reporting `no_oracle`."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    appr = F.approx_count_distinct("l_orderkey")
+    exact = F.countDistinct("l_orderkey")
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact.alias("exact_orders"),
+        (
+            (F.abs(appr - exact).cast("double") / exact.cast("double")) <= F.lit(0.15)
+        ).alias("hll_bound_ok"),
     )
+
+
+_APPROX_DISTINCT_SQL = """
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_bound_ok
+    FROM lineitem
+"""
 
 
 def encsel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-selection column features (reference parity:
     cpp/src/lqf/encsel/feature.h:28-105) — string-column profile of
-    documents.text plus sortedness of orders.o_totalprice."""
+    documents.text plus sortedness of orders.o_totalprice.
+
+    Gate output is nano-quantized to BIGINT (floor(v·1e9 + 0.5) — the ADC
+    integer discipline): the raw log2-derived entropies diverge from the
+    oracle's libm at the last ulp (r4 verdict item 3, BASELINE.md), and the
+    quantization absorbs that while keeping 9 significant decimals.  The
+    operator API (operators/encsel.column_profile) still returns raw
+    doubles for library callers."""
     from codecdb_queryengine_spark.operators import encsel as E
 
     t = load_tables(spark, sf_dir)
@@ -300,7 +397,17 @@ def encsel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     srt = E.sortedness(t["orders"], "o_totalprice", "o_orderkey").select(
         F.lit("o_totalprice").alias("col_name"), "feature", "value"
     )
-    return prof.unionByName(srt).orderBy("col_name", "feature")
+    return (
+        prof.unionByName(srt)
+        .select(
+            "col_name",
+            "feature",
+            F.floor(F.col("value") * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("value_nano"),
+        )
+        .orderBy("col_name", "feature")
+    )
 
 
 _ENCSEL_SQL = f"""
@@ -331,20 +438,23 @@ _ENCSEL_SQL = f"""
         FROM orders a JOIN orders b
           ON (a.o_orderkey // {SORT_WINDOW}) = (b.o_orderkey // {SORT_WINDOW})
          AND a.o_orderkey < b.o_orderkey)
-    SELECT 'text' AS col_name, feature, value FROM (
-        SELECT 'sparsity_ratio' AS feature, sparsity_ratio AS value FROM basic
-        UNION ALL SELECT 'distinct_ratio', distinct_ratio FROM basic
-        UNION ALL SELECT 'len_min', len_min FROM basic
-        UNION ALL SELECT 'len_max', len_max FROM basic
-        UNION ALL SELECT 'len_mean', len_mean FROM basic
-        UNION ALL SELECT 'len_var', len_var FROM basic
-        UNION ALL SELECT 'entropy', value FROM gent
-        UNION ALL SELECT 'line_entropy_min', lmin FROM lent
-        UNION ALL SELECT 'line_entropy_max', lmax FROM lent
-        UNION ALL SELECT 'line_entropy_mean', lmean FROM lent
-        UNION ALL SELECT 'line_entropy_var', lvar FROM lent)
-    UNION ALL
-    SELECT 'o_totalprice', 'sort_inverted_ratio', value FROM sortw
+    SELECT col_name, feature,
+           CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS value_nano
+    FROM (
+        SELECT 'text' AS col_name, feature, value FROM (
+            SELECT 'sparsity_ratio' AS feature, sparsity_ratio AS value FROM basic
+            UNION ALL SELECT 'distinct_ratio', distinct_ratio FROM basic
+            UNION ALL SELECT 'len_min', len_min FROM basic
+            UNION ALL SELECT 'len_max', len_max FROM basic
+            UNION ALL SELECT 'len_mean', len_mean FROM basic
+            UNION ALL SELECT 'len_var', len_var FROM basic
+            UNION ALL SELECT 'entropy', value FROM gent
+            UNION ALL SELECT 'line_entropy_min', lmin FROM lent
+            UNION ALL SELECT 'line_entropy_max', lmax FROM lent
+            UNION ALL SELECT 'line_entropy_mean', lmean FROM lent
+            UNION ALL SELECT 'line_entropy_var', lvar FROM lent)
+        UNION ALL
+        SELECT 'o_totalprice', 'sort_inverted_ratio', value FROM sortw)
     ORDER BY col_name, feature
 """
 
@@ -1284,7 +1394,10 @@ ORACLE: dict[str, str] = {
     "ext_stats": _STATS_SQL,
     "ext_collect": _COLLECT_SQL,
     "ext_setops": _SETOPS_SQL,
-    # ext_approx_distinct + ext_stats_approx intentionally omitted
+    # sketch estimates are engine-specific, but their CONTRACTS are not:
+    # both approx entries emit exact integers + bound-held booleans (r5)
+    "ext_stats_approx": _STATS_APPROX_SQL,
+    "ext_approx_distinct": _APPROX_DISTINCT_SQL,
     # (rows-only checks: sketch outputs have no cross-engine oracle).
     "ext_pivot": _PIVOT_SQL,
     "ext_unpivot": _UNPIVOT_SQL,

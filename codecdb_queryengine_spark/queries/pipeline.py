@@ -845,6 +845,220 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
 
 
+def _gate_invariants(scored: DataFrame, score_col: str, asc: bool) -> DataFrame:
+    """Per-q_id engine-independent invariants over a trained-quantizer
+    top-k result joined with an independently recomputed score (`re_score`
+    column): result count, neighbor distinctness, the rank sequence
+    (sum + max pin rk = 1..k exactly when count = k), ordering violations
+    along rk, and how many returned scores equal the recomputation.
+    All BIGINT — the oracle states the expected constants, so the gate is
+    value-hashed even though the trained pairs themselves are
+    engine-specific (r4 verdict, "What's missing" #2).
+    """
+    w = Window.partitionBy("q_id").orderBy("rk")
+    prev = F.lag(score_col).over(w)
+    cur = F.col(score_col)
+    viol = prev.isNotNull() & ((prev > cur) if asc else (prev < cur))
+    return (
+        scored.withColumn("viol", viol.cast("long"))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.countDistinct("n_id").alias("n_distinct"),
+            F.sum("rk").alias("rk_sum"),
+            F.max("rk").alias("rk_max"),
+            F.sum("viol").alias("order_violations"),
+            F.sum((cur == F.col("re_score")).cast("long")).alias("n_score_exact"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _gate_invariants_sql(k: int = _TOP_K) -> str:
+    return f"""
+        SELECT vec_id AS q_id,
+               CAST({k} AS BIGINT) AS n_results,
+               CAST({k} AS BIGINT) AS n_distinct,
+               CAST({k * (k + 1) // 2} AS BIGINT) AS rk_sum,
+               CAST({k} AS BIGINT) AS rk_max,
+               CAST(0 AS BIGINT) AS order_violations,
+               CAST({k} AS BIGINT) AS n_score_exact
+        FROM embeddings WHERE vec_id < {_N_QUERIES} ORDER BY q_id
+    """
+
+
+def sim_ann_ivf_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gated contract for the KMeans‖-trained IVF (r4 verdict item 1a):
+    the trained pairs are engine-specific, but these facts about them are
+    not — k results per query, distinct neighbors, rk exactly 1..k, cosine
+    non-increasing along rk, and every returned cosine EQUAL (bit-exact) to
+    an independent recomputation from the corpus vectors.  The last check is
+    the substantive one: it pins that the reported scores really are the
+    cosines of the returned (q_id, n_id) pairs, whatever KMeans chose."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_centroids(emb, k=16, seed=13)
+    topk = S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
+    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    re = (
+        topk.join(_query_vectors(emb), "q_id")
+        .join(nv, "n_id")
+        .withColumn(
+            "re_score",
+            S.cosine_pre(
+                F.col("q_vec"),
+                F.col("n_vec"),
+                S.norm(F.col("q_vec")),
+                S.norm(F.col("n_vec")),
+            ),
+        )
+    )
+    return _gate_invariants(re, "cosine", asc=False)
+
+
+def sim_ann_pq_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gated contract for the KMeans-trained PQ (r4 verdict item 1a),
+    same invariant surface as sim_ann_ivf_trained_gate.  The score check
+    re-encodes each RETURNED neighbor directly — slice, argmin over the
+    broadcast codebooks (ties to the smaller codeword id), micro-quantized
+    ADC re-sum — without pq_topk's map-lookup machinery, so a key-aliasing
+    or lookup bug there would show up as n_score_exact < k here."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cbs = S.pq_codebooks_kmeans(emb, dim=64, max_iter=5)
+    topk = S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
+    sub = 64 // 4
+    ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(4)])).alias("m")
+    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    slices = (
+        topk.join(_query_vectors(emb), "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", "adc_micro", "rk", ms, "q_vec", "nv")
+        .select(
+            "q_id",
+            "n_id",
+            "adc_micro",
+            "rk",
+            "m",
+            F.slice("q_vec", (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
+            F.slice("nv", (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
+        )
+    )
+    enc = (
+        slices.join(F.broadcast(cbs), "m")
+        .withColumn("d", S.l2sq(F.col("v_sub"), F.col("c_sub")))
+        .withColumn(
+            "contrib",
+            F.round(F.lit(1e6) * S.l2sq(F.col("q_sub"), F.col("c_sub"))).cast("long"),
+        )
+        .groupBy("q_id", "n_id", "adc_micro", "rk", "m")
+        .agg(F.min_by("contrib", F.struct(F.col("d"), F.col("c_id"))).alias("contrib"))
+    )
+    re = enc.groupBy("q_id", "n_id", "adc_micro", "rk").agg(
+        F.sum("contrib").alias("re_score")
+    )
+    return _gate_invariants(re, "adc_micro", asc=True)
+
+
+def sim_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k whose coarse quantizer is TRAINED — two genuine Lloyd
+    k-means iterations — yet fully value-gated: the r4 verdict's missing
+    piece ("a value-gateable story for the trained quantizers").
+
+    The trick is the ADC integer discipline applied to TRAINING itself
+    (operators/similarity.kmeans_lloyd_micro): vectors are micro-quantized
+    once, assignment is BIGINT-L2 argmin, and the centroid update rounds
+    Σv/n back to integers — every step is bit-identical in Spark and
+    DuckDB, so the oracle replays the full train→assign→probe→score loop
+    exactly.  Unlike sim_ann_ivf_trained (pyspark.ml KMeans‖ — engine-
+    specific init, rows-only gated) this entry hashes end to end.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
+    return S.ivf_topk_micro(emb, _query_vectors(emb), cents, k=_TOP_K, nprobe=2)
+
+
+def _ivf_lloyd_sql(
+    dim: int = 64,
+    k: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """Bit-exact SQL replay of kmeans_lloyd_micro + ivf_topk_micro."""
+
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}.v[{j}] - {b}.v[{j}]) * ({a}.v[{j}] - {b}.v[{j}])"
+            for j in range(1, dim + 1)
+        )
+
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    ctes = [
+        f"vm AS (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"""c0 AS (
+            SELECT CAST(vec_id // {stride} AS BIGINT) AS c_id, v FROM vm
+            WHERE vec_id % {stride} = 0 AND vec_id < {stride * k})""",
+    ]
+    for t in range(iters):
+        sums = ", ".join(
+            f"CAST(sum(v.v[{j}]) AS BIGINT) AS s{j}" for j in range(1, dim + 1)
+        )
+        upd = ", ".join(
+            f"CASE WHEN s.n IS NULL THEN c.v[{j}] "
+            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            for j in range(1, dim + 1)
+        )
+        ctes.append(f"""a{t} AS (
+            SELECT n_id, c_id FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({l2('v', 'c')}) ASC, c.c_id ASC) AS r
+                FROM vm v CROSS JOIN c{t} c) WHERE r = 1)""")
+        ctes.append(f"""s{t} AS (
+            SELECT a.c_id, count(*) AS n, {sums}
+            FROM a{t} a JOIN vm v ON v.vec_id = a.n_id GROUP BY a.c_id)""")
+        ctes.append(f"""c{t + 1} AS (
+            SELECT c.c_id, [{upd}] AS v
+            FROM c{t} c LEFT JOIN s{t} s ON s.c_id = c.c_id)""")
+    cf = f"c{iters}"
+    ctes.append(f"""assign AS (
+        SELECT n_id, c_id FROM (
+            SELECT v.vec_id AS n_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({l2('v', 'c')}) ASC, c.c_id ASC) AS r
+            FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
+    ctes.append(f"""probes AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({l2('q', 'c')}) ASC, c.c_id ASC) AS r
+            FROM vm q CROSS JOIN {cf} c
+            WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe})""")
+    ctes.append(f"""scored AS (
+        SELECT p.q_id, a.n_id, ({l2('qv', 'nv')}) AS l2_micro2
+        FROM probes p
+        JOIN assign a ON a.c_id = p.c_id
+        JOIN vm nv ON nv.vec_id = a.n_id
+        JOIN vm qv ON qv.vec_id = p.q_id
+        WHERE p.q_id <> a.n_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT q_id, n_id, l2_micro2, rk FROM (
+            SELECT q_id, n_id, l2_micro2,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY l2_micro2 ASC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_TOP_K}
+    """
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the mapInPandas path."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -3140,6 +3354,9 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
+    "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
+    "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
+    "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
     "mm_decode_audio": mm_decode_audio,
@@ -3219,6 +3436,9 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_indexed": _ivf_sql(),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
+    "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
+    "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
+    "sim_ann_pq_trained_gate": _gate_invariants_sql(),
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
     "mm_decode_audio": _mm_decode_audio_sql(),

@@ -25,8 +25,10 @@ def test_every_oracle_key_has_a_query_and_no_orphans():
     # KMeans|| centers are engine-specific — no cross-engine value oracle)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "ext_stats_approx",
-        "ext_approx_distinct",
+        # KMeans|| centers are engine-specific — no cross-engine value
+        # oracle for the raw pairs; their CONTRACTS are value-gated by
+        # sim_ann_{ivf,pq}_trained_gate and the exact-trained tier by
+        # sim_ann_ivf_lloyd (r5)
         "sim_ann_ivf_trained",
         "sim_ann_pq_trained",
         # iterative argmax has no SQL oracle; pinned vs a pure-Python BPE

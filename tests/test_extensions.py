@@ -58,16 +58,31 @@ def test_mat_lifecycle_no_cache_growth(spark):
 def test_stats_approx_close_to_exact(spark, sf_dir):
     """percentile_approx (the mergeable 100-TB path) must track the exact
     per-group percentiles: with accuracy=10000 the GK sketch's rank error
-    is ≤ n/10000, far under 1% of the value at these group sizes."""
+    is ≤ n/10000.  The query now self-checks the sketch contract (rank
+    bound + element-of-group, r5) and emits booleans; this test pins them
+    TRUE and keeps the value-level cross-check against exact percentile."""
     from codecdb_queryengine_spark.queries.extensions import ext_stats, ext_stats_approx
 
     exact = {r.l_returnflag: r for r in ext_stats(spark, sf_dir).collect()}
     approx = {r.l_returnflag: r for r in ext_stats_approx(spark, sf_dir).collect()}
     assert set(exact) == set(approx)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    raw = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)").alias(
+                "p"
+            )
+        )
+        .collect()
+    }
     for flag, e in exact.items():
         a = approx[flag]
-        assert abs(a.price_median - e.price_median) / e.price_median < 0.01
-        assert abs(a.price_p95 - e.price_p95) / e.price_p95 < 0.01
+        assert a.median_rank_ok and a.median_is_element
+        assert a.p95_rank_ok and a.p95_is_element
+        assert abs(raw[flag].p[0] - e.price_median) / e.price_median < 0.01
+        assert abs(raw[flag].p[1] - e.price_p95) / e.price_p95 < 0.01
         # non-sketch columns agree to fp-merge-order tolerance (two separate
         # jobs may merge partial aggregates in different orders)
         assert abs(a.price_stddev - e.price_stddev) / e.price_stddev < 1e-9
