@@ -69,17 +69,24 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_total_median_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_suite_total_median_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    # The driver's artifact keeps only a truncated tail of this output, so
+    # the early entries of the ~150-query map were lost from BENCH_r*.json
+    # (r4 verdict item 3).  Persist the complete payload in-repo too; the
+    # stdout line stays the driver contract.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: the stdout line still ships
+        print(f"BENCH_full.json not written: {e}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

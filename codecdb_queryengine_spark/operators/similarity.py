@@ -973,3 +973,172 @@ def ivf_topk_micro(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "l2_micro2", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def pq_codebooks_lloyd_micro(
+    vectors: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+) -> list[tuple[int, int, list[int]]]:
+    """TRAINED product-quantizer codebooks with cross-engine-exact Lloyd —
+    the PQ counterpart of kmeans_lloyd_micro (same integer discipline:
+    micro-quantized slices, BIGINT-L2 argmin with ties to the smaller
+    codeword id, round(Σv/n) centroid updates).  Classic PQ training
+    (independent k-means per subquantizer, Jégou et al. TPAMI'11 §III)
+    made bit-replayable by a SQL oracle, unlike pq_codebooks_kmeans whose
+    KMeans‖ init is engine-specific.
+
+    Per round: ONE broadcast pass over all (vector, subspace) slices +
+    ONE (num_subspaces·k)×(sub+1)-cell aggregation; the 32-row model is
+    collected per round.  Returns [(m, c_id, c_sub_micro)] rows.
+    """
+    sub = dim // num_subspaces
+    ms = F.explode(
+        F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])
+    ).alias("m")
+    vm = (
+        vectors.select(
+            F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("vv"), ms
+        )
+        .select(
+            "n_id",
+            "m",
+            F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
+        )
+    )
+    spark = vectors.sparkSession
+    init = (
+        vectors.filter(
+            (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * num_codewords)
+        )
+        .select((F.col(id_col) / stride).cast("long").alias("c_id"),
+                quantize_micro(F.col(vec_col)).alias("vv"), ms)
+        .select("m", "c_id",
+                F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("c"))
+        .collect()
+    )
+    cbs = sorted((int(r["m"]), int(r["c_id"]), [int(x) for x in r["c"]]) for r in init)
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
+        assigned = (
+            vm.join(F.broadcast(cdf), "m")
+            .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
+            .groupBy("n_id", "m")
+            .agg(
+                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                F.first("v_sub").alias("v_sub"),
+            )
+        )
+        stats = (
+            assigned.groupBy("m", "c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
+            )
+            .collect()
+        )
+        by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
+        new_cbs = []
+        for m, c_id, old in cbs:
+            r = by_key.get((m, c_id))
+            if r is None:  # empty codeword: keep (oracle mirrors)
+                new_cbs.append((m, c_id, old))
+                continue
+            n = int(r["n"])
+            new_cbs.append(
+                (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
+            )
+        cbs = new_cbs
+    return cbs
+
+
+def pq_topk_micro(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[tuple[int, int, list[int]]],
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+) -> DataFrame:
+    """PQ ADC top-k over the micro-quantized integer space with trained
+    (pq_codebooks_lloyd_micro) codebooks — every encode distance AND every
+    ADC contribution is BIGINT, so training + encode + scoring replay
+    bit-for-bit in a SQL oracle (no 1e6-rounding step: the inputs are
+    already integers, and a 64-dim micro L2 is ≤ ~3e14, far inside BIGINT).
+
+    Same plan shape as pq_topk: broadcast 32-row codebook, one
+    (n·num_subspaces)-key encode aggregation, codes streaming past the
+    broadcast per-query ADC lookup maps, top-k window per q_id.
+    Output (q_id, n_id, adc_q, rk); smaller = nearer."""
+    sub = dim // num_subspaces
+    ms = F.explode(
+        F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])
+    ).alias("m")
+    spark = vectors.sparkSession
+    cbm = spark.createDataFrame(codebooks, "m long, c_id long, c_sub array<long>")
+    vm = (
+        vectors.select(
+            F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("vv"), ms
+        )
+        .select(
+            "n_id",
+            "m",
+            F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
+        )
+    )
+    assigned = (
+        vm.join(F.broadcast(cbm), "m")
+        .withColumn("d", l2_micro(F.col("v_sub"), F.col("c_sub")))
+        .groupBy("n_id", "m")
+        .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"))
+    )
+    codes_wide = assigned.groupBy("n_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "c_id"))).alias("cmap")
+    )
+    qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"), ms).select(
+        "q_id",
+        "m",
+        F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
+    )
+    adc_wide = (
+        qm.join(F.broadcast(cbm), "m")
+        .withColumn("contrib", l2_micro(F.col("q_sub"), F.col("c_sub")))
+        .groupBy("q_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * num_codewords + F.col("c_id")).alias("key"),
+                        "contrib",
+                    )
+                )
+            ).alias("amap")
+        )
+    )
+    adc_sum: Column | None = None
+    for m in range(num_subspaces):
+        term = F.element_at(
+            F.col("amap"),
+            F.lit(m * num_codewords).cast("long")
+            + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
+        )
+        adc_sum = term if adc_sum is None else adc_sum + term
+    scored = (
+        codes_wide.crossJoin(F.broadcast(adc_wide))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_q", adc_sum)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
+    )

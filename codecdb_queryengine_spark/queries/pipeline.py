@@ -1059,6 +1059,108 @@ def _ivf_lloyd_sql(
     """
 
 
+def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k whose codebooks are TRAINED — two genuine Lloyd
+    iterations per subquantizer — yet fully value-gated: the PQ
+    counterpart of sim_ann_ivf_lloyd (operators/similarity.
+    pq_codebooks_lloyd_micro + pq_topk_micro; everything BIGINT from the
+    micro-quantized slices on, so the DuckDB oracle replays training,
+    encoding and ADC scoring bit-for-bit).  Completes the trained-
+    quantizer story for the PQ family next to the engine-specific
+    pyspark.ml tier (sim_ann_pq_trained, contract-gated)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cbs = S.pq_codebooks_lloyd_micro(emb, dim=64, stride=37, iters=2)
+    return S.pq_topk_micro(emb, _query_vectors(emb), cbs, dim=64, k=_TOP_K)
+
+
+def _pq_lloyd_sql(
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+) -> str:
+    """Bit-exact SQL replay of pq_codebooks_lloyd_micro + pq_topk_micro."""
+    sub = dim // m_sub
+
+    def l2(v: str, c: str, moff: str) -> str:
+        # Σ_j (v[moff·sub + j] − c[j])² over one subspace slice
+        return " + ".join(
+            f"({v}.v[{moff}*{sub} + {j}] - {c}.c[{j}]) "
+            f"* ({v}.v[{moff}*{sub} + {j}] - {c}.c[{j}])"
+            for j in range(1, sub + 1)
+        )
+
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    slice_cols = ", ".join(f"v.v[ms.m*{sub} + {j}]" for j in range(1, sub + 1))
+    ctes = [
+        f"vm AS (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"ms AS (SELECT unnest(range(0, {m_sub})) AS m)",
+        f"""cb0 AS (
+            SELECT ms.m, CAST(v.vec_id // {stride} AS BIGINT) AS c_id,
+                   [{slice_cols}] AS c
+            FROM vm v CROSS JOIN ms
+            WHERE v.vec_id % {stride} = 0 AND v.vec_id < {stride * k_codes})""",
+    ]
+    for t in range(iters):
+        sums = ", ".join(
+            f"CAST(sum(v.v[a.m*{sub} + {j}]) AS BIGINT) AS s{j}"
+            for j in range(1, sub + 1)
+        )
+        upd = ", ".join(
+            f"CASE WHEN s.n IS NULL THEN c.c[{j}] "
+            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            for j in range(1, sub + 1)
+        )
+        ctes.append(f"""a{t} AS (
+            SELECT n_id, m, c_id FROM (
+                SELECT v.vec_id AS n_id, c.m, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, c.m
+                           ORDER BY ({l2('v', 'c', 'c.m')}) ASC, c.c_id ASC) AS r
+                FROM vm v CROSS JOIN cb{t} c) WHERE r = 1)""")
+        ctes.append(f"""s{t} AS (
+            SELECT a.m, a.c_id, count(*) AS n, {sums}
+            FROM a{t} a JOIN vm v ON v.vec_id = a.n_id GROUP BY a.m, a.c_id)""")
+        ctes.append(f"""cb{t + 1} AS (
+            SELECT c.m, c.c_id, [{upd}] AS c
+            FROM cb{t} c LEFT JOIN s{t} s ON s.m = c.m AND s.c_id = c.c_id)""")
+    cf = f"cb{iters}"
+    ctes.append(f"""codes AS (
+        SELECT n_id, m, c_id FROM (
+            SELECT v.vec_id AS n_id, c.m, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, c.m
+                       ORDER BY ({l2('v', 'c', 'c.m')}) ASC, c.c_id ASC) AS r
+            FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
+    ctes.append(f"""adc AS (
+        SELECT q.vec_id AS q_id, c.m, c.c_id,
+               ({l2('q', 'c', 'c.m')}) AS contrib
+        FROM vm q CROSS JOIN {cf} c
+        WHERE q.vec_id < {_N_QUERIES})""")
+    ctes.append("""scored AS (
+        -- CAST: DuckDB sum(BIGINT) is HUGEINT (see _pq_sql note)
+        SELECT a.q_id, cd.n_id, CAST(sum(a.contrib) AS BIGINT) AS adc_q
+        FROM codes cd
+        JOIN adc a ON a.m = cd.m AND a.c_id = cd.c_id
+        WHERE a.q_id <> cd.n_id
+        GROUP BY a.q_id, cd.n_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT q_id, n_id, adc_q, rk FROM (
+            SELECT q_id, n_id, adc_q,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY adc_q ASC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_TOP_K}
+    """
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the mapInPandas path."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1575,6 +1677,23 @@ def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-node trailing chunks have no edge and are rightly absent).  Output
     (component, n_nodes) is integers only — gate is exact.
     """
+    return _cc_chain(spark, sf_dir, checkpoint_dir=None)
+
+
+def graph_cc_chain_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_cc_chain through RELIABLE (files-on-disk) checkpoints — the
+    durability mode a 100-TB CC run would use (local checkpoints die with
+    an executor; reliable ones survive and truncate lineage across a long
+    iterative job).  Same exact oracle; the per-round checkpoint write +
+    superseded-round cleanup paths in operators/graph._prepare_ckpt_dir /
+    _release_ckpt are exercised under the value gate (r4 verdict item 6 —
+    previously unit-tested only)."""
+    return _cc_chain(
+        spark, sf_dir, checkpoint_dir=_scratch_dir("cc_ckpt", sf_dir, fresh=True)
+    )
+
+
+def _cc_chain(spark: SparkSession, sf_dir: str, checkpoint_dir: str | None) -> DataFrame:
     from codecdb_queryengine_spark.operators.graph import connected_components_star
 
     # 40 users × full event history: the chain DIAMETER (the property the
@@ -1597,7 +1716,7 @@ def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("seq") < F.col("max_seq"))
         .select("id_a", "id_b")
     )
-    cc = connected_components_star(edges, "id_a", "id_b")
+    cc = connected_components_star(edges, "id_a", "id_b", checkpoint_dir=checkpoint_dir)
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -3037,6 +3156,44 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def emb_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gated parity between the two IVF assignment implementations
+    (r4 verdict item 5): the oracle-mirrorable expression fold
+    (similarity.ivf_assign_expr — what emb_stream_encode gates) and the
+    Arrow batch-matmul fast path (similarity.ivf_assign_arrow — what a
+    production ingest stream runs, 3× faster scoring, previously pinned
+    only in tests).  Both assign every corpus vector; the query emits the
+    exact integer counts (total, mismatches) — mismatches can only arise
+    from numpy pairwise- vs fold left-summation on near-tied centroids,
+    and on this corpus there are none, which the oracle now asserts per
+    gate run instead of per test run."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
+    cents_df = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    cents = cents_df.select("c_id", "c_vec").collect()
+    fold = emb.select(
+        F.col("vec_id").alias("n_id"),
+        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_fold"),
+    )
+    arrow = S.ivf_assign_arrow(emb, centroids=cents_df)
+    return fold.join(arrow, "n_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("c_fold") != F.col("c_list")).cast("long")).alias("n_mismatch"),
+    )
+
+
+_EMB_ENCODE_PARITY_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
 def emb_stream_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """emb_stream_encode's vectorized twin: the same stateless in-stream
     IVF assignment through ONE Arrow batch matmul per partition
@@ -3317,6 +3474,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
+    "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
     "dedup_keep_docs": dedup_keep_docs,
     "dedup_report": dedup_report,
     "dedup_simhash_clusters": dedup_simhash_clusters,
@@ -3355,6 +3513,7 @@ QUERIES = {
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
+    "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
     "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
@@ -3382,6 +3541,7 @@ QUERIES = {
     "events_stream_score": events_stream_score,
     "emb_stream_encode": emb_stream_encode,
     "emb_stream_encode_fast": emb_stream_encode_fast,
+    "emb_encode_parity": emb_encode_parity,
     "emb_stream_index_ingest": emb_stream_index_ingest,
 }
 
@@ -3402,6 +3562,8 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
+    "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,
+    "emb_encode_parity": _EMB_ENCODE_PARITY_SQL,
     "dedup_keep_docs": _dedup_keep_sql(),
     "dedup_report": _dedup_report_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),
@@ -3437,6 +3599,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
+    "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
     "sim_ann_pq_trained_gate": _gate_invariants_sql(),
     "mm_features": _mm_sql(),

@@ -116,6 +116,60 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with the fact-fact join PRE-BUCKETED — the zero-shuffle layout a
+    100-TB deployment would maintain (SCALE.md; r4 verdict item 7:
+    sources/io.write_bucketed was Exchange-free in unit tests but never
+    under the value gate).  lineitem and orders are persisted as bucketed
+    tables on the order key (bucket count co-chosen, sorted within
+    buckets), so the l_orderkey = o_orderkey merge join needs NO shuffle
+    Exchange on either side — and the downstream groupBy(l_orderkey, …)
+    inherits that clustering, so the whole query runs shuffle-free.
+    scripts/explain_audit.py pins the no-shuffle-Exchange fact; the value
+    oracle is q3's (same rows, same revenue sums).
+
+    The bucketed-table build is INSIDE the query on purpose: the gate then
+    covers write→catalog→bucketed-scan→join end to end, and the bench
+    honestly charges the layout cost it claims to amortize."""
+    import os as _os
+
+    from codecdb_queryengine_spark.sources import io as IO
+
+    t = load_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, ord_t = f"q3b_lineitem_{tag}", f"q3b_orders_{tag}"
+    IO.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"),
+        li_t,
+        bucket_by=["l_orderkey"],
+        num_buckets=8,
+        sort_by=["l_orderkey"],
+    )
+    IO.write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        ord_t,
+        bucket_by=["o_orderkey"],
+        num_buckets=8,
+        sort_by=["o_orderkey"],
+    )
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table(ord_t).filter(F.col("o_orderdate") < _ts("1998-03-15"))
+    li = spark.table(li_t).filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    # merge hint: without it the post-filter orders side can fall under the
+    # broadcast threshold and AQE would pick a broadcast join — correct,
+    # but then the gate would no longer exercise the bucketed co-location
+    return (
+        li.hint("merge")
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
 # Q4 — order priority checking: correlated EXISTS.
 # Reference: FilterJoin (semi) lineitem->orders with the l_commitdate <
 # l_receiptdate rows (query4.cc); adapted late-line predicate is
@@ -636,6 +690,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 23)}
+QUERIES["q3_bucketed"] = q3_bucketed
 
 
 ORACLE: dict[str, str] = {
@@ -911,3 +966,7 @@ ORACLE: dict[str, str] = {
         ORDER BY cntrycode
     """,
 }
+
+# Same result contract as q3 — the bucketed layout must change the plan
+# (no shuffle Exchange; pinned by scripts/explain_audit.py), never the rows.
+ORACLE["q3_bucketed"] = ORACLE["q3"]

@@ -16,6 +16,8 @@ Scale notes baked in:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,7 +78,20 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed managed table: co-partitions future equi-joins
     on the bucket keys (no shuffle on either side) — the Spark analog of
-    pre-building the reference's hash containers (cpp/src/lqf/mat.h:30-55)."""
+    pre-building the reference's hash containers (cpp/src/lqf/mat.h:30-55).
+
+    Re-runnable across processes: the in-memory catalog forgets managed
+    tables at session end but their warehouse directories survive, and a
+    fresh session then fails with LOCATION_ALREADY_EXISTS — so any stale
+    unregistered location is removed before the write."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     writer = df.write.format("parquet").mode("overwrite")
     cols = list(bucket_by)
     writer = writer.bucketBy(num_buckets, cols[0], *cols[1:])

@@ -57,6 +57,12 @@ EXPECT_NESTED = {
     "sim_ann_pq_trained",
     # IVF-PQ assignment/probe is all-vectors × broadcast(centroids), like IVF
     "sim_ann_ivfpq",
+    # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
+    # the same all-vectors × broadcast(model) assignment shape
+    "sim_ann_ivf_lloyd",
+    "sim_ann_pq_lloyd",
+    "sim_ann_ivf_trained_gate",
+    "sim_ann_pq_trained_gate",
     # the hour grid × type set cross join is bounded by hours·types, not data
     "events_resample",
 }
@@ -72,6 +78,15 @@ EXPECT_DPP = {
 }
 
 
+# Queries whose POINT is the pre-bucketed co-located join: the plan must
+# contain a SortMergeJoin over bucketed scans and ZERO shuffle Exchanges
+# (BroadcastExchange for the dimension side is fine).  A shuffle appearing
+# here means the bucketing metadata stopped reaching the planner.
+EXPECT_BUCKETED_NOSHUFFLE = {
+    "q3_bucketed",
+}
+
+
 def audit(name: str, plan: str) -> tuple[bool, str]:
     notes = []
     ok = True
@@ -82,6 +97,13 @@ def audit(name: str, plan: str) -> tuple[bool, str]:
             notes.append("dpp")
         else:
             notes.append("NO-DPP!")
+            ok = False
+    if name in EXPECT_BUCKETED_NOSHUFFLE:
+        shuffles = len(re.findall(r"(?<!Broadcast)Exchange", plan))
+        if "SortMergeJoin" in plan and "Bucketed: true" in plan and shuffles == 0:
+            notes.append("bucketed-noshuffle")
+        else:
+            notes.append(f"BUCKETED-SHUFFLE!({shuffles})")
             ok = False
     if re.search(r"\*\(\d+\)", plan):
         notes.append("codegen")

@@ -1,0 +1,98 @@
+"""Exact-integer Lloyd k-means (operators/similarity.kmeans_lloyd_micro):
+the trained-quantizer tier that IS value-gateable.  The DuckDB oracle
+replays the whole training in the gate (pipeline._ivf_lloyd_sql); here an
+independent numpy mirror pins the Spark implementation a third way and the
+classic Lloyd property (within-cluster SS never increases) is asserted on
+the real corpus.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.operators import similarity as S
+
+K, STRIDE, DIM = 8, 37, 64
+
+
+def _half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _numpy_lloyd(V: np.ndarray, iters: int) -> list[tuple[int, list[int]]]:
+    ids = np.arange(len(V))
+    init = ids[(ids % STRIDE == 0) & (ids < STRIDE * K)]
+    C = V[init].copy()
+    for _ in range(iters):
+        # int64 distances; argmin takes the FIRST minimum = smallest c_id
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for c in range(K):
+            members = V[a == c]
+            if len(members):
+                s = members.sum(axis=0)
+                C[c] = [_half_away(float(x) / len(members)) for x in s]
+    return [(c, [int(x) for x in C[c]]) for c in range(K)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def test_lloyd_micro_matches_numpy_mirror(spark, emb):
+    spark_cents = S.kmeans_lloyd_micro(
+        emb, dim=DIM, k=K, stride=STRIDE, iters=2
+    )
+    rows = sorted(
+        (int(r["vec_id"]), r["embedding"]) for r in emb.collect()
+    )
+    V = np.array(
+        [
+            [math.floor(float(np.float64(x)) * 1e6 + 0.5) for x in vec]
+            for _, vec in rows
+        ],
+        dtype=np.int64,
+    )
+    assert spark_cents == _numpy_lloyd(V, iters=2)
+
+
+def test_lloyd_micro_improves_quantization(spark, emb):
+    """Within-cluster SS after 2 Lloyd rounds must not exceed the init
+    (stride-sample) quantizer's — training has to actually help."""
+    rows = sorted((int(r["vec_id"]), r["embedding"]) for r in emb.collect())
+    V = np.array(
+        [
+            [math.floor(float(np.float64(x)) * 1e6 + 0.5) for x in vec]
+            for _, vec in rows
+        ],
+        dtype=np.int64,
+    )
+
+    def wss(cents):
+        C = np.array([c for _, c in cents], dtype=np.int64)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return int(d.min(axis=1).sum())
+
+    init = S.kmeans_lloyd_micro(emb, dim=DIM, k=K, stride=STRIDE, iters=0)
+    trained = S.kmeans_lloyd_micro(emb, dim=DIM, k=K, stride=STRIDE, iters=2)
+    assert wss(trained) < wss(init)
+
+
+def test_ivf_topk_micro_structure(spark, emb):
+    cents = S.kmeans_lloyd_micro(emb, dim=DIM, k=K, stride=STRIDE, iters=2)
+    queries = emb.filter(emb.vec_id < 3).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    out = S.ivf_topk_micro(emb, queries, cents, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+        assert all(r["n_id"] != q for r in rs)
+        scores = [r["l2_micro2"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert scores == sorted(scores)
