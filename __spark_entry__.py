@@ -47,13 +47,14 @@ BENCH_SKIP |= {
 # exact-Lloyd trained IVF, the trained-quantizer invariant gates, the
 # sketch-contract approx entries, fold-vs-Arrow parity, checkpointed CC and
 # the bucketed zero-shuffle Q3 — followed by every remaining never-driver-
-# gated non-SQL name, then 19 of the 21 never-gated TPC-H SQL-text twins
-# (q21_sql/q22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
+# gated non-SQL name, then 18 of the 21 never-gated TPC-H SQL-text twins
+# (q20-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
     # new r5 value gates (r4 verdict items 1, 5, 6, 7, 8)
     "sim_ann_ivf_lloyd",
+    "sim_ann_ivf_lloyd_indexed",
     "sim_ann_pq_lloyd",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
@@ -108,7 +109,6 @@ DRIVER_FIRST = [
     "q17_sql",
     "q18_sql",
     "q19_sql",
-    "q20_sql",
 ]
 
 

@@ -868,6 +868,10 @@ def kmeans_lloyd_micro(
     model artifact, like kmeans_centroids' fitted centers).  Returns
     [(c_id, c_vec_micro)] rows for ivf_topk_micro / literal re-broadcast.
     """
+    # operator-owned cache lifetime (the heavy_hitters discipline): the
+    # quantized frame is scanned once per Lloyd round, so persist it for
+    # the loop and release it before returning — iters=0 (the init-only
+    # probe) skips the cache entirely
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
@@ -879,37 +883,43 @@ def kmeans_lloyd_micro(
         ).collect()
     ]
     cents.sort()
-    for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
-        assigned = (
-            vm.crossJoin(F.broadcast(cdf))
-            .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
-            .groupBy("n_id")
-            .agg(
-                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                F.first("v").alias("v"),
+    if iters > 1:
+        vm = vm.persist()
+    try:
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
+            assigned = (
+                vm.crossJoin(F.broadcast(cdf))
+                .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
+                .groupBy("n_id")
+                .agg(
+                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                    F.first("v").alias("v"),
+                )
             )
-        )
-        stats = (
-            assigned.groupBy("c_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
+            stats = (
+                assigned.groupBy("c_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_id = {int(r["c_id"]): r for r in stats}
-        new_cents = []
-        for c_id, old in cents:
-            r = by_id.get(c_id)
-            if r is None:  # empty cluster: keep the old center (oracle mirrors)
-                new_cents.append((c_id, old))
-                continue
-            n = int(r["n"])
-            new_cents.append(
-                (c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(dim)])
-            )
-        cents = new_cents
+            by_id = {int(r["c_id"]): r for r in stats}
+            new_cents = []
+            for c_id, old in cents:
+                r = by_id.get(c_id)
+                if r is None:  # empty cluster: keep the old center (oracle mirrors)
+                    new_cents.append((c_id, old))
+                    continue
+                n = int(r["n"])
+                new_cents.append(
+                    (c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(dim)])
+                )
+            cents = new_cents
+    finally:
+        if iters > 1:
+            vm.unpersist()
     return cents
 
 
@@ -1023,37 +1033,45 @@ def pq_codebooks_lloyd_micro(
         .collect()
     )
     cbs = sorted((int(r["m"]), int(r["c_id"]), [int(x) for x in r["c"]]) for r in init)
-    for _ in range(iters):
-        cdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
-        assigned = (
-            vm.join(F.broadcast(cdf), "m")
-            .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
-            .groupBy("n_id", "m")
-            .agg(
-                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                F.first("v_sub").alias("v_sub"),
+    # operator-owned cache lifetime: the sliced frame feeds every Lloyd
+    # round — persist for the loop, release before returning
+    if iters > 1:
+        vm = vm.persist()
+    try:
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
+            assigned = (
+                vm.join(F.broadcast(cdf), "m")
+                .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
+                .groupBy("n_id", "m")
+                .agg(
+                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                    F.first("v_sub").alias("v_sub"),
+                )
             )
-        )
-        stats = (
-            assigned.groupBy("m", "c_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
+            stats = (
+                assigned.groupBy("m", "c_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
-        new_cbs = []
-        for m, c_id, old in cbs:
-            r = by_key.get((m, c_id))
-            if r is None:  # empty codeword: keep (oracle mirrors)
-                new_cbs.append((m, c_id, old))
-                continue
-            n = int(r["n"])
-            new_cbs.append(
-                (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
-            )
-        cbs = new_cbs
+            by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
+            new_cbs = []
+            for m, c_id, old in cbs:
+                r = by_key.get((m, c_id))
+                if r is None:  # empty codeword: keep (oracle mirrors)
+                    new_cbs.append((m, c_id, old))
+                    continue
+                n = int(r["n"])
+                new_cbs.append(
+                    (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
+                )
+            cbs = new_cbs
+    finally:
+        if iters > 1:
+            vm.unpersist()
     return cbs
 
 

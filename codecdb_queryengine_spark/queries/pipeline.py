@@ -1059,6 +1059,23 @@ def _ivf_lloyd_sql(
     """
 
 
+def sim_ann_ivf_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN loop with a TRAINED quantizer, value-gated
+    end to end: exact-integer Lloyd training (kmeans_lloyd_micro) →
+    persisted partition-by-list index layout (sources/ann_index.
+    ivf_index_build_micro) → partition-pruned serving (ivf_index_topk_micro,
+    DPP pinned by scripts/explain_audit.py).  The persisted layout must not
+    change results, so the oracle is sim_ann_ivf_lloyd's verbatim — DuckDB
+    replays training and scoring straight off the base table."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
+    path = _scratch_dir("ivf_lloyd_index", sf_dir)
+    AI.ivf_index_build_micro(emb, path, cents)
+    return AI.ivf_index_topk_micro(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
 def sim_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k whose codebooks are TRAINED — two genuine Lloyd
     iterations per subquantizer — yet fully value-gated: the PQ
@@ -3513,6 +3530,7 @@ QUERIES = {
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
+    "sim_ann_ivf_lloyd_indexed": sim_ann_ivf_lloyd_indexed,
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
     "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
@@ -3599,6 +3617,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
+    "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
     "sim_ann_pq_trained_gate": _gate_invariants_sql(),

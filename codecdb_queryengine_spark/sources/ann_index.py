@@ -131,3 +131,84 @@ def ivf_index_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# --- exact-integer (Lloyd-trained) index variant ---------------------------
+
+
+def ivf_index_build_micro(
+    vectors: DataFrame,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index over the micro-quantized integer space with a
+    TRAINED centroid model (operators/similarity.kmeans_lloyd_micro) —
+    the trained counterpart of ivf_index_build, with the same layout
+    contract (`centroids/` K rows, `lists/` partitioned by c_list) but
+    BIGINT vectors and integer-L2 assignment, so the whole
+    train→persist→serve loop stays bit-replayable by a SQL oracle."""
+    from codecdb_queryengine_spark.operators.similarity import l2_micro, quantize_micro
+
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
+    cdf.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    assigned = (
+        vm.crossJoin(F.broadcast(cdf))
+        .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("n_id")
+        .agg(
+            F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_list"),
+            F.first("v").alias("v"),
+        )
+    )
+    (
+        assigned.repartition("c_list")
+        .write.mode("overwrite")
+        .partitionBy("c_list")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
+def ivf_index_topk_micro(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over the persisted integer index: same partition-pruned plan
+    shape as ivf_index_topk (broadcast centroids, nprobe lists per query,
+    DPP on the c_list equi-join — scan-side partition column untouched),
+    every distance BIGINT.  Output matches operators/similarity.
+    ivf_topk_micro exactly, so one oracle gates both forms."""
+    from codecdb_queryengine_spark.operators.similarity import l2_micro, quantize_micro
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    part_type = dict(lists.dtypes)["c_list"]
+    qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    probes = (
+        qm.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", l2_micro(F.col("qv"), F.col("c")).alias("d"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").cast(part_type).alias("c_list"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "c_list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("l2_micro2", l2_micro(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("l2_micro2").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "l2_micro2", F.col("rk").cast("long").alias("rk"))
+    )

@@ -60,6 +60,7 @@ EXPECT_NESTED = {
     # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
     # the same all-vectors × broadcast(model) assignment shape
     "sim_ann_ivf_lloyd",
+    "sim_ann_ivf_lloyd_indexed",
     "sim_ann_pq_lloyd",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
@@ -74,6 +75,7 @@ EXPECT_NESTED = {
 # (r4 ADVICE: a cast on the partition column can void DPP on some versions).
 EXPECT_DPP = {
     "sim_ann_ivf_indexed",
+    "sim_ann_ivf_lloyd_indexed",
     "emb_stream_index_ingest",
 }
 
