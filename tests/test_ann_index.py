@@ -50,3 +50,22 @@ def test_index_rebuild_overwrites_cleanly(spark, sf_dir):
     AI.ivf_index_build(emb, path, centroid_mod=29)  # overwrite, same data
     second = AI.ivf_index_topk(spark, path, _queries(emb), k=3).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_micro_index_matches_inmemory_lloyd_exact(spark, sf_dir):
+    """The persisted integer index (trained Lloyd centroids) must return
+    EXACTLY what the in-memory operator returns — same BIGINT distances,
+    same pairs — and its probe scan must dynamic-partition-prune."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = S.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
+    path = tempfile.mkdtemp(prefix="ivf_lloyd_idx_test_")
+    AI.ivf_index_build_micro(emb, path, cents)
+    df = AI.ivf_index_topk_micro(spark, path, _queries(emb), k=5, nprobe=2)
+    via_index = df.collect()
+    in_memory = S.ivf_topk_micro(emb, _queries(emb), cents, k=5, nprobe=2).collect()
+    key = lambda r: (r.q_id, r.rk)  # noqa: E731
+    a = {key(r): (r.n_id, r.l2_micro2) for r in via_index}
+    b = {key(r): (r.n_id, r.l2_micro2) for r in in_memory}
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

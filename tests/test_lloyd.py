@@ -10,6 +10,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.catalog import load_tables
 from codecdb_queryengine_spark.operators import similarity as S
@@ -96,3 +97,30 @@ def test_ivf_topk_micro_structure(spark, emb):
         assert all(r["n_id"] != q for r in rs)
         scores = [r["l2_micro2"] for r in sorted(rs, key=lambda r: r["rk"])]
         assert scores == sorted(scores)
+
+
+def test_quantize_micro_matches_python_mirror_on_edge_values(spark):
+    """quantize_micro (floor(x·1e6 + 0.5) on the float32→double cast) must
+    agree with the driver-side mirror used by the trainers for adversarial
+    values: rounding-boundary neighborhoods, negatives, denormal-ish."""
+    import struct
+
+    edge = [
+        0.0, -0.0, 0.5e-6, -0.5e-6, 1.5e-6, -1.5e-6,
+        0.4999999, 0.5000001, -0.4999999, -0.5000001,
+        0.123456789, -0.98765432, 1.0, -1.0,
+    ]
+    # plus a deterministic pseudo-random sweep of float32 bit patterns
+    for i in range(200):
+        bits = (i * 2654435761) & 0x3F7FFFFF  # positive, finite, < 2.0
+        edge.append(struct.unpack("f", struct.pack("I", bits))[0])
+        edge.append(-edge[-1])
+    rows = [(i, [v]) for i, v in enumerate(edge)]
+    df = spark.createDataFrame(rows, "i long, v array<float>")
+    got = {
+        r["i"]: r["q"][0]
+        for r in df.select("i", S.quantize_micro(F.col("v")).alias("q")).collect()
+    }
+    for i, v in enumerate(edge):
+        expect = math.floor(float(np.float32(v)) * 1e6 + 0.5)
+        assert got[i] == expect, (i, v, got[i], expect)
