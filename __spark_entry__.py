@@ -47,8 +47,8 @@ BENCH_SKIP |= {
 # exact-Lloyd trained IVF, the trained-quantizer invariant gates, the
 # sketch-contract approx entries, fold-vs-Arrow parity, checkpointed CC and
 # the bucketed zero-shuffle Q3 — followed by every remaining never-driver-
-# gated non-SQL name, then 18 of the 21 never-gated TPC-H SQL-text twins
-# (q20-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
+# gated non-SQL name, then 17 of the 21 never-gated TPC-H SQL-text twins
+# (q19-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
@@ -56,6 +56,7 @@ DRIVER_FIRST = [
     "sim_ann_ivf_lloyd",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_pq_lloyd",
+    "sim_ann_ivfpq_lloyd",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
     "ext_stats_approx",
@@ -108,7 +109,6 @@ DRIVER_FIRST = [
     "q16_sql",
     "q17_sql",
     "q18_sql",
-    "q19_sql",
 ]
 
 

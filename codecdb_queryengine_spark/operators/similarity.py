@@ -1160,3 +1160,182 @@ def pq_topk_micro(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivf_pq_topk_lloyd_micro(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    k_coarse: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. TPAMI'11 §IV) with BOTH quantizers
+    TRAINED — Lloyd-iterated coarse centroids AND Lloyd-iterated residual
+    codebooks — and the whole thing bit-replayable by a SQL oracle: the
+    production ANN composition, exactly.
+
+    Everything runs in the micro-quantized integer space (the
+    kmeans_lloyd_micro discipline): coarse training, residuals
+    (v − centroid stays BIGINT), per-subspace residual-codebook training
+    (init = residual slices of the stride-sampled vectors, mirroring
+    ivf_pq_topk's deterministic rcbsrc convention), encoding, and ADC —
+    so every intermediate is exact and order-free.
+
+    Plan shape matches ivf_pq_topk: broadcast coarse model, map-side
+    residual computation, broadcast 32-row residual codebook, one
+    (n·num_subspaces)-key encode aggregation, ADC lookup maps built per
+    (query, probed list) and broadcast past the streaming codes, top-k
+    window per q_id.  Output (q_id, n_id, adc_q, rk); smaller = nearer.
+    """
+    sub = dim // num_subspaces
+    spark = vectors.sparkSession
+    cents = kmeans_lloyd_micro(
+        vectors, vec_col=vec_col, id_col=id_col, dim=dim, k=k_coarse,
+        stride=stride, iters=iters,
+    )
+    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    # residuals: nearest coarse centroid (integer L2, min-c_id ties), r = v − c
+    res = (
+        vm.crossJoin(F.broadcast(cdf))
+        .select("n_id", "v", "c_id", "c", l2_micro(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("n_id")
+        .agg(
+            F.min_by(F.struct(F.col("c_id"), F.col("c")), F.struct(F.col("d"), F.col("c_id"))).alias("w"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "n_id",
+            F.col("w.c_id").alias("c_list"),
+            F.zip_with(F.col("v"), F.col("w.c"), lambda x, y: x - y).alias("r"),
+        )
+        .persist()  # feeds codebook init, 2 Lloyd rounds, and encoding
+    )
+    try:
+        ms = F.explode(
+            F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])
+        ).alias("m")
+        rm = res.select("n_id", "c_list", F.col("r"), ms).select(
+            "n_id",
+            "c_list",
+            "m",
+            F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
+        )
+        init = (
+            rm.filter((F.col("n_id") % stride == 0) & (F.col("n_id") < stride * num_codewords))
+            .select((F.col("n_id") / stride).cast("long").alias("c_id"), "m", F.col("v_sub").alias("c"))
+            .collect()
+        )
+        cbs = sorted((int(r["m"]), int(r["c_id"]), [int(x) for x in r["c"]]) for r in init)
+        for _ in range(iters):
+            rdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
+            assigned = (
+                rm.join(F.broadcast(rdf), "m")
+                .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
+                .groupBy("n_id", "m")
+                .agg(
+                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                    F.first("v_sub").alias("v_sub"),
+                )
+            )
+            stats = (
+                assigned.groupBy("m", "c_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
+                )
+                .collect()
+            )
+            by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
+            new_cbs = []
+            for m, c_id, old in cbs:
+                r = by_key.get((m, c_id))
+                if r is None:
+                    new_cbs.append((m, c_id, old))
+                    continue
+                n = int(r["n"])
+                new_cbs.append(
+                    (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
+                )
+            cbs = new_cbs
+        rdf = spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>")
+        codes = (
+            rm.join(F.broadcast(rdf), "m")
+            .withColumn("d", l2_micro(F.col("v_sub"), F.col("c_sub")))
+            .groupBy("n_id", "c_list", "m")
+            .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("pq_c"))
+        )
+        codes_wide = codes.groupBy("n_id", "c_list").agg(
+            F.map_from_entries(F.collect_list(F.struct("m", "pq_c"))).alias("cmap")
+        )
+        # probes: nprobe nearest coarse lists per query; query residual per list
+        qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
+        wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+        probes = (
+            qm.crossJoin(F.broadcast(cdf))
+            .select("q_id", "qv", "c_id", "c", l2_micro(F.col("qv"), F.col("c")).alias("d"))
+            .withColumn("rr", F.row_number().over(wp))
+            .filter(F.col("rr") <= nprobe)
+            .select(
+                "q_id",
+                F.col("c_id").alias("c_list"),
+                F.zip_with(F.col("qv"), F.col("c"), lambda x, y: x - y).alias("qr"),
+            )
+        )
+        qrm = probes.select("q_id", "c_list", F.col("qr"), ms).select(
+            "q_id",
+            "c_list",
+            "m",
+            F.slice(F.col("qr"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
+        )
+        adc_wide = (
+            qrm.join(F.broadcast(rdf), "m")
+            .withColumn("contrib", l2_micro(F.col("q_sub"), F.col("c_sub")))
+            .groupBy("q_id", "c_list")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("m") * num_codewords + F.col("c_id")).alias("key"),
+                            "contrib",
+                        )
+                    )
+                ).alias("amap")
+            )
+        )
+        adc_sum: Column | None = None
+        for m in range(num_subspaces):
+            term = F.element_at(
+                F.col("amap"),
+                F.lit(m * num_codewords).cast("long")
+                + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
+            )
+            adc_sum = term if adc_sum is None else adc_sum + term
+        scored = (
+            codes_wide.join(F.broadcast(adc_wide), "c_list")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("adc_q", adc_sum)
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id").asc())
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
+        )
+        return out
+    finally:
+        # Operator-owned cache lifetime: the persisted residuals were read
+        # 4× during training (init + 2 stats rounds + encode planning);
+        # release them NOW rather than leak into the caller's session.
+        # The returned plan recomputes `res` from source on materialization
+        # — one extra pass, the price of not parking cache on the caller.
+        res.unpersist(False)

@@ -996,8 +996,8 @@ def _ivf_lloyd_sql(
         for j in range(1, dim + 1)
     )
     ctes = [
-        f"vm AS (SELECT vec_id, [{quant}] AS v FROM embeddings)",
-        f"""c0 AS (
+        f"vm AS MATERIALIZED (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
             SELECT CAST(vec_id // {stride} AS BIGINT) AS c_id, v FROM vm
             WHERE vec_id % {stride} = 0 AND vec_id < {stride * k})""",
     ]
@@ -1010,28 +1010,28 @@ def _ivf_lloyd_sql(
             f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
             for j in range(1, dim + 1)
         )
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""a{t} AS MATERIALIZED (
             SELECT n_id, c_id FROM (
                 SELECT v.vec_id AS n_id, c.c_id,
                        row_number() OVER (
                            PARTITION BY v.vec_id
                            ORDER BY ({l2('v', 'c')}) ASC, c.c_id ASC) AS r
                 FROM vm v CROSS JOIN c{t} c) WHERE r = 1)""")
-        ctes.append(f"""s{t} AS (
+        ctes.append(f"""s{t} AS MATERIALIZED (
             SELECT a.c_id, count(*) AS n, {sums}
             FROM a{t} a JOIN vm v ON v.vec_id = a.n_id GROUP BY a.c_id)""")
-        ctes.append(f"""c{t + 1} AS (
+        ctes.append(f"""c{t + 1} AS MATERIALIZED (
             SELECT c.c_id, [{upd}] AS v
             FROM c{t} c LEFT JOIN s{t} s ON s.c_id = c.c_id)""")
     cf = f"c{iters}"
-    ctes.append(f"""assign AS (
+    ctes.append(f"""assign AS MATERIALIZED (
         SELECT n_id, c_id FROM (
             SELECT v.vec_id AS n_id, c.c_id,
                    row_number() OVER (
                        PARTITION BY v.vec_id
                        ORDER BY ({l2('v', 'c')}) ASC, c.c_id ASC) AS r
             FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
-    ctes.append(f"""probes AS (
+    ctes.append(f"""probes AS MATERIALIZED (
         SELECT q_id, c_id FROM (
             SELECT q.vec_id AS q_id, c.c_id,
                    row_number() OVER (
@@ -1039,7 +1039,7 @@ def _ivf_lloyd_sql(
                        ORDER BY ({l2('q', 'c')}) ASC, c.c_id ASC) AS r
             FROM vm q CROSS JOIN {cf} c
             WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe})""")
-    ctes.append(f"""scored AS (
+    ctes.append(f"""scored AS MATERIALIZED (
         SELECT p.q_id, a.n_id, ({l2('qv', 'nv')}) AS l2_micro2
         FROM probes p
         JOIN assign a ON a.c_id = p.c_id
@@ -1114,9 +1114,9 @@ def _pq_lloyd_sql(
     )
     slice_cols = ", ".join(f"v.v[ms.m*{sub} + {j}]" for j in range(1, sub + 1))
     ctes = [
-        f"vm AS (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"vm AS MATERIALIZED (SELECT vec_id, [{quant}] AS v FROM embeddings)",
         f"ms AS (SELECT unnest(range(0, {m_sub})) AS m)",
-        f"""cb0 AS (
+        f"""cb0 AS MATERIALIZED (
             SELECT ms.m, CAST(v.vec_id // {stride} AS BIGINT) AS c_id,
                    [{slice_cols}] AS c
             FROM vm v CROSS JOIN ms
@@ -1132,37 +1132,198 @@ def _pq_lloyd_sql(
             f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
             for j in range(1, sub + 1)
         )
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""a{t} AS MATERIALIZED (
             SELECT n_id, m, c_id FROM (
                 SELECT v.vec_id AS n_id, c.m, c.c_id,
                        row_number() OVER (
                            PARTITION BY v.vec_id, c.m
                            ORDER BY ({l2('v', 'c', 'c.m')}) ASC, c.c_id ASC) AS r
                 FROM vm v CROSS JOIN cb{t} c) WHERE r = 1)""")
-        ctes.append(f"""s{t} AS (
+        ctes.append(f"""s{t} AS MATERIALIZED (
             SELECT a.m, a.c_id, count(*) AS n, {sums}
             FROM a{t} a JOIN vm v ON v.vec_id = a.n_id GROUP BY a.m, a.c_id)""")
-        ctes.append(f"""cb{t + 1} AS (
+        ctes.append(f"""cb{t + 1} AS MATERIALIZED (
             SELECT c.m, c.c_id, [{upd}] AS c
             FROM cb{t} c LEFT JOIN s{t} s ON s.m = c.m AND s.c_id = c.c_id)""")
     cf = f"cb{iters}"
-    ctes.append(f"""codes AS (
+    ctes.append(f"""codes AS MATERIALIZED (
         SELECT n_id, m, c_id FROM (
             SELECT v.vec_id AS n_id, c.m, c.c_id,
                    row_number() OVER (
                        PARTITION BY v.vec_id, c.m
                        ORDER BY ({l2('v', 'c', 'c.m')}) ASC, c.c_id ASC) AS r
             FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
-    ctes.append(f"""adc AS (
+    ctes.append(f"""adc AS MATERIALIZED (
         SELECT q.vec_id AS q_id, c.m, c.c_id,
                ({l2('q', 'c', 'c.m')}) AS contrib
         FROM vm q CROSS JOIN {cf} c
         WHERE q.vec_id < {_N_QUERIES})""")
-    ctes.append("""scored AS (
+    ctes.append("""scored AS MATERIALIZED (
         -- CAST: DuckDB sum(BIGINT) is HUGEINT (see _pq_sql note)
         SELECT a.q_id, cd.n_id, CAST(sum(a.contrib) AS BIGINT) AS adc_q
         FROM codes cd
         JOIN adc a ON a.m = cd.m AND a.c_id = cd.c_id
+        WHERE a.q_id <> cd.n_id
+        GROUP BY a.q_id, cd.n_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT q_id, n_id, adc_q, rk FROM (
+            SELECT q_id, n_id, adc_q,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY adc_q ASC, n_id ASC) AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_TOP_K}
+    """
+
+
+def sim_ann_ivfpq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) with BOTH quantizers trained — Lloyd coarse
+    centroids AND Lloyd residual codebooks — under one bit-exact oracle:
+    the production ANN composition, end to end (operators/similarity.
+    ivf_pq_topk_lloyd_micro).  Completes the trained-quantizer family:
+    IVF (sim_ann_ivf_lloyd), PQ (sim_ann_pq_lloyd), and their residual
+    composition all replay training in DuckDB via the integer-micro
+    discipline."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ivf_pq_topk_lloyd_micro(emb, _query_vectors(emb), dim=64, k=_TOP_K)
+
+
+def _ivf_pq_lloyd_sql(
+    dim: int = 64,
+    k_coarse: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+) -> str:
+    """Bit-exact SQL replay of ivf_pq_topk_lloyd_micro: coarse Lloyd →
+    residuals → per-subspace residual Lloyd → encode → probes → ADC."""
+    sub = dim // m_sub
+
+    def l2full(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}.v[{j}] - {b}.v[{j}]) * ({a}.v[{j}] - {b}.v[{j}])"
+            for j in range(1, dim + 1)
+        )
+
+    def l2res(r: str, c: str, moff: str) -> str:
+        return " + ".join(
+            f"({r}.r[{moff}*{sub} + {j}] - {c}.c[{j}]) "
+            f"* ({r}.r[{moff}*{sub} + {j}] - {c}.c[{j}])"
+            for j in range(1, sub + 1)
+        )
+
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    resid = ", ".join(f"v.v[{j}] - c.v[{j}]" for j in range(1, dim + 1))
+    rslice = ", ".join(f"r.r[ms.m*{sub} + {j}]" for j in range(1, sub + 1))
+    ctes = [
+        f"vm AS MATERIALIZED (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+            SELECT CAST(vec_id // {stride} AS BIGINT) AS c_id, v FROM vm
+            WHERE vec_id % {stride} = 0 AND vec_id < {stride * k_coarse})""",
+    ]
+    # coarse Lloyd rounds (the _ivf_lloyd_sql recurrence)
+    for t in range(iters):
+        sums = ", ".join(
+            f"CAST(sum(v.v[{j}]) AS BIGINT) AS s{j}" for j in range(1, dim + 1)
+        )
+        upd = ", ".join(
+            f"CASE WHEN s.n IS NULL THEN c.v[{j}] "
+            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            for j in range(1, dim + 1)
+        )
+        ctes.append(f"""a{t} AS MATERIALIZED (
+            SELECT n_id, c_id FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({l2full('v', 'c')}) ASC, c.c_id ASC) AS r
+                FROM vm v CROSS JOIN c{t} c) WHERE r = 1)""")
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT a.c_id, count(*) AS n, {sums}
+            FROM a{t} a JOIN vm v ON v.vec_id = a.n_id GROUP BY a.c_id)""")
+        ctes.append(f"""c{t + 1} AS MATERIALIZED (
+            SELECT c.c_id, [{upd}] AS v
+            FROM c{t} c LEFT JOIN s{t} s ON s.c_id = c.c_id)""")
+    cf = f"c{iters}"
+    ctes.append(f"""assign AS MATERIALIZED (
+        SELECT n_id, c_id FROM (
+            SELECT v.vec_id AS n_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({l2full('v', 'c')}) ASC, c.c_id ASC) AS r
+            FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
+    ctes.append(f"""res AS MATERIALIZED (
+        SELECT a.n_id, a.c_id AS c_list, [{resid}] AS r
+        FROM assign a
+        JOIN vm v ON v.vec_id = a.n_id
+        JOIN {cf} c ON c.c_id = a.c_id)""")
+    ctes.append(f"ms AS (SELECT unnest(range(0, {m_sub})) AS m)")
+    ctes.append(f"""rcb0 AS MATERIALIZED (
+        SELECT ms.m, CAST(r.n_id // {stride} AS BIGINT) AS c_id,
+               [{rslice.replace('r.r', 'r.r')}] AS c
+        FROM res r CROSS JOIN ms
+        WHERE r.n_id % {stride} = 0 AND r.n_id < {stride * k_codes})""")
+    # residual Lloyd rounds (the _pq_lloyd_sql recurrence, over res)
+    for t in range(iters):
+        sums = ", ".join(
+            f"CAST(sum(v.r[a.m*{sub} + {j}]) AS BIGINT) AS s{j}"
+            for j in range(1, sub + 1)
+        )
+        upd = ", ".join(
+            f"CASE WHEN s.n IS NULL THEN c.c[{j}] "
+            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            for j in range(1, sub + 1)
+        )
+        ctes.append(f"""ra{t} AS MATERIALIZED (
+            SELECT n_id, m, c_id FROM (
+                SELECT r.n_id, c.m, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY r.n_id, c.m
+                           ORDER BY ({l2res('r', 'c', 'c.m')}) ASC, c.c_id ASC) AS rr
+                FROM res r CROSS JOIN rcb{t} c) WHERE rr = 1)""")
+        ctes.append(f"""rs{t} AS MATERIALIZED (
+            SELECT a.m, a.c_id, count(*) AS n, {sums}
+            FROM ra{t} a JOIN res v ON v.n_id = a.n_id GROUP BY a.m, a.c_id)""")
+        ctes.append(f"""rcb{t + 1} AS MATERIALIZED (
+            SELECT c.m, c.c_id, [{upd}] AS c
+            FROM rcb{t} c LEFT JOIN rs{t} s ON s.m = c.m AND s.c_id = c.c_id)""")
+    rcf = f"rcb{iters}"
+    ctes.append(f"""codes AS MATERIALIZED (
+        SELECT n_id, c_list, m, c_id AS pq_c FROM (
+            SELECT r.n_id, r.c_list, c.m, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY r.n_id, c.m
+                       ORDER BY ({l2res('r', 'c', 'c.m')}) ASC, c.c_id ASC) AS rr
+            FROM res r CROSS JOIN {rcf} c) WHERE rr = 1)""")
+    ctes.append(f"""probes AS MATERIALIZED (
+        SELECT q_id, c_id AS c_list FROM (
+            SELECT q.vec_id AS q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({l2full('q', 'c')}) ASC, c.c_id ASC) AS r
+            FROM vm q CROSS JOIN {cf} c
+            WHERE q.vec_id < {_N_QUERIES}) WHERE r <= {nprobe})""")
+    ctes.append(f"""qres AS MATERIALIZED (
+        SELECT p.q_id, p.c_list, [{resid.replace('v.v', 'q.v')}] AS r
+        FROM probes p
+        JOIN vm q ON q.vec_id = p.q_id
+        JOIN {cf} c ON c.c_id = p.c_list)""")
+    ctes.append(f"""adc AS MATERIALIZED (
+        SELECT qr.q_id, qr.c_list, c.m, c.c_id AS pq_c,
+               ({l2res('qr', 'c', 'c.m')}) AS contrib
+        FROM qres qr CROSS JOIN {rcf} c)""")
+    ctes.append("""scored AS MATERIALIZED (
+        -- CAST: DuckDB sum(BIGINT) is HUGEINT (see _pq_sql note)
+        SELECT a.q_id, cd.n_id, CAST(sum(a.contrib) AS BIGINT) AS adc_q
+        FROM codes cd
+        JOIN adc a ON a.c_list = cd.c_list AND a.m = cd.m AND a.pq_c = cd.pq_c
         WHERE a.q_id <> cd.n_id
         GROUP BY a.q_id, cd.n_id)""")
     body = ",\n".join(ctes)
@@ -3532,6 +3693,7 @@ QUERIES = {
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
     "sim_ann_ivf_lloyd_indexed": sim_ann_ivf_lloyd_indexed,
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
+    "sim_ann_ivfpq_lloyd": sim_ann_ivfpq_lloyd,
     "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
     "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
@@ -3619,6 +3781,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
     "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
+    "sim_ann_ivfpq_lloyd": _ivf_pq_lloyd_sql(),
     "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
     "sim_ann_pq_trained_gate": _gate_invariants_sql(),
     "mm_features": _mm_sql(),
