@@ -1126,18 +1126,29 @@ def pq_topk_micro(
         "m",
         F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
     )
+    # Same aliasing hazard pq_topk guards (r4 ADVICE): a codebook c_id >=
+    # num_codewords would silently collide with an adjacent subspace's map
+    # slot — fail loudly at execution instead.
+    adc_key = F.when(
+        F.col("c_id") < num_codewords,
+        F.col("m") * num_codewords + F.col("c_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "pq_topk_micro: codebook c_id %s >= num_codewords %s — ADC "
+                "keys would alias adjacent subspaces",
+                F.col("c_id").cast("string"),
+                F.lit(str(num_codewords)),
+            )
+        ).cast("long")
+    )
     adc_wide = (
         qm.join(F.broadcast(cbm), "m")
         .withColumn("contrib", l2_micro(F.col("q_sub"), F.col("c_sub")))
         .groupBy("q_id")
         .agg(
             F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("m") * num_codewords + F.col("c_id")).alias("key"),
-                        "contrib",
-                    )
-                )
+                F.collect_list(F.struct(adc_key.alias("key"), "contrib"))
             ).alias("amap")
         )
     )

@@ -121,9 +121,16 @@ def audit(name: str, plan: str) -> tuple[bool, str]:
         else:
             notes.append("NESTED-LOOP!")
             ok = False
-    reads = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    # stop at end-of-line: explain truncates long schemas with "..." and
+    # drops the closing ">", so an unanchored match would run into the
+    # rest of the plan text (q1's 7-col read counted as 81)
+    reads = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
     if reads:
-        widths = [len(r.split(",")) for r in reads if r]
+        widths = [
+            f"{len(r.split(','))}+" if r.endswith("...") else len(r.split(","))
+            for r in reads
+            if r
+        ]
         notes.append(f"readcols={widths}")
     return ok, " ".join(notes)
 
