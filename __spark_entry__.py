@@ -37,6 +37,7 @@ BENCH_SKIP |= {
     "sim_ann_pq_trained_gate",
     "graph_cc_chain_ckpt",
     "emb_encode_parity",
+    "text_bpe_gate",
 }
 
 # The driver's correctness gate truncates at the first 50 queries() entries
@@ -47,8 +48,8 @@ BENCH_SKIP |= {
 # exact-Lloyd trained IVF, the trained-quantizer invariant gates, the
 # sketch-contract approx entries, fold-vs-Arrow parity, checkpointed CC and
 # the bucketed zero-shuffle Q3 — followed by every remaining never-driver-
-# gated non-SQL name, then 17 of the 21 never-gated TPC-H SQL-text twins
-# (q19-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
+# gated non-SQL name, then 16 of the 21 never-gated TPC-H SQL-text twins
+# (q18-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
@@ -59,6 +60,7 @@ DRIVER_FIRST = [
     "sim_ann_ivfpq_lloyd",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
+    "text_bpe_gate",
     "ext_stats_approx",
     "ext_approx_distinct",
     "emb_encode_parity",
@@ -108,7 +110,6 @@ DRIVER_FIRST = [
     "q15_sql",
     "q16_sql",
     "q17_sql",
-    "q18_sql",
 ]
 
 

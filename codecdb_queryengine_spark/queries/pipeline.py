@@ -2434,6 +2434,52 @@ def text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_encode(docs, merges)
 
 
+def text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gated CONTRACT for the trained BPE tokenizer (the
+    trained-quantizer-gate discipline applied to text_bpe_trained, which
+    stays rows-only because its iterative argmax has no SQL oracle).
+    Engine-independent facts about a correct BPE encode: (1) the distinct
+    vocabulary size matches the oracle's own tokenization exactly
+    (cross-engine tokenizer parity); (2) concatenating every word's pieces
+    reconstructs the word — merges only ever concatenate adjacent symbols,
+    so any lossy/duplicating merge-fold bug breaks this; (3) piece counts
+    sit in [1, len(word)]; (4) exactly the requested number of merge rules
+    was learned.  All integers, so the row value-hashes."""
+    from codecdb_queryengine_spark.operators import bpe as B
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = B.bpe_train(docs, "text", num_merges=12)
+    words = docs.select(F.explode(T.tokens("text")).alias("word")).distinct()
+    enc = words.select(
+        "word",
+        B.bpe_encode_col(B._chars(F.col("word")), merges).alias("pieces"),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(
+            (F.concat_ws("", F.col("pieces")) == F.col("word")).cast("long")
+        ).alias("n_reconstruct_ok"),
+        F.sum(
+            (
+                (F.size("pieces") >= 1) & (F.size("pieces") <= F.length("word"))
+            ).cast("long")
+        ).alias("n_bounds_ok"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )
+
+
+_BPE_GATE_SQL = f"""
+    WITH vocab AS (
+        SELECT DISTINCT word
+        FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents))
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(count(*) AS BIGINT) AS n_reconstruct_ok,
+           CAST(count(*) AS BIGINT) AS n_bounds_ok,
+           CAST(12 AS BIGINT) AS n_merges
+    FROM vocab
+"""
+
+
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent terms (count ≥ 2% of all tokens) via the distributed
     heavy-hitters pattern (operators/sketch.heavy_hitters): per-partition
@@ -3675,6 +3721,7 @@ QUERIES = {
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
     "text_bpe_trained": text_bpe_trained,
+    "text_bpe_gate": text_bpe_gate,
     "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
     "events_funnel": events_funnel,
@@ -3766,6 +3813,7 @@ ORACLE: dict[str, str] = {
     "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
+    "text_bpe_gate": _BPE_GATE_SQL,
     "text_lm_score": _LM_SCORE_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,

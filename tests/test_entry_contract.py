@@ -49,5 +49,6 @@ def test_bench_skip_only_hides_twins():
         "sim_ann_pq_trained_gate",
         "graph_cc_chain_ckpt",
         "emb_encode_parity",
+        "text_bpe_gate",
     }
     assert all(n.endswith("_sql") or n in gate_twins for n in entry.BENCH_SKIP)

@@ -124,3 +124,38 @@ def test_quantize_micro_matches_python_mirror_on_edge_values(spark):
     for i, v in enumerate(edge):
         expect = math.floor(float(np.float32(v)) * 1e6 + 0.5)
         assert got[i] == expect, (i, v, got[i], expect)
+
+
+def test_lloyd_ivf_recall_not_below_init(spark, emb):
+    """Retrieval check: recall@5 of the IVF search under the TRAINED
+    centroids must not fall below the untrained stride-init quantizer on
+    the same corpus (the test_ann_recall discipline for the exact tier).
+    Ground truth = exact integer-L2 top-5."""
+    rows = sorted((int(r["vec_id"]), r["embedding"]) for r in emb.collect())
+    V = np.array(
+        [
+            [math.floor(float(np.float64(x)) * 1e6 + 0.5) for x in vec]
+            for _, vec in rows
+        ],
+        dtype=np.int64,
+    )
+    qids = [0, 1, 2, 3, 4]
+    truth = {}
+    for q in qids:
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d, kind="stable") if i != q]
+        truth[q] = set(order[:5])
+    queries = emb.filter(emb.vec_id < 5).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+
+    def recall(cents):
+        got = S.ivf_topk_micro(emb, queries, cents, k=5, nprobe=2).collect()
+        hit = sum(1 for r in got if r["n_id"] in truth[r["q_id"]])
+        return hit / (5 * len(qids))
+
+    trained = S.kmeans_lloyd_micro(emb, dim=64, k=K, stride=STRIDE, iters=2)
+    init = S.kmeans_lloyd_micro(emb, dim=64, k=K, stride=STRIDE, iters=0)
+    r_trained, r_init = recall(trained), recall(init)
+    assert r_trained >= r_init, (r_trained, r_init)
+    assert r_trained >= 0.5, r_trained  # sane absolute floor on this corpus
