@@ -261,8 +261,11 @@ def decode_y4m(payload: bytes):
         y_size = width * height
         # Chroma stride per colorspace (r4 ADVICE: hardcoded 4:2:0 mis-sliced
         # valid C422/C444 streams from frame 2 on).  Unknown colorspaces
-        # return None so the caller falls back to the stub tier.
-        if colorspace.startswith(b"420"):
+        # return None so the caller falls back to the stub tier.  The 8-bit
+        # 4:2:0 tags are matched EXACTLY: a prefix match would accept
+        # C420p10/p12/p16, whose 2-byte samples this 8-bit reader would
+        # mis-slice from frame 2 on (r5 review).
+        if colorspace in (b"420jpeg", b"420mpeg2", b"420paldv", b"420"):
             chroma = y_size // 2
         elif colorspace == b"422":
             chroma = y_size

@@ -886,37 +886,7 @@ def kmeans_lloyd_micro(
     if iters > 1:
         vm = vm.persist()
     try:
-        for _ in range(iters):
-            cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
-            assigned = (
-                vm.crossJoin(F.broadcast(cdf))
-                .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
-                .groupBy("n_id")
-                .agg(
-                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                    F.first("v").alias("v"),
-                )
-            )
-            stats = (
-                assigned.groupBy("c_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
-                )
-                .collect()
-            )
-            by_id = {int(r["c_id"]): r for r in stats}
-            new_cents = []
-            for c_id, old in cents:
-                r = by_id.get(c_id)
-                if r is None:  # empty cluster: keep the old center (oracle mirrors)
-                    new_cents.append((c_id, old))
-                    continue
-                n = int(r["n"])
-                new_cents.append(
-                    (c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(dim)])
-                )
-            cents = new_cents
+        cents = _lloyd_rounds(spark, vm, (), cents, dim, iters)
     finally:
         if iters > 1:
             vm.unpersist()
@@ -929,6 +899,61 @@ def _round_half_away(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _lloyd_rounds(spark, vm, keys, model, vec_len: int, iters: int):
+    """The ONE exact-Lloyd recurrence every trainer shares
+    (kmeans_lloyd_micro, pq_codebooks_lloyd_micro, and the residual stage
+    of ivf_pq_topk_lloyd_micro — r5 review: three inline copies risked
+    silently diverging from each other and from their SQL oracles).
+
+    `vm`: DataFrame (*keys, n_id, v) with v array<long> (micro units);
+    `model`: sorted [( *keys, c_id, vec ), ...] tuples.  One round =
+    broadcast-model BIGINT-L2 argmin (ties to the smaller c_id) →
+    per-(keys, c_id) exact integer sums → round-half-away mean update;
+    empty clusters keep their previous center.  Returns the updated
+    model in the same tuple shape.
+    """
+    schema = "".join(f"{k} long, " for k in keys) + "c_id long, c array<long>"
+    for _ in range(iters):
+        cdf = spark.createDataFrame(model, schema)
+        joined = (
+            vm.join(F.broadcast(cdf), list(keys)) if keys else vm.crossJoin(F.broadcast(cdf))
+        )
+        assigned = (
+            joined.withColumn("d", l2_micro(F.col("v"), F.col("c")))
+            .groupBy("n_id", *keys)
+            .agg(
+                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        stats = (
+            assigned.groupBy(*keys, "c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(vec_len)],
+            )
+            .collect()
+        )
+        by_key = {tuple(int(r[k]) for k in (*keys, "c_id")): r for r in stats}
+        new_model = []
+        for row in model:
+            *ks, c_id, old = row
+            r = by_key.get((*[int(x) for x in ks], int(c_id)))
+            if r is None:  # empty cluster: keep the old center (oracle mirrors)
+                new_model.append(row)
+                continue
+            n = int(r["n"])
+            new_model.append(
+                (
+                    *ks,
+                    c_id,
+                    [_round_half_away(int(r[f"s{j}"]) / n) for j in range(vec_len)],
+                )
+            )
+        model = new_model
+    return model
 
 
 def ivf_topk_micro(
@@ -1018,7 +1043,7 @@ def pq_codebooks_lloyd_micro(
         .select(
             "n_id",
             "m",
-            F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
+            F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v"),
         )
     )
     spark = vectors.sparkSession
@@ -1038,37 +1063,7 @@ def pq_codebooks_lloyd_micro(
     if iters > 1:
         vm = vm.persist()
     try:
-        for _ in range(iters):
-            cdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
-            assigned = (
-                vm.join(F.broadcast(cdf), "m")
-                .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
-                .groupBy("n_id", "m")
-                .agg(
-                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                    F.first("v_sub").alias("v_sub"),
-                )
-            )
-            stats = (
-                assigned.groupBy("m", "c_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
-                )
-                .collect()
-            )
-            by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
-            new_cbs = []
-            for m, c_id, old in cbs:
-                r = by_key.get((m, c_id))
-                if r is None:  # empty codeword: keep (oracle mirrors)
-                    new_cbs.append((m, c_id, old))
-                    continue
-                n = int(r["n"])
-                new_cbs.append(
-                    (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
-                )
-            cbs = new_cbs
+        cbs = _lloyd_rounds(spark, vm, ("m",), cbs, sub, iters)
     finally:
         if iters > 1:
             vm.unpersist()
@@ -1247,37 +1242,14 @@ def ivf_pq_topk_lloyd_micro(
             .collect()
         )
         cbs = sorted((int(r["m"]), int(r["c_id"]), [int(x) for x in r["c"]]) for r in init)
-        for _ in range(iters):
-            rdf = spark.createDataFrame(cbs, "m long, c_id long, c array<long>")
-            assigned = (
-                rm.join(F.broadcast(rdf), "m")
-                .withColumn("d", l2_micro(F.col("v_sub"), F.col("c")))
-                .groupBy("n_id", "m")
-                .agg(
-                    F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                    F.first("v_sub").alias("v_sub"),
-                )
-            )
-            stats = (
-                assigned.groupBy("m", "c_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("v_sub")[j]).alias(f"s{j}") for j in range(sub)],
-                )
-                .collect()
-            )
-            by_key = {(int(r["m"]), int(r["c_id"])): r for r in stats}
-            new_cbs = []
-            for m, c_id, old in cbs:
-                r = by_key.get((m, c_id))
-                if r is None:
-                    new_cbs.append((m, c_id, old))
-                    continue
-                n = int(r["n"])
-                new_cbs.append(
-                    (m, c_id, [_round_half_away(int(r[f"s{j}"]) / n) for j in range(sub)])
-                )
-            cbs = new_cbs
+        cbs = _lloyd_rounds(
+            spark,
+            rm.select("n_id", "m", F.col("v_sub").alias("v")),
+            ("m",),
+            cbs,
+            sub,
+            iters,
+        )
         rdf = spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>")
         codes = (
             rm.join(F.broadcast(rdf), "m")

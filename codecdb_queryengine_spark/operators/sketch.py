@@ -95,7 +95,7 @@ def count_min_estimate(
 
 
 def heavy_hitters(
-    items: DataFrame, item_col: str, ratio: float = 0.01
+    items: DataFrame, item_col: str, ratio: float = 0.01, eager: bool = True
 ) -> DataFrame:
     """Exact frequent items (count ≥ ratio·N) WITHOUT a full-vocabulary
     shuffle — the distributed heavy-hitters pattern:
@@ -130,11 +130,19 @@ def heavy_hitters(
     never shift the cut-off relative to a decimal-arithmetic oracle
     (`HAVING cnt >= ceil(0.02 * total)` — DuckDB decimal-exact).
 
-    Cache lifetime is operator-owned (r4 ADVICE): the sliver is persisted
-    only long enough to materialize its two tiny consumers (the 1-row N
-    aggregate and the candidate set, both eager localCheckpoints bounded by
-    partitions/r), then unpersisted before returning — nothing cached leaks
-    into library callers' sessions.
+    Cache lifetime is operator-owned (r4 ADVICE): with `eager=True` (the
+    default) the sliver is persisted only long enough to materialize its
+    two tiny consumers (the 1-row N aggregate and the candidate set, both
+    eager localCheckpoints bounded by partitions/r), then unpersisted
+    before returning — nothing cached leaks into library callers'
+    sessions.  Trade-off (r5 review): eager mode runs two small jobs at
+    call time, and localCheckpoint blocks are NOT recomputable — on a
+    cluster losing an executor holding them after this returns fails the
+    downstream job instead of recomputing.  Long-running cluster callers
+    who prefer full lineage recoverability pass `eager=False`: the
+    returned plan is then fully lazy with zero cache footprint, at the
+    cost of the local-count pass running twice at materialization (three
+    item scans total instead of two).
     """
     from fractions import Fraction
 
@@ -165,18 +173,18 @@ def heavy_hitters(
     item_type = items.schema[item_col].dataType.simpleString()
     local = items.mapInPandas(
         local_heavy, schema=f"{item_col} {item_type}, n_rows long"
-    ).persist()  # bounded sliver, read twice (N + candidates); never collected
-    # Eager localCheckpoints materialize both consumers off the persisted
-    # sliver (one scan each, tiny results), so `local` can be released NOW
-    # rather than parked in the session cache until someone clearCache()s.
-    n_total = local.agg(F.sum("n_rows").alias("n_total")).localCheckpoint(eager=True)
-    cand = (
-        local.filter(F.col(item_col).isNotNull())
-        .select(item_col)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    local.unpersist()
+    )  # bounded sliver; never collected
+    if eager:
+        local = local.persist()
+    n_total = local.agg(F.sum("n_rows").alias("n_total"))
+    cand = local.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    if eager:
+        # Materialize both consumers off ONE persisted sliver pass, then
+        # release it NOW rather than park it in the session cache until
+        # someone clearCache()s (r4 ADVICE; recoverability caveat above).
+        n_total = n_total.localCheckpoint(eager=True)
+        cand = cand.localCheckpoint(eager=True)
+        local.unpersist()
     return (
         items.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)

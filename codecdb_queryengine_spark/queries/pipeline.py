@@ -483,7 +483,13 @@ def _scratch_dir(kind: str, sf_dir: str, fresh: bool = False) -> str:
     key = f"{kind}:{sf_dir}"
     path = _SCRATCH.get(key)
     if path is None:
-        tag = os.path.basename(sf_dir.rstrip("/"))
+        import hashlib
+
+        # the tag must distinguish the FULL sf_dir, not just its basename:
+        # /data/a/sf0.01 and /data/b/sf0.01 sharing a path would let one
+        # dataset's lazy plan scan the other's index (r5 review)
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{digest}"
         path = os.path.join(tempfile.gettempdir(), f"codecdb_{kind}_{tag}_{os.getpid()}")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         _SCRATCH[key] = path
@@ -1267,7 +1273,7 @@ def _ivf_pq_lloyd_sql(
     ctes.append(f"ms AS (SELECT unnest(range(0, {m_sub})) AS m)")
     ctes.append(f"""rcb0 AS MATERIALIZED (
         SELECT ms.m, CAST(r.n_id // {stride} AS BIGINT) AS c_id,
-               [{rslice.replace('r.r', 'r.r')}] AS c
+               [{rslice}] AS c
         FROM res r CROSS JOIN ms
         WHERE r.n_id % {stride} = 0 AND r.n_id < {stride * k_codes})""")
     # residual Lloyd rounds (the _pq_lloyd_sql recurrence, over res)
@@ -2449,7 +2455,14 @@ def text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     merges = B.bpe_train(docs, "text", num_merges=12)
-    words = docs.select(F.explode(T.tokens("text")).alias("word")).distinct()
+    # an empty/whitespace-only doc tokenizes to [''] in BOTH engines; ''
+    # has zero pieces and would fail the >=1 bound against the oracle's
+    # blanket count — exclude it on both sides (r5 review)
+    words = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
     enc = words.select(
         "word",
         B.bpe_encode_col(B._chars(F.col("word")), merges).alias("pieces"),
@@ -2471,7 +2484,8 @@ def text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_GATE_SQL = f"""
     WITH vocab AS (
         SELECT DISTINCT word
-        FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents))
+        FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+        WHERE word <> '')
     SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
            CAST(count(*) AS BIGINT) AS n_reconstruct_ok,
            CAST(count(*) AS BIGINT) AS n_bounds_ok,

@@ -102,7 +102,10 @@ def audit(name: str, plan: str) -> tuple[bool, str]:
             notes.append("NO-DPP!")
             ok = False
     if name in EXPECT_BUCKETED_NOSHUFFLE:
-        shuffles = len(re.findall(r"(?<!Broadcast)Exchange", plan))
+        # word-boundary so BroadcastExchange AND ReusedExchange (a reused
+        # broadcast renders as 'ReusedExchange [...]') don't count as
+        # shuffles (r5 review)
+        shuffles = len(re.findall(r"(?<![A-Za-z])Exchange", plan))
         if "SortMergeJoin" in plan and "Bucketed: true" in plan and shuffles == 0:
             notes.append("bucketed-noshuffle")
         else:

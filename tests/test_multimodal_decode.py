@@ -166,3 +166,16 @@ def test_decode_bmp_bottom_up_and_top_down():
     payload, _ = _bmp(4, 4)
     rle = payload[:30] + (1).to_bytes(4, "little") + payload[34:]
     assert M.decode_image(rle) is None
+
+
+def test_decode_y4m_rejects_high_bitdepth_and_parses_8bit_aliases():
+    """C420p10/p12/p16 have 2-byte samples this 8-bit reader must NOT
+    mis-slice (r5 review: a prefix match on '420' accepted them); the
+    8-bit alias tags (C420jpeg/C420mpeg2/C420paldv) all parse."""
+    payload, frames = _y4m(4, 2, 2)
+    for alias in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        w, h, got = M.decode_y4m(payload.replace(b"C420", alias))
+        assert (w, h) == (4, 2) and len(got) == 2
+        assert np.array_equal(got[0], frames[0])
+    for deep in (b"C420p10", b"C420p12", b"C420p16", b"C422p10"):
+        assert M.decode_y4m(payload.replace(b"C420", deep)) is None

@@ -153,3 +153,17 @@ def test_grouped_topk_nan_and_null_order_values_match_window_oracle(spark):
     for g, rk, i in got:
         by_group.setdefault(g, set()).add(rk)
     assert by_group == {"a": {1, 2}, "b": {1, 2}, "c": {1, 2}}
+
+
+def test_heavy_hitters_lazy_mode_matches_eager(spark):
+    """eager=False (full-lineage recoverable plan, no cache, no call-time
+    jobs — the cluster fault-tolerance mode, r5 review) must return the
+    identical exact result."""
+    items = ["hot"] * 300 + ["warm"] * 90 + [f"cold{i}" for i in range(200)]
+    df = spark.createDataFrame([(x,) for x in items], ["term"]).repartition(8)
+    eager = {(r.term, r.cnt) for r in SK.heavy_hitters(df, "term", ratio=0.1).collect()}
+    lazy = {
+        (r.term, r.cnt)
+        for r in SK.heavy_hitters(df, "term", ratio=0.1, eager=False).collect()
+    }
+    assert eager == lazy and eager
