@@ -15,6 +15,8 @@ from __future__ import annotations
 
 # Module-level so pandas-UDF type hints (stringified by the future
 # annotations import) resolve against module globals.
+import math
+
 import numpy as np  # noqa: F401
 import pandas as pd  # noqa: F401
 
@@ -387,23 +389,34 @@ def pq_codebooks_kmeans(
     exactly like ivf's kmeans_centroids.  Engine-specific by construction
     (KMeans|| init), so consumers gate rows-only + recall tests.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     sub = dim // num_subspaces
     spark = vectors.sparkSession
-    rows = []
-    for m in range(num_subspaces):
+
+    def _fit(m: int) -> list:
         feats = vectors.select(
             array_to_vector(
                 F.slice(F.col(vec_col), m * sub + 1, sub).cast("array<double>")
             ).alias("features")
         )
         model = KMeans(k=num_codewords, seed=seed + m, maxIter=max_iter).fit(feats)
-        rows += [
+        return [
             (m, c, [float(x) for x in center])
             for c, center in enumerate(model.clusterCenters())
         ]
+
+    # The subspace fits are independent; one thread per subspace overlaps
+    # their (short, serial-stage-heavy) job chains on the shared scheduler
+    # (r5 perf pass).  Each fit stays seed-deterministic — threading only
+    # changes when jobs are *submitted* — and assembly order is pinned by
+    # iterating futures in subspace order.
+    with ThreadPoolExecutor(max_workers=num_subspaces) as pool:
+        futures = [pool.submit(_fit, m) for m in range(num_subspaces)]
+        rows = [r for fut in futures for r in fut.result()]
     return spark.createDataFrame(rows, "m long, c_id long, c_sub array<double>")
 
 
@@ -770,47 +783,70 @@ def ivf_assign_arrow(
     )
 
 
-def ivf_assign_expr(vec: Column, centroid_rows: list) -> Column:
-    """Nearest-centroid id for `vec` as a pure expression fold over the
-    centroid model embedded as ONE nested literal — the stateless
-    model-broadcast scorer used by the in-stream encoders.  Ranking and
-    tie-break match ivf_topk's assignment exactly (dot/|c| descending,
-    smaller c_id wins), and every dot is the same left-to-right
-    zip_with/aggregate fold the oracle SQL mirrors — so outputs stay
-    value-gateable.  `centroid_rows` are collected (c_id, c_vec[, ...])
-    rows, the usual tiny model artifact."""
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["c_id"])).alias("c_id"),
-                F.lit([float(x) for x in r["c_vec"]]).alias("c_vec"),
-            )
-            for r in centroid_rows
-        ]
+def _sql_double(v: float) -> str:
+    """SQL text for an exact DOUBLE literal.  repr() is the shortest
+    round-trip form and Spark's string→double cast (Double.parseDouble)
+    is correctly rounded, so the parsed value is bit-identical to the
+    Python float — scientific notation included, which a bare SQL numeric
+    literal would type as DECIMAL."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sql_double_arr(vals) -> str:
+    """SQL text for an array<double> literal (see _sql_double)."""
+    return "array(" + ",".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_dot(a_sql: str, b_sql: str) -> str:
+    """SQL text for `dot` (left-to-right zip_with/aggregate double fold)
+    — the same op sequence as the Column form and the oracle mirrors, so
+    results are bit-identical."""
+    return (
+        f"aggregate(zip_with({a_sql},{b_sql},"
+        f"(x,y)->CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),"
+        f"CAST(0 AS DOUBLE),(acc,x)->acc+x)"
     )
-    init = F.struct(
-        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("c_id")
+
+
+def ivf_assign_sql(vec_sql: str, centroid_rows: list) -> str:
+    """SQL text for the nearest-centroid id of `vec_sql` — the stateless
+    model-broadcast scorer used by the in-stream encoders, with the
+    centroid model embedded as literals.  Ranking and tie-break match
+    ivf_topk's assignment exactly (dot/|c| descending, smaller c_id
+    wins), and every dot is the same left-to-right zip_with/aggregate
+    fold the oracle SQL mirrors — so outputs stay value-gateable.
+    `centroid_rows` are collected (c_id, c_vec[, ...]) rows, the usual
+    tiny model artifact.  Generated as SQL TEXT parsed by one F.expr
+    (r5 perf pass): building the same tree through the Python Column API
+    costs thousands of py4j round-trips of driver time per plan (the
+    _sql_dist_arr rationale).  |c| is pre-folded driver-side with the
+    identical IEEE op sequence (left-assoc Σx², correctly-rounded sqrt —
+    both engines' doubles), bit-identical to what Catalyst would
+    constant-fold from the literal."""
+    elems = []
+    for r in centroid_rows:
+        c_vec = [float(x) for x in r["c_vec"]]
+        s = 0.0
+        for v in c_vec:
+            s += v * v
+        sim = f"{_sql_dot(vec_sql, _sql_double_arr(c_vec))}/{_sql_double(math.sqrt(s))}"
+        elems.append(
+            f"named_struct('sim',{sim},'c_id',CAST({int(r['c_id'])} AS BIGINT))"
+        )
+    # similarity computed ONCE per centroid (array element), then a cheap
+    # fold picks the argmax — HOF lambdas are interpreted with no CSE, so
+    # a fold whose predicate repeated the dot would pay it three times
+    init = "named_struct('sim',CAST('-Infinity' AS DOUBLE),'c_id',CAST(-1 AS BIGINT))"
+    return (
+        f"(aggregate(array({','.join(elems)}),{init},"
+        f"(acc,s)->IF(s.sim>acc.sim OR (s.sim=acc.sim AND s.c_id<acc.c_id),"
+        f"s,acc))).c_id"
     )
-    # similarity computed ONCE per centroid (transform), then a cheap fold
-    # picks the argmax — HOF lambdas are interpreted with no CSE, so a
-    # fold whose predicate repeats the dot would pay it three times
-    sims = F.transform(
-        cent_lits,
-        lambda c: F.struct(
-            (dot(vec, c["c_vec"]) / norm(c["c_vec"])).alias("sim"),
-            c["c_id"].cast("long").alias("c_id"),
-        ),
-    )
-    best = F.aggregate(
-        sims,
-        init,
-        lambda acc, s: F.when(
-            (s["sim"] > acc["sim"])
-            | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
-            s,
-        ).otherwise(acc),
-    )
-    return best["c_id"]
+
+
+def ivf_assign_expr(vec_sql: str, centroid_rows: list) -> Column:
+    """Column form of ivf_assign_sql (one F.expr parse)."""
+    return F.expr(ivf_assign_sql(vec_sql, centroid_rows))
 
 
 # --- exact-integer Lloyd k-means + IVF (the value-gateable TRAINED tier) ---
@@ -837,6 +873,62 @@ def l2_micro(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _sql_long_arr(vals) -> str:
+    """SQL text for an array<bigint> literal."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _sql_l2_micro(a_sql: str, b_sql: str) -> str:
+    """SQL text for l2_micro (BIGINT Σ(aᵢ−bᵢ)² fold) — the same
+    zip_with/aggregate shape, so semantics match the Column form and the
+    oracles exactly."""
+    return (
+        f"aggregate(zip_with({a_sql},{b_sql},(x,y)->(x-y)*(x-y)),"
+        f"CAST(0 AS BIGINT),(acc,x)->acc+x)"
+    )
+
+
+def _sql_dist_arr(vec_sql: str, entries, with_center: bool = False) -> str:
+    """SQL text for array<struct(d, c_id[, c])> of BIGINT L2 distances from
+    `vec_sql` to every literal center in `entries` ([(c_id, vec_micro)]
+    Python rows — the usual tiny collected model).  The struct field order
+    makes lexicographic struct comparison = (distance, then smaller c_id),
+    so array_min / array_sort implement the exact argmin / probe-ranking
+    semantics every micro-tier oracle mirrors — as ONE map-side expression:
+    no N×K row expansion, no shuffle (the r5 perf pass: the join +
+    groupBy(n_id) form paid a full-corpus shuffle per use).  Generated as
+    SQL TEXT parsed by one F.expr call because building the same tree
+    through the Python Column API costs hundreds of py4j round-trips
+    (~2 s of driver time per plan at K·M=32 centers — measured)."""
+    elems = []
+    for cid, c in entries:
+        carr = _sql_long_arr(c)
+        fields = (
+            f"'d',{_sql_l2_micro(vec_sql, carr)},'c_id',CAST({int(cid)} AS BIGINT)"
+        )
+        if with_center:
+            fields += f",'c',{carr}"
+        elems.append(f"named_struct({fields})")
+    return "array(" + ",".join(elems) + ")"
+
+
+def _micro_dist_arr(vec_sql: str, entries, with_center: bool = False) -> Column:
+    """Column form of _sql_dist_arr (one F.expr parse)."""
+    return F.expr(_sql_dist_arr(vec_sql, entries, with_center))
+
+
+def _micro_argmin_sql(vec_sql: str, entries, with_center: bool = False) -> str:
+    """SQL text for struct(d, c_id[, c]) of the nearest literal center
+    (ties to the smaller c_id; `c` never participates in comparison
+    because c_id is unique).  See _sql_dist_arr."""
+    return f"array_min({_sql_dist_arr(vec_sql, entries, with_center)})"
+
+
+def _micro_argmin(vec_sql: str, entries, with_center: bool = False) -> Column:
+    """Column form of _micro_argmin_sql (one F.expr parse)."""
+    return F.expr(_micro_argmin_sql(vec_sql, entries, with_center))
 
 
 def kmeans_lloyd_micro(
@@ -909,27 +1001,35 @@ def _lloyd_rounds(spark, vm, keys, model, vec_len: int, iters: int):
 
     `vm`: DataFrame (*keys, n_id, v) with v array<long> (micro units);
     `model`: sorted [( *keys, c_id, vec ), ...] tuples.  One round =
-    broadcast-model BIGINT-L2 argmin (ties to the smaller c_id) →
-    per-(keys, c_id) exact integer sums → round-half-away mean update;
-    empty clusters keep their previous center.  Returns the updated
-    model in the same tuple shape.
+    literal-model BIGINT-L2 argmin as a map-side expression (ties to the
+    smaller c_id; _micro_argmin per key group, dispatched by a when-chain
+    on the key columns) → per-(keys, c_id) exact integer sums →
+    round-half-away mean update; empty clusters keep their previous
+    center.  Returns the updated model in the same tuple shape.  Cost per
+    round: ONE pass over vm with a map-side partial aggregate into a
+    k·|keys|-row collect — no row expansion, no per-row shuffle (the r5
+    perf pass removed the broadcast-join + groupBy(n_id) form, which paid
+    a full-corpus shuffle per round).
     """
-    schema = "".join(f"{k} long, " for k in keys) + "c_id long, c array<long>"
     for _ in range(iters):
-        cdf = spark.createDataFrame(model, schema)
-        joined = (
-            vm.join(F.broadcast(cdf), list(keys)) if keys else vm.crossJoin(F.broadcast(cdf))
-        )
-        assigned = (
-            joined.withColumn("d", l2_micro(F.col("v"), F.col("c")))
-            .groupBy("n_id", *keys)
-            .agg(
-                F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-                F.first("v").alias("v"),
-            )
-        )
+        groups: dict[tuple, list] = {}
+        for *ks, c_id, vec in model:
+            groups.setdefault(tuple(int(x) for x in ks), []).append((c_id, vec))
+        if keys:
+            whens = []
+            for ks, entries in groups.items():
+                cond = " AND ".join(
+                    f"{kname} = {kval}" for kname, kval in zip(keys, ks)
+                )
+                whens.append(
+                    f"WHEN {cond} THEN ({_micro_argmin_sql('v', entries)}).c_id"
+                )
+            cid_expr = F.expr("CASE " + " ".join(whens) + " END")
+        else:
+            cid_expr = F.expr(f"({_micro_argmin_sql('v', groups[()])}).c_id")
         stats = (
-            assigned.groupBy(*keys, "c_id")
+            vm.select(*keys, cid_expr.alias("c_id"), "v")
+            .groupBy(*keys, "c_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(vec_len)],
@@ -969,33 +1069,26 @@ def ivf_topk_micro(
     (kmeans_lloyd_micro) centroid model — every distance is BIGINT, so the
     whole query (training included) is bit-exact against a SQL oracle.
 
-    Same plan shape as ivf_topk: broadcast k-row model, map-side argmin
-    assignment, nprobe probe lists per query, exact in-list scoring, rank
-    window per q_id.  Output (q_id, n_id, l2_micro2, rk); smaller = nearer.
+    Same semantics as ivf_topk with the model folded into map-side
+    expressions (the r5 perf pass): corpus assignment is a literal-model
+    argmin projection (no crossJoin expansion, no groupBy(n_id) shuffle)
+    and probe selection is array_sort over the same literal distances
+    (ascending (d, c_id) — exactly the old rank window's order) sliced to
+    nprobe — so the serve plan is scan → broadcast join → ONE top-k
+    window.  Output (q_id, n_id, l2_micro2, rk); smaller = nearer.
     """
-    spark = vectors.sparkSession
-    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
-    assigned = (
-        vm.crossJoin(F.broadcast(cdf))
-        .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
-        .groupBy("n_id")
-        .agg(
-            F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"),
-            F.first("v").alias("v"),
-        )
+    assigned = vm.select(
+        "n_id", "v", F.expr(f"({_micro_argmin_sql('v', cents)}).c_id").alias("c_id")
     )
     qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-    wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
-    probes = (
-        qm.crossJoin(F.broadcast(cdf))
-        .select("q_id", "qv", "c_id", l2_micro(F.col("qv"), F.col("c")).alias("d"))
-        .withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "qv", "c_id")
-    )
+    probes = qm.selectExpr(
+        "q_id",
+        "qv",
+        f"explode(slice(array_sort({_sql_dist_arr('qv', cents)}), 1, {nprobe})) AS p",
+    ).select("q_id", "qv", F.col("p.c_id").alias("c_id"))
     scored = (
         F.broadcast(probes)
         .join(assigned, "c_id")
@@ -1087,65 +1180,44 @@ def pq_topk_micro(
     bit-for-bit in a SQL oracle (no 1e6-rounding step: the inputs are
     already integers, and a 64-dim micro L2 is ≤ ~3e14, far inside BIGINT).
 
-    Same plan shape as pq_topk: broadcast 32-row codebook, one
-    (n·num_subspaces)-key encode aggregation, codes streaming past the
-    broadcast per-query ADC lookup maps, top-k window per q_id.
-    Output (q_id, n_id, adc_q, rk); smaller = nearer."""
+    Plan shape (r5 perf pass): the 32-row codebook is a Python list, so
+    encode is a literal-model argmin PROJECTION per subspace (cmap built
+    with map_from_entries over num_subspaces expressions — no explode, no
+    join, no groupBy) and the per-query ADC lookup map is the same pure
+    projection over the query frame; the only shuffle left is the final
+    top-k window.  Output (q_id, n_id, adc_q, rk); smaller = nearer."""
     sub = dim // num_subspaces
-    ms = F.explode(
-        F.array(*[F.lit(m).cast("long") for m in range(num_subspaces)])
-    ).alias("m")
-    spark = vectors.sparkSession
-    cbm = spark.createDataFrame(codebooks, "m long, c_id long, c_sub array<long>")
-    vm = (
-        vectors.select(
-            F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("vv"), ms
-        )
-        .select(
-            "n_id",
-            "m",
-            F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
-        )
-    )
-    assigned = (
-        vm.join(F.broadcast(cbm), "m")
-        .withColumn("d", l2_micro(F.col("v_sub"), F.col("c_sub")))
-        .groupBy("n_id", "m")
-        .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"))
-    )
-    codes_wide = assigned.groupBy("n_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("m", "c_id"))).alias("cmap")
-    )
-    qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"), ms).select(
-        "q_id",
-        "m",
-        F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
-    )
     # Same aliasing hazard pq_topk guards (r4 ADVICE): a codebook c_id >=
     # num_codewords would silently collide with an adjacent subspace's map
-    # slot — fail loudly at execution instead.
-    adc_key = F.when(
-        F.col("c_id") < num_codewords,
-        F.col("m") * num_codewords + F.col("c_id"),
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                "pq_topk_micro: codebook c_id %s >= num_codewords %s — ADC "
-                "keys would alias adjacent subspaces",
-                F.col("c_id").cast("string"),
-                F.lit(str(num_codewords)),
-            )
-        ).cast("long")
-    )
-    adc_wide = (
-        qm.join(F.broadcast(cbm), "m")
-        .withColumn("contrib", l2_micro(F.col("q_sub"), F.col("c_sub")))
-        .groupBy("q_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(adc_key.alias("key"), "contrib"))
-            ).alias("amap")
+    # slot.  The codebook is driver-side here, so fail loudly at BUILD time.
+    bad = sorted({int(c_id) for _, c_id, _ in codebooks if int(c_id) >= num_codewords})
+    if bad:
+        raise ValueError(
+            f"pq_topk_micro: codebook c_id(s) {bad} >= num_codewords "
+            f"{num_codewords} — ADC keys would alias adjacent subspaces"
         )
+    by_m: dict[int, list] = {}
+    for m, c_id, c_sub_v in codebooks:
+        by_m.setdefault(int(m), []).append((c_id, c_sub_v))
+    vvdf = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("vv")
+    )
+    code_entries = ",".join(
+        f"named_struct('m',CAST({m} AS BIGINT),'c_id',"
+        f"({_micro_argmin_sql(f'slice(vv,{m * sub + 1},{sub})', by_m[m])}).c_id)"
+        for m in range(num_subspaces)
+    )
+    codes_wide = vvdf.select(
+        "n_id", F.expr(f"map_from_entries(array({code_entries}))").alias("cmap")
+    )
+    qdf = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
+    amap_entries = ",".join(
+        f"named_struct('key',CAST({int(m) * num_codewords + int(c_id)} AS BIGINT),"
+        f"'contrib',{_sql_l2_micro(f'slice(qv,{int(m) * sub + 1},{sub})', _sql_long_arr(c_sub_v))})"
+        for m, c_id, c_sub_v in codebooks
+    )
+    adc_wide = qdf.select(
+        "q_id", F.expr(f"map_from_entries(array({amap_entries}))").alias("amap")
     )
     adc_sum: Column | None = None
     for m in range(num_subspaces):
@@ -1194,11 +1266,15 @@ def ivf_pq_topk_lloyd_micro(
     ivf_pq_topk's deterministic rcbsrc convention), encoding, and ADC —
     so every intermediate is exact and order-free.
 
-    Plan shape matches ivf_pq_topk: broadcast coarse model, map-side
-    residual computation, broadcast 32-row residual codebook, one
-    (n·num_subspaces)-key encode aggregation, ADC lookup maps built per
-    (query, probed list) and broadcast past the streaming codes, top-k
-    window per q_id.  Output (q_id, n_id, adc_q, rk); smaller = nearer.
+    Plan shape (r5 perf pass — the literal-model expression discipline of
+    ivf_topk_micro/pq_topk_micro applied end to end): residual computation
+    is a map-side argmin projection over the literal coarse model, encode
+    is a per-subspace argmin projection over the literal residual
+    codebooks (no explode/join/groupBy), probe selection is array_sort
+    over literal coarse distances, and the ADC lookup maps are a pure
+    projection over the (query, probed list) frame — the only shuffles
+    left are the tiny training aggregates and the final top-k window.
+    Output (q_id, n_id, adc_q, rk); smaller = nearer.
     """
     sub = dim // num_subspaces
     spark = vectors.sparkSession
@@ -1206,23 +1282,18 @@ def ivf_pq_topk_lloyd_micro(
         vectors, vec_col=vec_col, id_col=id_col, dim=dim, k=k_coarse,
         stride=stride, iters=iters,
     )
-    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
     # residuals: nearest coarse centroid (integer L2, min-c_id ties), r = v − c
+    # (one argmin into a struct column; the later projection reads both
+    # fields — Catalyst inlines it, duplicating a cheap per-row fold)
+    best = _micro_argmin_sql("v", cents, with_center=True)
     res = (
-        vm.crossJoin(F.broadcast(cdf))
-        .select("n_id", "v", "c_id", "c", l2_micro(F.col("v"), F.col("c")).alias("d"))
-        .groupBy("n_id")
-        .agg(
-            F.min_by(F.struct(F.col("c_id"), F.col("c")), F.struct(F.col("d"), F.col("c_id"))).alias("w"),
-            F.first("v").alias("v"),
-        )
-        .select(
+        vm.selectExpr(
             "n_id",
-            F.col("w.c_id").alias("c_list"),
-            F.zip_with(F.col("v"), F.col("w.c"), lambda x, y: x - y).alias("r"),
+            f"({best}).c_id AS c_list",
+            f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
         )
         .persist()  # feeds codebook init, 2 Lloyd rounds, and encoding
     )
@@ -1250,50 +1321,39 @@ def ivf_pq_topk_lloyd_micro(
             sub,
             iters,
         )
-        rdf = spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>")
-        codes = (
-            rm.join(F.broadcast(rdf), "m")
-            .withColumn("d", l2_micro(F.col("v_sub"), F.col("c_sub")))
-            .groupBy("n_id", "c_list", "m")
-            .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("pq_c"))
+        by_m: dict[int, list] = {}
+        for m, c_id, c_sub_v in cbs:
+            by_m.setdefault(int(m), []).append((c_id, c_sub_v))
+        code_entries = ",".join(
+            f"named_struct('m',CAST({m} AS BIGINT),'pq_c',"
+            f"({_micro_argmin_sql(f'slice(r,{m * sub + 1},{sub})', by_m[m])}).c_id)"
+            for m in range(num_subspaces)
         )
-        codes_wide = codes.groupBy("n_id", "c_list").agg(
-            F.map_from_entries(F.collect_list(F.struct("m", "pq_c"))).alias("cmap")
+        codes_wide = res.select(
+            "n_id",
+            "c_list",
+            F.expr(f"map_from_entries(array({code_entries}))").alias("cmap"),
         )
         # probes: nprobe nearest coarse lists per query; query residual per list
         qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-        wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
-        probes = (
-            qm.crossJoin(F.broadcast(cdf))
-            .select("q_id", "qv", "c_id", "c", l2_micro(F.col("qv"), F.col("c")).alias("d"))
-            .withColumn("rr", F.row_number().over(wp))
-            .filter(F.col("rr") <= nprobe)
-            .select(
-                "q_id",
-                F.col("c_id").alias("c_list"),
-                F.zip_with(F.col("qv"), F.col("c"), lambda x, y: x - y).alias("qr"),
-            )
+        probes = qm.selectExpr(
+            "q_id",
+            "qv",
+            f"explode(slice(array_sort({_sql_dist_arr('qv', cents, with_center=True)}), 1, {nprobe})) AS p",
+        ).selectExpr(
+            "q_id",
+            "p.c_id AS c_list",
+            "zip_with(qv, p.c, (x,y)->x-y) AS qr",
         )
-        qrm = probes.select("q_id", "c_list", F.col("qr"), ms).select(
+        amap_entries = ",".join(
+            f"named_struct('key',CAST({int(m) * num_codewords + int(c_id)} AS BIGINT),"
+            f"'contrib',{_sql_l2_micro(f'slice(qr,{int(m) * sub + 1},{sub})', _sql_long_arr(c_sub_v))})"
+            for m, c_id, c_sub_v in cbs
+        )
+        adc_wide = probes.select(
             "q_id",
             "c_list",
-            "m",
-            F.slice(F.col("qr"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
-        )
-        adc_wide = (
-            qrm.join(F.broadcast(rdf), "m")
-            .withColumn("contrib", l2_micro(F.col("q_sub"), F.col("c_sub")))
-            .groupBy("q_id", "c_list")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(
-                        F.struct(
-                            (F.col("m") * num_codewords + F.col("c_id")).alias("key"),
-                            "contrib",
-                        )
-                    )
-                ).alias("amap")
-            )
+            F.expr(f"map_from_entries(array({amap_entries}))").alias("amap"),
         )
         adc_sum: Column | None = None
         for m in range(num_subspaces):

@@ -3337,7 +3337,7 @@ def emb_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = stream.select(
         F.col("vec_id").alias("n_id"),
-        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_list"),
+        S.ivf_assign_expr("embedding", cents).alias("c_list"),
     )
     res = E.run_to_memory(encoded, "q_emb_stream_encode", output_mode="append")
     return (
@@ -3382,7 +3382,7 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_vec"),
         S.norm(F.col("embedding")).alias("n_norm"),
-        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_list"),
+        S.ivf_assign_expr("embedding", cents).alias("c_list"),
     )
     q = SK.stream_to_parquet(
         enc,
@@ -3416,7 +3416,7 @@ def emb_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents_df.select("c_id", "c_vec").collect()
     fold = emb.select(
         F.col("vec_id").alias("n_id"),
-        S.ivf_assign_expr(F.col("embedding"), cents).alias("c_fold"),
+        S.ivf_assign_expr("embedding", cents).alias("c_fold"),
     )
     arrow = S.ivf_assign_arrow(emb, centroids=cents_df)
     return fold.join(arrow, "n_id").agg(

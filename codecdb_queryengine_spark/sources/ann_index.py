@@ -149,7 +149,10 @@ def ivf_index_build_micro(
     contract (`centroids/` K rows, `lists/` partitioned by c_list) but
     BIGINT vectors and integer-L2 assignment, so the whole
     train→persist→serve loop stays bit-replayable by a SQL oracle."""
-    from codecdb_queryengine_spark.operators.similarity import l2_micro, quantize_micro
+    from codecdb_queryengine_spark.operators.similarity import (
+        _micro_argmin_sql,
+        quantize_micro,
+    )
 
     spark = vectors.sparkSession
     cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
@@ -157,14 +160,13 @@ def ivf_index_build_micro(
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
-    assigned = (
-        vm.crossJoin(F.broadcast(cdf))
-        .select("n_id", "v", "c_id", l2_micro(F.col("v"), F.col("c")).alias("d"))
-        .groupBy("n_id")
-        .agg(
-            F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_list"),
-            F.first("v").alias("v"),
-        )
+    # literal-model argmin projection (operators/similarity._micro_argmin_sql):
+    # same assignment semantics as before, with no crossJoin expansion and
+    # no groupBy(n_id) shuffle ahead of the repartition(c_list) write
+    assigned = vm.select(
+        "n_id",
+        "v",
+        F.expr(f"({_micro_argmin_sql('v', cents)}).c_id").alias("c_list"),
     )
     (
         assigned.repartition("c_list")
