@@ -304,40 +304,54 @@ def ivf_topk(
     # Nearest-centroid choice ranks dot/|c| — the probe vector's own norm is
     # a positive per-row constant, so dropping it preserves the cosine argmax
     # and removes two of three dot products per (vector, centroid) pair.
-    # Tie-break toward the smaller centroid id.
-    pref = lambda: F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))  # noqa: E731
-    assigned = (
-        vectors.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("n_id"),
-            "c_id",
-            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
-        )
-        .groupBy("n_id")
-        .agg(F.max_by("c_id", pref()).alias("c_id"))
-    )
-    inv_lists = assigned.join(
-        vectors.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_norm"),
+    # Tie-break toward the smaller centroid id.  The model rides along as a
+    # 1-row broadcast array (r5 perf pass): assignment is a per-row
+    # order-free fold, so the inverted lists are ONE shuffle-free
+    # projection of the corpus — no crossJoin expansion, no groupBy(n_id)
+    # exchange, no assigned⋈vectors re-join.
+    cmodel = F.broadcast(_model_1row(cents, "c_id", "c_vec", "c_norm"))
+    sims = lambda vec: F.transform(  # noqa: E731
+        F.col("model"),
+        lambda c: F.struct(
+            (dot(vec, c["c_vec"]) / c["c_norm"]).alias("sim"),
+            c["c_id"].cast("long").alias("c_id"),
         ),
-        "n_id",
     )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
+    inv_lists = _spread(vectors).crossJoin(cmodel).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        _fold_argmax_sim(sims(F.col(vec_col)))["c_id"].alias("c_id"),
+    )
+    # Probe selection: per-query sort of the same per-centroid sims —
+    # ascending (−sim, c_id) is exactly the old rank window's
+    # (sim desc, c_id asc) order (double negation is sign-exact).
+    probe_lists = (
+        queries.crossJoin(cmodel)
         .select(
             "q_id",
             "q_vec",
-            "c_id",
-            (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("model"),
+                            lambda c: F.struct(
+                                (-(dot(F.col("q_vec"), c["c_vec"]) / c["c_norm"])).alias(
+                                    "nsim"
+                                ),
+                                c["c_id"].cast("long").alias("c_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
         )
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    probe_lists = (
-        probes.withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "q_vec", F.col("c_id"), norm(F.col("q_vec")).alias("q_norm"))
+        .select(
+            "q_id", "q_vec", F.col("p")["c_id"].alias("c_id"), norm(F.col("q_vec")).alias("q_norm")
+        )
     )
     scored = (
         F.broadcast(probe_lists)
@@ -368,6 +382,71 @@ def l2sq(a: Column, b: Column) -> Column:
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's shuffle parallelism,
+    ONLY when the input has fewer partitions.  The shuffle-free model-fold
+    plans below do all their per-row scoring in the scan stage, so a
+    small-file input (one parquet row-group = one non-splittable task)
+    would run them single-threaded; one round-robin exchange restores the
+    parallelism the old groupBy shuffle provided by accident.  At scale
+    the scan already has ≥ parallelism splits and this adds NOTHING (the
+    guard keeps the plan exchange-free exactly when partitioning is
+    already adequate)."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
+def _model_1row(df: DataFrame, *cols: str) -> DataFrame:
+    """The whole (tiny) model frame as ONE 1-row array<struct> column
+    `model` — crossJoin(broadcast(·)) hands every data row the array with
+    no shuffle, and per-row folds then compute argmin/argmax WITHOUT the
+    crossJoin-expand + groupBy(n_id) full-corpus shuffle the old plan
+    shape paid (r5 perf pass; runtime twin of the literal-model
+    _sql_dist_arr discipline, for models that are DataFrames).
+    collect_list order is nondeterministic, so consumers MUST fold with a
+    total order (tie-broken argmin/argmax) — then the result is
+    order-free.  Scale contract: the array must fit in task memory — the
+    same bound as broadcasting the model, which the old shape already
+    required."""
+    return df.agg(F.collect_list(F.struct(*[F.col(c) for c in cols])).alias("model"))
+
+
+def _fold_argmax_sim(entries: Column) -> Column:
+    """struct(sim double, c_id long) with the LARGEST sim (ties to the
+    smaller c_id) from an array<struct(sim, c_id)> — the exact max_by
+    (sim, −c_id) ranking ivf_topk always used, as an order-free fold."""
+    init = F.struct(
+        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("c_id")
+    )
+    return F.aggregate(
+        entries,
+        init,
+        lambda acc, s: F.when(
+            (s["sim"] > acc["sim"])
+            | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
+            s,
+        ).otherwise(acc),
+    )
+
+
+def _fold_argmin_d(entries: Column) -> Column:
+    """struct(d double, c_id long) with the SMALLEST d (ties to the
+    smaller c_id) from an array<struct(d, c_id)> — the exact min_by
+    (d, c_id) ranking the PQ encoders always used, as an order-free
+    fold."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("c_id")
+    )
+    return F.aggregate(
+        entries,
+        init,
+        lambda acc, s: F.when(
+            (s["d"] < acc["d"]) | ((s["d"] == acc["d"]) & (s["c_id"] < acc["c_id"])),
+            s,
+        ).otherwise(acc),
     )
 
 
@@ -451,10 +530,12 @@ def pq_topk(
     id), and ADC contributions are quantized to integer micro-units
     BEFORE the per-pair sum, so the ranking sum is a BIGINT — order-free.
 
-    Plan shape: encode = one broadcast join (32-row codebook) + one
-    (n·num_subspaces)-key aggregation; scoring = crossJoin against the
-    broadcast per-query lookup maps (n rows streaming, no pair shuffle)
-    + the top-k window on q_id.  Scored output column `adc_micro` is the
+    Plan shape (r5 perf pass): the codebook rides along as a 1-row
+    broadcast array, so encode is num_subspaces per-row order-free argmin
+    folds — one shuffle-free projection of the corpus; scoring =
+    crossJoin against the broadcast per-query lookup maps (n rows
+    streaming, no pair shuffle) + the top-k window on q_id, the only
+    exchange left.  Scored output column `adc_micro` is the
     micro-quantized squared-L2 ADC estimate (smaller = nearer).
     """
     sub = dim // num_subspaces
@@ -479,51 +560,71 @@ def pq_topk(
             .select((F.col(id_col) / code_stride).cast("long").alias("c_id"), F.col(vec_col).alias("cv"), ms)
             .select("c_id", "m", F.slice(F.col("cv"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
         )
-    vm = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("vv"), ms).select(
-        "n_id", "m", F.slice(F.col("vv"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub")
+    # The codebook rides along as a 1-row broadcast array (r5 perf pass):
+    # encode is num_subspaces per-row order-free argmin folds — one
+    # shuffle-free projection of the corpus instead of the old explode ×
+    # join × two groupBy exchanges.
+    cb1 = F.broadcast(_model_1row(cbm, "m", "c_id", "c_sub"))
+
+    # NB: per-m values are captured via a def, not lambda default args —
+    # PySpark infers HOF lambda arity from the signature, so a second
+    # (defaulted) parameter would silently become the ARRAY INDEX.
+    def _code_entry(m: int) -> Column:
+        ents = F.filter(F.col("model"), lambda e: e["m"] == F.lit(m))
+        return F.struct(
+            F.lit(m).cast("long").alias("m"),
+            _fold_argmin_d(
+                F.transform(
+                    ents,
+                    lambda e: F.struct(
+                        l2sq(
+                            F.slice(F.col(vec_col), m * sub + 1, sub), e["c_sub"]
+                        ).alias("d"),
+                        e["c_id"].cast("long").alias("c_id"),
+                    ),
+                )
+            )["c_id"].alias("c_id"),
+        )
+
+    code_entries = [_code_entry(m) for m in range(num_subspaces)]
+    codes_wide = _spread(vectors).crossJoin(cb1).select(
+        F.col(id_col).alias("n_id"),
+        F.map_from_entries(F.array(*code_entries)).alias("cmap"),
     )
-    assigned = (
-        vm.join(F.broadcast(cbm), "m")
-        .withColumn("d", l2sq(F.col("v_sub"), F.col("c_sub")))
-        .groupBy("n_id", "m")
-        .agg(F.min_by("c_id", F.struct(F.col("d"), F.col("c_id"))).alias("c_id"))
-    )
-    codes_wide = assigned.groupBy("n_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("m", "c_id"))).alias("cmap")
-    )
-    qm = queries.select("q_id", F.col("q_vec").alias("qv"), ms).select(
-        "q_id", "m", F.slice(F.col("qv"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub")
-    )
+
     # The ADC map key is m·K + c_id; a codebook row with c_id >= K would
     # alias an adjacent subspace's entry and silently corrupt every score
     # (r4 ADVICE).  Zero-cost lazy guard: misuse fails loudly at execution
     # instead of returning wrong rankings.  Both map-build and lookup go
-    # through the same cbm, so guarding the key build covers the lookup too.
-    adc_key = F.when(
-        F.col("c_id") < num_codewords,
-        F.col("m") * num_codewords + F.col("c_id"),
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                "pq_topk: codebook c_id %s >= num_codewords %s — ADC keys "
-                "would alias adjacent subspaces; pass num_codewords matching "
-                "the trained codebooks",
-                F.col("c_id").cast("string"),
-                F.lit(str(num_codewords)),
+    # through the same model array, so guarding the key build covers the
+    # lookup too.
+    def _adc_entry(e: Column) -> Column:
+        key = F.when(
+            e["c_id"] < num_codewords,
+            e["m"] * num_codewords + e["c_id"],
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pq_topk: codebook c_id %s >= num_codewords %s — ADC keys "
+                    "would alias adjacent subspaces; pass num_codewords matching "
+                    "the trained codebooks",
+                    e["c_id"].cast("string"),
+                    F.lit(str(num_codewords)),
+                )
+            ).cast("long")
+        )
+        contrib = F.round(
+            F.lit(1e6)
+            * l2sq(
+                F.slice(F.col("q_vec"), (e["m"] * sub + 1).cast("int"), sub),
+                e["c_sub"],
             )
         ).cast("long")
-    )
-    adc_wide = (
-        qm.join(F.broadcast(cbm), "m")
-        .withColumn(
-            "contrib", F.round(F.lit(1e6) * l2sq(F.col("q_sub"), F.col("c_sub"))).cast("long")
-        )
-        .groupBy("q_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(adc_key.alias("key"), "contrib"))
-            ).alias("amap")
-        )
+        return F.struct(key.alias("key"), contrib.alias("contrib"))
+
+    adc_wide = queries.crossJoin(cb1).select(
+        "q_id",
+        F.map_from_entries(F.transform(F.col("model"), _adc_entry)).alias("amap"),
     )
     adc_sum: Column | None = None
     for m in range(num_subspaces):
@@ -579,9 +680,12 @@ def ivf_pq_topk(
     The query's residual differs per probed list, so the broadcast ADC
     table is (q × nprobe × M × K) rows — still tiny.
 
-    Plan shape: assignment + encode are broadcast joins + keyed aggs over
-    n·M rows; scoring joins the code stream of the PROBED LISTS ONLY
-    against the broadcast ADC maps and ranks per query.
+    Plan shape (r5 perf pass): the coarse model and residual codebook
+    ride along as 1-row broadcast arrays — assignment + residual are ONE
+    shuffle-free projection (argmax fold + in-array centroid lookup),
+    encode is per-row argmin folds over the same projection; scoring
+    joins the code stream of the PROBED LISTS ONLY against the broadcast
+    ADC maps and ranks per query (the top-k window is the only exchange).
     """
     sub = dim // num_subspaces
     if sub * num_subspaces != dim:
@@ -596,23 +700,46 @@ def ivf_pq_topk(
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
     )
-    # nearest-centroid assignment (same ranking + tie-break as ivf_topk)
-    pref = lambda: F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))  # noqa: E731
-    assigned = (
-        vectors.crossJoin(F.broadcast(cents))
+    # nearest-centroid assignment (same ranking + tie-break as ivf_topk),
+    # with the model riding along as a 1-row broadcast array (r5 perf
+    # pass): argmax fold + centroid lookup + residual in ONE shuffle-free
+    # projection — no crossJoin expansion, no groupBy(n_id) exchange, no
+    # assigned⋈vectors⋈cents re-joins.
+    cmodel = F.broadcast(_model_1row(cents, "c_id", "c_vec", "c_norm"))
+    with_res = (
+        _spread(vectors).crossJoin(cmodel)
         .select(
             F.col(id_col).alias("n_id"),
-            "c_id",
-            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
+            F.col(vec_col).alias("v"),
+            F.col("model"),
+            _fold_argmax_sim(
+                F.transform(
+                    F.col("model"),
+                    lambda c: F.struct(
+                        (dot(F.col(vec_col), c["c_vec"]) / c["c_norm"]).alias("sim"),
+                        c["c_id"].cast("long").alias("c_id"),
+                    ),
+                )
+            ).alias("w"),
         )
-        .groupBy("n_id")
-        .agg(F.max_by("c_id", pref()).alias("c_list"))
-    )
-    # residuals of every vector w.r.t. its assigned centroid
-    with_res = (
-        assigned.join(vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id")
-        .join(F.broadcast(cents.select(F.col("c_id").alias("c_list"), "c_vec")), "c_list")
-        .select("n_id", "c_list", res(F.col("v"), F.col("c_vec")).alias("r"))
+        .select(
+            "n_id",
+            F.col("w")["c_id"].alias("c_list"),
+            res(
+                F.col("v"),
+                F.element_at(
+                    F.filter(
+                        F.col("model"), lambda c: c["c_id"] == F.col("w")["c_id"]
+                    ),
+                    1,
+                )["c_vec"],
+            ).alias("r"),
+        )
+        # Materialized once: rcb init, encoding, and serving all read this
+        # frame, and HOF folds see no CSE — without the persist, collapsed
+        # projections would re-inline the argmax fold into every consumer
+        # (measured 7× slower).  Same lifecycle as the Lloyd twin's res.
+        .persist()
     )
     # residual codebooks from the sampled vectors' residuals
     rcb = (
@@ -623,53 +750,90 @@ def ivf_pq_topk(
         .select((F.col("n_id") / code_stride).cast("long").alias("pq_c"), F.col("r").alias("cr"), ms)
         .select("pq_c", "m", F.slice(F.col("cr"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
     )
-    # encode every residual
-    vm = with_res.select("n_id", "c_list", F.col("r"), ms).select(
-        "n_id", "c_list", "m",
-        F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub).alias("r_sub"),
-    )
-    codes = (
-        vm.join(F.broadcast(rcb), "m")
-        .withColumn("d", l2sq(F.col("r_sub"), F.col("c_sub")))
-        .groupBy("n_id", "c_list", "m")
-        .agg(F.min_by("pq_c", F.struct(F.col("d"), F.col("pq_c"))).alias("pq_c"))
-    )
-    codes_wide = codes.groupBy("n_id", "c_list").agg(
-        F.map_from_entries(F.collect_list(F.struct("m", "pq_c"))).alias("cmap")
-    )
-    # query probes: nprobe nearest centroids, residual per probed list
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id", "q_vec", "c_id",
-            (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
-        )
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    probe_lists = (
-        probes.withColumn("rnk", F.row_number().over(wp))
-        .filter(F.col("rnk") <= nprobe)
-        .select("q_id", "q_vec", F.col("c_id").alias("c_list"))
-        .join(F.broadcast(cents.select(F.col("c_id").alias("c_list"), "c_vec")), "c_list")
-        .select("q_id", "c_list", res(F.col("q_vec"), F.col("c_vec")).alias("qr"))
-    )
-    qm = probe_lists.select("q_id", "c_list", F.col("qr"), ms).select(
-        "q_id", "c_list", "m",
-        F.slice(F.col("qr"), (F.col("m") * sub + 1).cast("int"), sub).alias("q_sub"),
-    )
-    adc_wide = (
-        qm.join(F.broadcast(rcb), "m")
-        .withColumn(
-            "contrib", F.round(F.lit(1e6) * l2sq(F.col("q_sub"), F.col("c_sub"))).cast("long")
-        )
-        .groupBy("q_id", "c_list")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct((F.col("m") * num_codewords + F.col("pq_c")).alias("key"), "contrib")
+    # encode every residual: the residual codebook as a second 1-row
+    # broadcast array; num_subspaces per-row argmin folds, no shuffle
+    rcb1 = F.broadcast(_model_1row(rcb, "m", "pq_c", "c_sub"))
+
+    # per-m values captured via a def, not lambda default args — PySpark
+    # infers HOF lambda arity from the signature, so a second (defaulted)
+    # parameter would silently become the ARRAY INDEX
+    def _code_entry(m: int) -> Column:
+        ents = F.filter(F.col("model"), lambda e: e["m"] == F.lit(m))
+        return F.struct(
+            F.lit(m).cast("long").alias("m"),
+            _fold_argmin_d(
+                F.transform(
+                    ents,
+                    lambda e: F.struct(
+                        l2sq(F.slice(F.col("r"), m * sub + 1, sub), e["c_sub"]).alias(
+                            "d"
+                        ),
+                        e["pq_c"].cast("long").alias("c_id"),
+                    ),
                 )
-            ).alias("amap")
+            )["c_id"].alias("pq_c"),
         )
+
+    codes_wide = with_res.crossJoin(rcb1).select(
+        "n_id",
+        "c_list",
+        F.map_from_entries(
+            F.array(*[_code_entry(m) for m in range(num_subspaces)])
+        ).alias("cmap"),
+    )
+    # query probes: nprobe nearest centroids (ascending (−sim, c_id) =
+    # the old rank window's (sim desc, c_id asc); the probed centroid
+    # rides in the sort struct — c_id is unique so it never compares),
+    # residual per probed list
+    probe_lists = (
+        queries.crossJoin(cmodel)
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("model"),
+                            lambda c: F.struct(
+                                (-(dot(F.col("q_vec"), c["c_vec"]) / c["c_norm"])).alias(
+                                    "nsim"
+                                ),
+                                c["c_id"].cast("long").alias("c_id"),
+                                c["c_vec"].alias("c_vec"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select(
+            "q_id",
+            F.col("p")["c_id"].alias("c_list"),
+            res(F.col("q_vec"), F.col("p")["c_vec"]).alias("qr"),
+        )
+    )
+
+    def _adc_entry(e: Column) -> Column:
+        return F.struct(
+            (e["m"] * num_codewords + e["pq_c"]).alias("key"),
+            F.round(
+                F.lit(1e6)
+                * l2sq(
+                    F.slice(F.col("qr"), (e["m"] * sub + 1).cast("int"), sub),
+                    e["c_sub"],
+                )
+            )
+            .cast("long")
+            .alias("contrib"),
+        )
+
+    adc_wide = probe_lists.crossJoin(rcb1).select(
+        "q_id",
+        "c_list",
+        F.map_from_entries(F.transform(F.col("model"), _adc_entry)).alias("amap"),
     )
     adc_sum: Column | None = None
     for m in range(num_subspaces):

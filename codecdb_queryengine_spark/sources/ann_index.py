@@ -30,7 +30,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from codecdb_queryengine_spark.operators.similarity import cosine_pre, dot, norm
+from codecdb_queryengine_spark.operators.similarity import (
+    _fold_argmax_sim,
+    _model_1row,
+    _spread,
+    cosine_pre,
+    dot,
+    norm,
+)
 
 
 def ivf_index_build(
@@ -53,24 +60,24 @@ def ivf_index_build(
             norm(F.col(vec_col)).alias("c_norm"),
         )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    pref = F.struct(F.col("sim").alias("s"), (-F.col("c_id")).alias("t"))
-    assigned = (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col).alias("n_id"),
-            "c_id",
-            (dot(F.col(vec_col), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
-        )
-        .groupBy("n_id")
-        .agg(F.max_by("c_id", pref).alias("c_list"))
-    )
-    lists = assigned.join(
-        vectors.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            norm(F.col(vec_col)).alias("n_norm"),
-        ),
-        "n_id",
+    # 1-row broadcast model + per-row order-free argmax fold (the ivf_topk
+    # r5 plan shape): one shuffle-free projection replaces the old
+    # crossJoin-expand + groupBy(n_id) + re-join, so the only exchange
+    # left in the build is the repartition(c_list) the layout wants.
+    cmodel = F.broadcast(_model_1row(centroids, "c_id", "c_vec", "c_norm"))
+    lists = _spread(vectors).crossJoin(cmodel).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        _fold_argmax_sim(
+            F.transform(
+                F.col("model"),
+                lambda c: F.struct(
+                    (dot(F.col(vec_col), c["c_vec"]) / c["c_norm"]).alias("sim"),
+                    c["c_id"].cast("long").alias("c_id"),
+                ),
+            )
+        )["c_id"].alias("c_list"),
     )
     (
         lists.repartition("c_list")
