@@ -1440,6 +1440,55 @@ def ivf_pq_topk_lloyd_micro(
     left are the tiny training aggregates and the final top-k window.
     Output (q_id, n_id, adc_q, rk); smaller = nearer.
     """
+    cents, cbs = ivfpq_train_micro(
+        vectors,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        k_coarse=k_coarse,
+        stride=stride,
+        iters=iters,
+        num_subspaces=num_subspaces,
+        num_codewords=num_codewords,
+    )
+    codes_wide = ivfpq_encode_micro(
+        vectors,
+        cents,
+        cbs,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        num_subspaces=num_subspaces,
+    )
+    return ivfpq_rank_micro(
+        codes_wide,
+        queries,
+        cents,
+        cbs,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        num_subspaces=num_subspaces,
+        num_codewords=num_codewords,
+    )
+
+
+def ivfpq_train_micro(
+    vectors: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_coarse: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+) -> tuple[list, list]:
+    """Train the two IVFADC quantizers in micro-integer space and return
+    the tiny model pair `(cents, cbs)` — cents = [(c_id, vec_micro)],
+    cbs = [(m, c_id, c_sub_micro)] — the driver-side artifacts
+    ivfpq_encode_micro / ivfpq_rank_micro (and the persisted index build)
+    consume.  See ivf_pq_topk_lloyd_micro for the exactness story."""
     sub = dim // num_subspaces
     spark = vectors.sparkSession
     cents = kmeans_lloyd_micro(
@@ -1459,7 +1508,7 @@ def ivf_pq_topk_lloyd_micro(
             f"({best}).c_id AS c_list",
             f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
         )
-        .persist()  # feeds codebook init, 2 Lloyd rounds, and encoding
+        .persist()  # feeds codebook init + the Lloyd stats rounds
     )
     try:
         ms = F.explode(
@@ -1485,64 +1534,117 @@ def ivf_pq_topk_lloyd_micro(
             sub,
             iters,
         )
-        by_m: dict[int, list] = {}
-        for m, c_id, c_sub_v in cbs:
-            by_m.setdefault(int(m), []).append((c_id, c_sub_v))
-        code_entries = ",".join(
-            f"named_struct('m',CAST({m} AS BIGINT),'pq_c',"
-            f"({_micro_argmin_sql(f'slice(r,{m * sub + 1},{sub})', by_m[m])}).c_id)"
-            for m in range(num_subspaces)
-        )
-        codes_wide = res.select(
-            "n_id",
-            "c_list",
-            F.expr(f"map_from_entries(array({code_entries}))").alias("cmap"),
-        )
-        # probes: nprobe nearest coarse lists per query; query residual per list
-        qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-        probes = qm.selectExpr(
-            "q_id",
-            "qv",
-            f"explode(slice(array_sort({_sql_dist_arr('qv', cents, with_center=True)}), 1, {nprobe})) AS p",
-        ).selectExpr(
-            "q_id",
-            "p.c_id AS c_list",
-            "zip_with(qv, p.c, (x,y)->x-y) AS qr",
-        )
-        amap_entries = ",".join(
-            f"named_struct('key',CAST({int(m) * num_codewords + int(c_id)} AS BIGINT),"
-            f"'contrib',{_sql_l2_micro(f'slice(qr,{int(m) * sub + 1},{sub})', _sql_long_arr(c_sub_v))})"
-            for m, c_id, c_sub_v in cbs
-        )
-        adc_wide = probes.select(
-            "q_id",
-            "c_list",
-            F.expr(f"map_from_entries(array({amap_entries}))").alias("amap"),
-        )
-        adc_sum: Column | None = None
-        for m in range(num_subspaces):
-            term = F.element_at(
-                F.col("amap"),
-                F.lit(m * num_codewords).cast("long")
-                + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
-            )
-            adc_sum = term if adc_sum is None else adc_sum + term
-        scored = (
-            codes_wide.join(F.broadcast(adc_wide), "c_list")
-            .filter(F.col("q_id") != F.col("n_id"))
-            .withColumn("adc_q", adc_sum)
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id").asc())
-        out = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
-        )
-        return out
+        return cents, cbs
     finally:
         # Operator-owned cache lifetime: the persisted residuals were read
-        # 4× during training (init + 2 stats rounds + encode planning);
-        # release them NOW rather than leak into the caller's session.
-        # The returned plan recomputes `res` from source on materialization
-        # — one extra pass, the price of not parking cache on the caller.
+        # 3× during training (init + the stats rounds); release them NOW
+        # rather than leak into the caller's session.  Consumers recompute
+        # residuals from the returned model — one extra pass, the price of
+        # not parking cache on the caller.
         res.unpersist(False)
+
+
+def ivfpq_encode_micro(
+    vectors: DataFrame,
+    cents: list,
+    cbs: list,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_subspaces: int = 4,
+) -> DataFrame:
+    """Encode the corpus against a trained IVFADC model: ONE shuffle-free
+    projection (n_id, c_list, cmap) — literal-model coarse argmin +
+    residual + per-subspace residual-codeword argmin, all map-side
+    (see ivf_pq_topk_lloyd_micro's plan-shape note)."""
+    sub = dim // num_subspaces
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    best = _micro_argmin_sql("v", cents, with_center=True)
+    res = vm.selectExpr(
+        "n_id",
+        f"({best}).c_id AS c_list",
+        f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
+    )
+    by_m: dict[int, list] = {}
+    for m, c_id, c_sub_v in cbs:
+        by_m.setdefault(int(m), []).append((c_id, c_sub_v))
+    code_entries = ",".join(
+        f"named_struct('m',CAST({m} AS BIGINT),'pq_c',"
+        f"({_micro_argmin_sql(f'slice(r,{m * sub + 1},{sub})', by_m[m])}).c_id)"
+        for m in range(num_subspaces)
+    )
+    return res.select(
+        "n_id",
+        "c_list",
+        F.expr(f"map_from_entries(array({code_entries}))").alias("cmap"),
+    )
+
+
+def ivfpq_rank_micro(
+    codes_wide: DataFrame,
+    queries: DataFrame,
+    cents: list,
+    cbs: list,
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    probe_list_type: str | None = None,
+) -> DataFrame:
+    """ADC top-k over an encoded IVFADC corpus `codes_wide`
+    (n_id, c_list, cmap — from ivfpq_encode_micro or a persisted index
+    scan): literal-model probe selection, per-(query, probed list) ADC
+    lookup maps as a pure projection, one top-k window.  Output
+    (q_id, n_id, adc_q, rk); smaller = nearer.
+
+    `probe_list_type`: for a PARTITIONED codes scan, the inferred type of
+    its c_list partition column — the probe side casts to it so the join
+    key types match without touching the scan side (a cast there can stop
+    dynamic partition pruning from firing, r4 ADVICE)."""
+    sub = dim // num_subspaces
+    # probes: nprobe nearest coarse lists per query; query residual per list
+    qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
+    list_sql = (
+        f"CAST(p.c_id AS {probe_list_type})" if probe_list_type else "p.c_id"
+    )
+    probes = qm.selectExpr(
+        "q_id",
+        "qv",
+        f"explode(slice(array_sort({_sql_dist_arr('qv', cents, with_center=True)}), 1, {nprobe})) AS p",
+    ).selectExpr(
+        "q_id",
+        f"{list_sql} AS c_list",
+        "zip_with(qv, p.c, (x,y)->x-y) AS qr",
+    )
+    amap_entries = ",".join(
+        f"named_struct('key',CAST({int(m) * num_codewords + int(c_id)} AS BIGINT),"
+        f"'contrib',{_sql_l2_micro(f'slice(qr,{int(m) * sub + 1},{sub})', _sql_long_arr(c_sub_v))})"
+        for m, c_id, c_sub_v in cbs
+    )
+    adc_wide = probes.select(
+        "q_id",
+        "c_list",
+        F.expr(f"map_from_entries(array({amap_entries}))").alias("amap"),
+    )
+    adc_sum: Column | None = None
+    for m in range(num_subspaces):
+        term = F.element_at(
+            F.col("amap"),
+            F.lit(m * num_codewords).cast("long")
+            + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
+        )
+        adc_sum = term if adc_sum is None else adc_sum + term
+    scored = (
+        codes_wide.join(F.broadcast(adc_wide), "c_list")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_q", adc_sum)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
+    )

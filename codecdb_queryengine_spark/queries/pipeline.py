@@ -1196,6 +1196,27 @@ def sim_ann_ivfpq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk_lloyd_micro(emb, _query_vectors(emb), dim=64, k=_TOP_K)
 
 
+def sim_ann_ivfpq_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVFADC loop PERSISTED, value-gated end to end:
+    Lloyd-train both quantizers (similarity.ivfpq_train_micro) → write the
+    codes-only index layout (sources/ann_index.ivfpq_index_build_micro —
+    M codes per vector partitioned by coarse list, the Jégou'11 §IV
+    memory contract in storage form) → DPP-pruned ADC serving
+    (ivfpq_index_topk_micro, dynamicpruning pinned by
+    scripts/explain_audit.py).  The persisted layout must not change
+    results, so the oracle is sim_ann_ivfpq_lloyd's verbatim — DuckDB
+    replays training, encoding and ADC straight off the base table."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    path = _scratch_dir("ivfpq_lloyd_index", sf_dir)
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs)
+    return AI.ivfpq_index_topk_micro(
+        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2
+    )
+
+
 def _ivf_pq_lloyd_sql(
     dim: int = 64,
     k_coarse: int = 8,
@@ -3755,6 +3776,7 @@ QUERIES = {
     "sim_ann_ivf_lloyd_indexed": sim_ann_ivf_lloyd_indexed,
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivfpq_lloyd": sim_ann_ivfpq_lloyd,
+    "sim_ann_ivfpq_lloyd_indexed": sim_ann_ivfpq_lloyd_indexed,
     "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
     "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
@@ -3844,6 +3866,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd": _ivf_pq_lloyd_sql(),
+    "sim_ann_ivfpq_lloyd_indexed": _ivf_pq_lloyd_sql(),
     "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
     "sim_ann_pq_trained_gate": _gate_invariants_sql(),
     "mm_features": _mm_sql(),

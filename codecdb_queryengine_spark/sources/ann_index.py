@@ -221,3 +221,90 @@ def ivf_index_topk_micro(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "l2_micro2", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# --- persisted IVFADC (IVF-PQ) index ---------------------------------------
+
+
+def ivfpq_index_build_micro(
+    vectors: DataFrame,
+    path: str,
+    cents: list,
+    cbs: list,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_subspaces: int = 4,
+) -> None:
+    """Persist an IVFADC index for a trained model pair (similarity.
+    ivfpq_train_micro): `centroids/` (K rows) + `codebooks/` (M·Kc rows)
+    + `lists/` holding ONLY the codes — (n_id, cmap) partitioned by the
+    coarse list id.  This is the storage form of Jégou'11 §IV's memory
+    contract: M small codes per vector instead of d floats (here
+    map<m,code> next to d·8-byte micro vectors — the full-precision
+    corpus is NOT in the index), and serving scans just the probed
+    partitions.  Everything stays BIGINT, so the persisted round-trip is
+    bit-replayable by the same SQL oracle as the in-memory composition."""
+    from codecdb_queryengine_spark.operators.similarity import ivfpq_encode_micro
+
+    spark = vectors.sparkSession
+    spark.createDataFrame(cents, "c_id long, c array<long>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebooks"))
+    codes = ivfpq_encode_micro(
+        vectors, cents, cbs, dim=dim, vec_col=vec_col, id_col=id_col,
+        num_subspaces=num_subspaces,
+    )
+    (
+        codes.repartition("c_list")
+        .write.mode("overwrite")
+        .partitionBy("c_list")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
+def ivfpq_index_topk_micro(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+) -> DataFrame:
+    """ADC top-k over the persisted IVFADC index: the tiny models are
+    collected back into literal expressions (the similarity.
+    ivfpq_rank_micro serve shape) and the codes scan joins the broadcast
+    probe set ON THE PARTITION COLUMN — dynamic partition pruning reads
+    only the nprobe probed lists per query set (the scan-side partition
+    column stays untouched; the probe side casts to the inferred
+    partition type, r4 ADVICE).  Output matches ivf_pq_topk_lloyd_micro
+    exactly, so one oracle gates both forms."""
+    from codecdb_queryengine_spark.operators.similarity import ivfpq_rank_micro
+
+    cents = sorted(
+        (int(r["c_id"]), [int(x) for x in r["c"]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    cbs = sorted(
+        (int(r["m"]), int(r["c_id"]), [int(x) for x in r["c_sub"]])
+        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    )
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    part_type = dict(lists.dtypes)["c_list"]
+    return ivfpq_rank_micro(
+        lists,
+        queries,
+        cents,
+        cbs,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        num_subspaces=num_subspaces,
+        num_codewords=num_codewords,
+        probe_list_type=part_type,
+    )

@@ -77,6 +77,7 @@ EXPECT_NESTED = {
 EXPECT_DPP = {
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_lloyd_indexed",
+    "sim_ann_ivfpq_lloyd_indexed",
     "emb_stream_index_ingest",
 }
 

@@ -69,3 +69,26 @@ def test_micro_index_matches_inmemory_lloyd_exact(spark, sf_dir):
     assert a == b
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivfpq_index_matches_inmemory_exact(spark, sf_dir):
+    """The persisted IVFADC index (codes-only lists + both trained
+    models) must return EXACTLY what ivf_pq_topk_lloyd_micro returns —
+    same BIGINT ADC scores, same pairs — and its codes scan must
+    dynamic-partition-prune."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_test_")
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs)
+    df = AI.ivfpq_index_topk_micro(spark, path, _queries(emb), k=5, nprobe=2)
+    via_index = df.collect()
+    in_memory = S.ivf_pq_topk_lloyd_micro(emb, _queries(emb), dim=64, k=5).collect()
+    key = lambda r: (r.q_id, r.rk)  # noqa: E731
+    a = {key(r): (r.n_id, r.adc_q) for r in via_index}
+    b = {key(r): (r.n_id, r.adc_q) for r in in_memory}
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # the lists layout really is codes-only: no vector column persisted
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    assert set(lists.columns) == {"n_id", "cmap", "c_list"}
