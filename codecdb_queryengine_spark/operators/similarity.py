@@ -289,7 +289,8 @@ def ivf_topk(
     oracle can recompute exactly; pass `centroids` (c_id, c_vec, c_norm —
     e.g. from kmeans_centroids) to use a trained quantizer through the
     identical plumbing.  Every vector joins its nearest centroid's inverted
-    list via one broadcast pass + map-side max_by (no N×C shuffle); queries
+    list via a per-row argmax fold over the 1-row broadcast model — one
+    shuffle-free projection of the corpus (no N×C expansion); queries
     probe the `nprobe` nearest lists and score exactly within them, so
     the scored candidate set is ~nprobe/C of the corpus.
     """
@@ -1118,8 +1119,8 @@ def kmeans_lloyd_micro(
     i.e. the same training-free stand-in the untrained tier uses — after
     `iters` Lloyd rounds the centers are genuinely data-adapted.
 
-    Scale shape: per iteration ONE broadcast-centroid pass over the corpus
-    (map-side min_by argmin, no N×K shuffle) + ONE k×(dim+1)-cell
+    Scale shape: per iteration ONE pass over the corpus (map-side
+    literal-model argmin expression, no N×K shuffle) + ONE k×(dim+1)-cell
     aggregation; the k-row model is collected per round (the usual tiny
     model artifact, like kmeans_centroids' fitted centers).  Returns
     [(c_id, c_vec_micro)] rows for ivf_topk_micro / literal re-broadcast.

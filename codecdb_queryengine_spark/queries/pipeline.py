@@ -3415,6 +3415,49 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def emb_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-scale twin of emb_stream_index_ingest: quantizers are
+    Lloyd-trained offline (similarity.ivfpq_train_micro — the standard
+    train-offline / encode-online split), the embeddings stream is
+    compressed IN-STREAM to its M PQ codes (similarity.ivfpq_encode_micro
+    is a stateless literal-model projection, so it runs unchanged on a
+    streaming frame) and appended EXACTLY-ONCE into the codes-only IVFADC
+    list layout; the drained index answers ADC top-k through the
+    DPP-pruned read path (sources/ann_index.ivfpq_index_topk_micro).
+    Everything stays BIGINT end to end, so the whole
+    stream→compress→index→serve loop is gated by the same bit-exact
+    sim_ann_ivfpq_lloyd oracle."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.streaming import events as E
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    # fresh: the file sink's commit log must not see a prior invocation's
+    # ingested lists or the stream would (correctly) append nothing new
+    base = _scratch_dir("ivfpq_stream_index", sf_dir, fresh=True)
+    spark.createDataFrame(cents, "c_id long, c array<long>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "centroids"))
+    spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "codebooks"))
+    stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    enc = S.ivfpq_encode_micro(stream, cents, cbs, dim=64)
+    q = SK.stream_to_parquet(
+        enc,
+        os.path.join(base, "lists"),
+        os.path.join(base, "ckpt"),
+        partition_by=("c_list",),
+    )
+    q.awaitTermination()
+    return AI.ivfpq_index_topk_micro(
+        spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2
+    )
+
+
 def emb_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-gated parity between the two IVF assignment implementations
     (r4 verdict item 5): the oracle-mirrorable expression fold
@@ -3806,6 +3849,7 @@ QUERIES = {
     "emb_stream_encode_fast": emb_stream_encode_fast,
     "emb_encode_parity": emb_encode_parity,
     "emb_stream_index_ingest": emb_stream_index_ingest,
+    "emb_stream_ivfpq_ingest": emb_stream_ivfpq_ingest,
 }
 
 ORACLE: dict[str, str] = {
@@ -3894,4 +3938,5 @@ ORACLE: dict[str, str] = {
     "events_stream_score": _EVENTS_ANOMALY_SQL,
     "emb_stream_encode": _emb_stream_encode_sql(),
     "emb_stream_index_ingest": _ivf_sql(),
+    "emb_stream_ivfpq_ingest": _ivf_pq_lloyd_sql(),
 }
