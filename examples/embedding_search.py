@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""End-to-end embedding-retrieval serving, composed from the engine's
+operators — the workflow a retrieval team runs to stand up ANN search
+over a corpus:
+
+    embeddings table
+      -> train IVFADC        (Lloyd coarse centroids + Lloyd residual
+                              codebooks, exact-integer micro space —
+                              similarity.ivfpq_train_micro)
+      -> build codes index   (codes-ONLY lists partitioned by coarse
+                              list: M small codes per vector instead of
+                              d floats — ann_index.ivfpq_index_build_micro)
+      -> serve ADC top-k     (reads ONLY the nprobe probed partitions via
+                              dynamic partition pruning —
+                              ann_index.ivfpq_index_topk_micro)
+      -> recall audit        (vs exact brute-force cosine top-k)
+
+Run:  python examples/embedding_search.py [sf_dir] [index_dir]
+Defaults: /root/testdata/sf0.001, a temp dir.  Prints the serving result
+sample and recall@k against the exact scan.
+
+Scale story (SCALE.md): training state is model-sized, the index stores
+M bytes-per-vector codes, and a query set touches nprobe/K of the index's
+partitions regardless of corpus size — the 1e10-vector serving shape.  At
+100 TB only K (coarse lists), M×Kc (codebook size) and nprobe change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.catalog import load_tables
+from codecdb_queryengine_spark.operators import similarity as S
+from codecdb_queryengine_spark.sources import ann_index as AI
+
+
+def build_and_serve(spark, sf_dir: str, index_dir: str, k: int = 5, n_queries: int = 5):
+    """Train → persist → serve → audit.  Returns (results, recall@k)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    AI.ivfpq_index_build_micro(emb, index_dir, cents, cbs)
+    served = AI.ivfpq_index_topk_micro(spark, index_dir, queries, k=k, nprobe=2)
+
+    hits = served.select("q_id", "n_id")
+    exact = S.brute_force_topk(emb, queries, k=k).select("q_id", "n_id")
+    overlap = hits.join(exact, ["q_id", "n_id"]).count()
+    recall = overlap / exact.count()
+    return served, recall
+
+
+def main() -> None:
+    from codecdb_queryengine_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    index_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="ivfpq_idx_")
+    spark = get_spark("embedding-search")
+    served, recall = build_and_serve(spark, sf_dir, index_dir)
+    served.show(10)
+    print(f"index: {index_dir}")
+    print(f"recall@5 vs exact scan: {recall:.2f}")
+
+
+if __name__ == "__main__":
+    main()

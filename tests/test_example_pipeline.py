@@ -45,3 +45,31 @@ def test_incremental_ingest_dedups_and_writes(spark, sf_dir, tmp_path):
     # the write is z-clustered: both clustered columns survive round-trip
     assert {"n_chars", "n_tokens", "avg_bits"} <= set(written.columns)
     assert stages["written"] == stages["after cross-shard dedup"]
+
+
+search_spec = importlib.util.spec_from_file_location(
+    "embedding_search",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "embedding_search.py"),
+)
+search_mod = importlib.util.module_from_spec(search_spec)
+search_spec.loader.exec_module(search_mod)
+
+
+def test_embedding_search_serves_with_sane_recall(spark, sf_dir, tmp_path):
+    served, recall = search_mod.build_and_serve(spark, sf_dir, str(tmp_path / "idx"))
+    rows = served.collect()
+    assert len(rows) > 0
+    # rk is a dense 1..k ranking per query and ADC scores are non-negative
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r)
+        assert r.adc_q >= 0
+    for rs in by_q.values():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.adc_q for r in rs]
+        assert scores == sorted(scores)
+    # the fixture's embeddings are near-random (test_ann_recall's note), so
+    # exact recall under 32× compression + nprobe pruning is legitimately
+    # small — the floor pins "far above the ~0.0125 random-guess baseline",
+    # not SOTA recall
+    assert recall >= 0.04
