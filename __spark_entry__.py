@@ -48,8 +48,9 @@ BENCH_SKIP |= {
 # exact-Lloyd trained IVF, the trained-quantizer invariant gates, the
 # sketch-contract approx entries, fold-vs-Arrow parity, checkpointed CC and
 # the bucketed zero-shuffle Q3 — followed by every remaining never-driver-
-# gated non-SQL name, then 16 of the 21 never-gated TPC-H SQL-text twins
-# (q18-22_sql + the 12 SSB *_sql twins complete in r6).  Everything rotated
+# gated non-SQL name (incl. the late-r5 persisted/streaming IVFADC pair),
+# then 14 of the 21 never-gated TPC-H SQL-text twins (q16-22_sql + the 12
+# SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
@@ -58,6 +59,8 @@ DRIVER_FIRST = [
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_pq_lloyd",
     "sim_ann_ivfpq_lloyd",
+    "sim_ann_ivfpq_lloyd_indexed",
+    "emb_stream_ivfpq_ingest",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
     "text_bpe_gate",
@@ -108,8 +111,6 @@ DRIVER_FIRST = [
     "q12_sql",
     "q14_sql",
     "q15_sql",
-    "q16_sql",
-    "q17_sql",
 ]
 
 
