@@ -311,48 +311,16 @@ def ivf_topk(
     # projection of the corpus — no crossJoin expansion, no groupBy(n_id)
     # exchange, no assigned⋈vectors re-join.
     cmodel = F.broadcast(_model_1row(cents, "c_id", "c_vec", "c_norm"))
-    sims = lambda vec: F.transform(  # noqa: E731
-        F.col("model"),
-        lambda c: F.struct(
-            (dot(vec, c["c_vec"]) / c["c_norm"]).alias("sim"),
-            c["c_id"].cast("long").alias("c_id"),
-        ),
-    )
     inv_lists = _spread(vectors).crossJoin(cmodel).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         norm(F.col(vec_col)).alias("n_norm"),
-        _fold_argmax_sim(sims(F.col(vec_col)))["c_id"].alias("c_id"),
+        _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_id"),
     )
-    # Probe selection: per-query sort of the same per-centroid sims —
-    # ascending (−sim, c_id) is exactly the old rank window's
-    # (sim desc, c_id asc) order (double negation is sign-exact).
-    probe_lists = (
-        queries.crossJoin(cmodel)
-        .select(
-            "q_id",
-            "q_vec",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("model"),
-                            lambda c: F.struct(
-                                (-(dot(F.col("q_vec"), c["c_vec"]) / c["c_norm"])).alias(
-                                    "nsim"
-                                ),
-                                c["c_id"].cast("long").alias("c_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("p"),
-        )
-        .select(
-            "q_id", "q_vec", F.col("p")["c_id"].alias("c_id"), norm(F.col("q_vec")).alias("q_norm")
-        )
+    # Probe selection: _probe_centroids replays the old rank window's
+    # exact order (sim desc incl. NaN-first, ties to the smaller c_id)
+    probe_lists = _probe_centroids(queries, cmodel, nprobe).select(
+        "q_id", "q_vec", F.col("p")["c_id"].alias("c_id"), norm(F.col("q_vec")).alias("q_norm")
     )
     scored = (
         F.broadcast(probe_lists)
@@ -395,9 +363,17 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelism the old groupBy shuffle provided by accident.  At scale
     the scan already has ≥ parallelism splits and this adds NOTHING (the
     guard keeps the plan exchange-free exactly when partitioning is
-    already adequate)."""
-    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    already adequate).  Degraded mode (r5 review): if the parallelism
+    conf is non-numeric (AQE-managed "auto" on some platforms) or the
+    partition count cannot be inspected (streaming frames; .rdd needs
+    batch planning), return the input unchanged — correctness never
+    depends on the spread, only small-input parallelism does."""
+    try:
+        p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(p) if n < p else df
 
 
 def _model_1row(df: DataFrame, *cols: str) -> DataFrame:
@@ -430,6 +406,119 @@ def _fold_argmax_sim(entries: Column) -> Column:
             | ((s["sim"] == acc["sim"]) & (s["c_id"] < acc["c_id"])),
             s,
         ).otherwise(acc),
+    )
+
+
+def _pq_model_1row(cbm: DataFrame, id_field: str, num_subspaces: int) -> DataFrame:
+    """1-row codebook model array (columns m, `id_field`, c_sub) with an
+    execution-time subspace-coverage guard (r5 review): an m absent from
+    the codebook would make the per-row argmin fold return its −1 init,
+    and the ADC lookup key m·K−1 would ALIAS the previous subspace's last
+    codeword — a plausible wrong score instead of a loud failure.  The
+    guard is evaluated once on the single model row (assert_true inside
+    the model projection, so column pruning cannot drop it), never in the
+    per-row encode path."""
+
+    def has_m(m: int) -> Column:
+        return F.exists(F.col("model0"), lambda e: e["m"] == F.lit(m))
+
+    cond = has_m(0)
+    for m in range(1, num_subspaces):
+        cond = cond & has_m(m)
+    agg = cbm.agg(
+        F.collect_list(F.struct("m", id_field, "c_sub")).alias("model0")
+    )
+    return agg.select(
+        F.when(
+            F.assert_true(
+                cond,
+                F.lit(
+                    "pq encode: codebook has no entries for some subspace in "
+                    f"0..{num_subspaces - 1} — ADC keys would alias adjacent "
+                    "subspaces"
+                ),
+            ).isNull(),
+            F.col("model0"),
+        ).alias("model")
+    )
+
+
+def _pq_code_entry(m: int, sub: int, vec: Column, id_field: str) -> Column:
+    """map entry (m, codeword) for subspace `m`: order-free argmin of the
+    left-assoc squared-L2 between `vec`'s m-th slice and the runtime model
+    array's subspace-m codewords (ties to the smaller id).  Shared by
+    pq_topk and ivf_pq_topk (r5 review: the two inlined copies risked
+    diverging).  NB: per-m values are captured via this def, not lambda
+    default args — PySpark infers HOF lambda arity from the signature, so
+    a second (defaulted) parameter would silently become the ARRAY
+    INDEX."""
+    ents = F.filter(F.col("model"), lambda e: e["m"] == F.lit(m))
+    return F.struct(
+        F.lit(m).cast("long").alias("m"),
+        _fold_argmin_d(
+            F.transform(
+                ents,
+                lambda e: F.struct(
+                    l2sq(F.slice(vec, m * sub + 1, sub), e["c_sub"]).alias("d"),
+                    e[id_field].cast("long").alias("c_id"),
+                ),
+            )
+        )["c_id"].alias("code"),
+    )
+
+
+def _probe_centroids(queries: DataFrame, cmodel: DataFrame, nprobe: int, with_vec: bool = False) -> DataFrame:
+    """(q_id, q_vec, p) — per query the `nprobe` nearest centroids from
+    the 1-row broadcast model, ranked exactly like the old rank window:
+    sim DESC with Spark's NaN-greatest FIRST, ties to the smaller c_id.
+    Ascending sort key = (non-NaN flag, −sim, c_id): negation is
+    sign-exact for ordering non-NaN sims, and the leading flag restores
+    NaN-first, which plain ascending −sim would invert (r5 review — a
+    zero-norm centroid yields NaN sims for everyone; the assignment
+    argmax still sends every vector to its list under Spark's
+    NaN-greatest comparisons, so inverting the probe order would serve
+    zero results where the window form served k).  The struct carries
+    c_id (+ c_vec when requested) behind the sort fields; c_id is unique
+    so trailing fields never compare.  Shared by ivf_topk and
+    ivf_pq_topk (r5 review: the two inlined copies risked diverging)."""
+    sims = F.transform(
+        F.col("model"),
+        lambda c: F.struct(
+            (dot(F.col("q_vec"), c["c_vec"]) / c["c_norm"]).alias("sim"),
+            c["c_id"].cast("long").alias("c_id"),
+            *([c["c_vec"].alias("c_vec")] if with_vec else []),
+        ),
+    )
+    # second transform so the dot is computed ONCE per centroid — the
+    # NaN flag re-reads s.sim instead of re-folding the dot
+    keyed = F.transform(
+        sims,
+        lambda s: F.struct(
+            F.when(F.isnan(s["sim"]), F.lit(0)).otherwise(F.lit(1)).alias("nn"),
+            (-s["sim"]).alias("nsim"),
+            s["c_id"].alias("c_id"),
+            *([s["c_vec"].alias("c_vec")] if with_vec else []),
+        ),
+    )
+    return queries.crossJoin(cmodel).select(
+        "q_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(keyed), 1, nprobe)).alias("p"),
+    )
+
+
+def _centroid_sims(vec: Column) -> Column:
+    """array<struct(sim, c_id)> of dot/|c| for `vec` against every
+    centroid of the runtime 1-row model array (the ivf ranking; one
+    definition shared by the assignment sites in ivf_topk, ivf_pq_topk
+    and the index build — r5 review: three inlined copies risked
+    diverging)."""
+    return F.transform(
+        F.col("model"),
+        lambda c: F.struct(
+            (dot(vec, c["c_vec"]) / c["c_norm"]).alias("sim"),
+            c["c_id"].cast("long").alias("c_id"),
+        ),
     )
 
 
@@ -565,29 +654,10 @@ def pq_topk(
     # encode is num_subspaces per-row order-free argmin folds — one
     # shuffle-free projection of the corpus instead of the old explode ×
     # join × two groupBy exchanges.
-    cb1 = F.broadcast(_model_1row(cbm, "m", "c_id", "c_sub"))
-
-    # NB: per-m values are captured via a def, not lambda default args —
-    # PySpark infers HOF lambda arity from the signature, so a second
-    # (defaulted) parameter would silently become the ARRAY INDEX.
-    def _code_entry(m: int) -> Column:
-        ents = F.filter(F.col("model"), lambda e: e["m"] == F.lit(m))
-        return F.struct(
-            F.lit(m).cast("long").alias("m"),
-            _fold_argmin_d(
-                F.transform(
-                    ents,
-                    lambda e: F.struct(
-                        l2sq(
-                            F.slice(F.col(vec_col), m * sub + 1, sub), e["c_sub"]
-                        ).alias("d"),
-                        e["c_id"].cast("long").alias("c_id"),
-                    ),
-                )
-            )["c_id"].alias("c_id"),
-        )
-
-    code_entries = [_code_entry(m) for m in range(num_subspaces)]
+    cb1 = F.broadcast(_pq_model_1row(cbm, "c_id", num_subspaces))
+    code_entries = [
+        _pq_code_entry(m, sub, F.col(vec_col), "c_id") for m in range(num_subspaces)
+    ]
     codes_wide = _spread(vectors).crossJoin(cb1).select(
         F.col(id_col).alias("n_id"),
         F.map_from_entries(F.array(*code_entries)).alias("cmap"),
@@ -713,15 +783,7 @@ def ivf_pq_topk(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("v"),
             F.col("model"),
-            _fold_argmax_sim(
-                F.transform(
-                    F.col("model"),
-                    lambda c: F.struct(
-                        (dot(F.col(vec_col), c["c_vec"]) / c["c_norm"]).alias("sim"),
-                        c["c_id"].cast("long").alias("c_id"),
-                    ),
-                )
-            ).alias("w"),
+            _fold_argmax_sim(_centroid_sims(F.col(vec_col))).alias("w"),
         )
         .select(
             "n_id",
@@ -737,10 +799,16 @@ def ivf_pq_topk(
             ).alias("r"),
         )
         # Materialized once: rcb init, encoding, and serving all read this
-        # frame, and HOF folds see no CSE — without the persist, collapsed
+        # frame, and HOF folds see no CSE — without a barrier, collapsed
         # projections would re-inline the argmax fold into every consumer
-        # (measured 7× slower).  Same lifecycle as the Lloyd twin's res.
-        .persist()
+        # (measured 7× slower).  LAZY localCheckpoint, not persist (r5
+        # review): persist left a corpus-sized cache entry parked in the
+        # caller's session with no unpersist point (the consumers are all
+        # in the returned lazy plan); the checkpoint truncates lineage the
+        # same way, lives outside the cache manager, and its blocks free
+        # when the frame is GC'd.  Trade-off (the bpe.py/sketch.py note):
+        # checkpoint blocks are not recomputable on executor loss.
+        .localCheckpoint(eager=False)
     )
     # residual codebooks from the sampled vectors' residuals
     rcb = (
@@ -752,69 +820,28 @@ def ivf_pq_topk(
         .select("pq_c", "m", F.slice(F.col("cr"), (F.col("m") * sub + 1).cast("int"), sub).alias("c_sub"))
     )
     # encode every residual: the residual codebook as a second 1-row
-    # broadcast array; num_subspaces per-row argmin folds, no shuffle
-    rcb1 = F.broadcast(_model_1row(rcb, "m", "pq_c", "c_sub"))
-
-    # per-m values captured via a def, not lambda default args — PySpark
-    # infers HOF lambda arity from the signature, so a second (defaulted)
-    # parameter would silently become the ARRAY INDEX
-    def _code_entry(m: int) -> Column:
-        ents = F.filter(F.col("model"), lambda e: e["m"] == F.lit(m))
-        return F.struct(
-            F.lit(m).cast("long").alias("m"),
-            _fold_argmin_d(
-                F.transform(
-                    ents,
-                    lambda e: F.struct(
-                        l2sq(F.slice(F.col("r"), m * sub + 1, sub), e["c_sub"]).alias(
-                            "d"
-                        ),
-                        e["pq_c"].cast("long").alias("c_id"),
-                    ),
-                )
-            )["c_id"].alias("pq_c"),
-        )
-
+    # broadcast array (coverage-guarded); num_subspaces per-row argmin
+    # folds, no shuffle
+    rcb1 = F.broadcast(_pq_model_1row(rcb, "pq_c", num_subspaces))
     codes_wide = with_res.crossJoin(rcb1).select(
         "n_id",
         "c_list",
         F.map_from_entries(
-            F.array(*[_code_entry(m) for m in range(num_subspaces)])
+            F.array(
+                *[
+                    _pq_code_entry(m, sub, F.col("r"), "pq_c")
+                    for m in range(num_subspaces)
+                ]
+            )
         ).alias("cmap"),
     )
-    # query probes: nprobe nearest centroids (ascending (−sim, c_id) =
-    # the old rank window's (sim desc, c_id asc); the probed centroid
-    # rides in the sort struct — c_id is unique so it never compares),
-    # residual per probed list
-    probe_lists = (
-        queries.crossJoin(cmodel)
-        .select(
-            "q_id",
-            "q_vec",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("model"),
-                            lambda c: F.struct(
-                                (-(dot(F.col("q_vec"), c["c_vec"]) / c["c_norm"])).alias(
-                                    "nsim"
-                                ),
-                                c["c_id"].cast("long").alias("c_id"),
-                                c["c_vec"].alias("c_vec"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("p"),
-        )
-        .select(
-            "q_id",
-            F.col("p")["c_id"].alias("c_list"),
-            res(F.col("q_vec"), F.col("p")["c_vec"]).alias("qr"),
-        )
+    # query probes: nprobe nearest coarse lists per query
+    # (_probe_centroids = the old rank window's exact order), residual
+    # per probed list — the probed centroid rides in the sort struct
+    probe_lists = _probe_centroids(queries, cmodel, nprobe, with_vec=True).select(
+        "q_id",
+        F.col("p")["c_id"].alias("c_list"),
+        res(F.col("q_vec"), F.col("p")["c_vec"]).alias("qr"),
     )
 
     def _adc_entry(e: Column) -> Column:

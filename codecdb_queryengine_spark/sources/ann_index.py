@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.operators.similarity import (
+    _centroid_sims,
     _fold_argmax_sim,
     _model_1row,
     _spread,
@@ -69,15 +70,7 @@ def ivf_index_build(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         norm(F.col(vec_col)).alias("n_norm"),
-        _fold_argmax_sim(
-            F.transform(
-                F.col("model"),
-                lambda c: F.struct(
-                    (dot(F.col(vec_col), c["c_vec"]) / c["c_norm"]).alias("sim"),
-                    c["c_id"].cast("long").alias("c_id"),
-                ),
-            )
-        )["c_id"].alias("c_list"),
+        _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_list"),
     )
     (
         lists.repartition("c_list")
@@ -272,9 +265,6 @@ def ivfpq_index_topk_micro(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    dim: int = 64,
-    num_subspaces: int = 4,
-    num_codewords: int = 8,
 ) -> DataFrame:
     """ADC top-k over the persisted IVFADC index: the tiny models are
     collected back into literal expressions (the similarity.
@@ -283,7 +273,13 @@ def ivfpq_index_topk_micro(
     only the nprobe probed lists per query set (the scan-side partition
     column stays untouched; the probe side casts to the inferred
     partition type, r4 ADVICE).  Output matches ivf_pq_topk_lloyd_micro
-    exactly, so one oracle gates both forms."""
+    exactly, so one oracle gates both forms.
+
+    dim / num_subspaces / num_codewords are INFERRED from the persisted
+    model artifacts (r5 review): the index stores no hyperparameter
+    metadata, and serving with stale caller-supplied values would NULL
+    the ADC lookups — and NULLs rank FIRST under the ascending score
+    window, i.e. plausible-looking garbage instead of an error."""
     from codecdb_queryengine_spark.operators.similarity import ivfpq_rank_micro
 
     cents = sorted(
@@ -294,6 +290,11 @@ def ivfpq_index_topk_micro(
         (int(r["m"]), int(r["c_id"]), [int(x) for x in r["c_sub"]])
         for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
     )
+    if not cents or not cbs:
+        raise ValueError(f"ivfpq_index_topk_micro: empty model artifacts at {path}")
+    dim = len(cents[0][1])
+    num_subspaces = len({m for m, _, _ in cbs})
+    num_codewords = max(c_id for _, c_id, _ in cbs) + 1
     lists = spark.read.parquet(os.path.join(path, "lists"))
     part_type = dict(lists.dtypes)["c_list"]
     return ivfpq_rank_micro(

@@ -51,10 +51,15 @@ def build_and_serve(spark, sf_dir: str, index_dir: str, k: int = 5, n_queries: i
     AI.ivfpq_index_build_micro(emb, index_dir, cents, cbs)
     served = AI.ivfpq_index_topk_micro(spark, index_dir, queries, k=k, nprobe=2)
 
-    hits = served.select("q_id", "n_id")
-    exact = S.brute_force_topk(emb, queries, k=k).select("q_id", "n_id")
-    overlap = hits.join(exact, ["q_id", "n_id"]).count()
-    recall = overlap / exact.count()
+    # collect the exact reference ONCE — it is the expensive stage of the
+    # audit (full cross-join + rank), and an uncached lazy plan would run
+    # it twice (overlap join + denominator count)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in S.brute_force_topk(emb, queries, k=k).select("q_id", "n_id").collect()
+    }
+    hits = {(r.q_id, r.n_id) for r in served.select("q_id", "n_id").collect()}
+    recall = len(hits & exact) / len(exact)
     return served, recall
 
 
