@@ -273,6 +273,37 @@ def md5_slice32(prefix: str, c: Column) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 8), 16, 10).cast("long")
 
 
+def hash_weight(tok: Column, prefix: str = "w|", buckets: int = 2001) -> Column:
+    """Per-token weight of a hashed-feature linear model: the token's
+    md5_slice32 bucket mapped to an integer weight in
+    [-(buckets//2), buckets//2].  Stands in for a released fasttext-style
+    quality classifier's weight table — deterministic and engine-portable,
+    so inference is value-gateable; swapping in real trained weights is a
+    broadcast-join (or literal-map) drop-in with the same plan shape.
+    Mirror SQL: ('0x' || substring(md5('w|' || tok), 1, 8))::BIGINT
+    % buckets - buckets//2."""
+    return md5_slice32(prefix, tok) % buckets - buckets // 2
+
+
+def classifier_logit(c: str) -> Column:
+    """Linear text-classifier inference: mean hashed-feature weight over the
+    document's tokens (the fasttext sentence representation with bag-of-words
+    features — Joulin et al. 2016, arXiv:1607.01759 — reduced to engine
+    expressions).  Integer weight sum (exact BIGINT fold, order-free) over
+    token count — one exact-input IEEE division, so the double logit is
+    bit-identical cross-engine.  The sigmoid is monotone, so thresholding
+    the logit IS thresholding the probability; consumers that need the
+    probability apply it downstream (float exp differs per-libm at the last
+    ulp, so the gated surface stays on the logit)."""
+    toks = tokens(c)
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: hash_weight(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (wsum / F.size(toks)).cast("double")
+
+
 # BPE-ish pre-tokenizer: the GPT-2-style split classes reduced to a
 # Java+RE2-portable pattern — contraction-free: letter runs, digit runs,
 # single non-alnum-non-space marks.  The real byte-pair merge table is a

@@ -15,6 +15,17 @@ SURVEY.md §2); these are the driver-mandated extensions, built Spark-first:
                        the verification primitive; at scale it runs on LSH
                        candidates, not the full corpus.
 - embedding_near_dups  cosine near-duplicate pairs over a vector column.
+- semantic_dedup       SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+                       exact-Lloyd k-means clusters over embeddings, then a
+                       within-cluster quantized-cosine prune — pairwise cost
+                       is bounded by cluster size, never the full corpus.
+- segment_dedup        sub-document segment-level dedup (the RefinedWeb /
+                       Gopher "remove duplicated lines across the corpus"
+                       rule — Penedo et al. 2023, arXiv:2306.01116 §3.3 —
+                       with a deterministic fixed-width token segmenter in
+                       place of newline splitting): keep-first across the
+                       whole corpus, rebuild each document from surviving
+                       segments.
 
 Everything is built from pyspark.sql.functions so each operator has an
 exact DuckDB mirror in queries/pipeline.py.
@@ -634,4 +645,159 @@ def embedding_near_dups(
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    tau_num: int = 2,
+    tau_den: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and pruning near-duplicates WITHIN clusters only.
+
+    1. Train k centroids with the exact-integer Lloyd recurrence
+       (similarity.kmeans_lloyd_micro — micro-quantized vectors, BIGINT-L2
+       argmin, round-half-away mean updates), so even training replays
+       bit-for-bit in a SQL oracle.
+    2. Assign every vector map-side (literal-model argmin expression — no
+       N×K expansion, no shuffle).
+    3. Within each cluster, a vector is a duplicate iff some SMALLER-id
+       member is τ-similar; survivors are the cluster's dedup
+       representatives ("keep first" — deterministic, order-free).
+
+    The similarity test is the RATIONAL quantized cosine: over
+    milli-quantized vectors (quantize_micro scale=1e3),
+        cos ≥ τ  ⟺  dot > 0  AND  τ_den²·dot² ≥ τ_num²·|a|²·|b|²
+    with τ = tau_num/tau_den — pure BIGINT arithmetic on both engines
+    (milli components ≤ ~1e3 ⇒ dot ≤ ~6.4e7 ⇒ every product ≤ ~4e17,
+    inside int64), so no float ever reaches the comparison.  The quantized
+    cosine defines the operator's semantics; it differs from the float
+    cosine by ≤ ~1e-3, which a corpus-dedup threshold absorbs.
+
+    Scale shape: the tiny k-row model folds into map-side expressions; the
+    only data shuffle is the ONE hash partition by c_id for the in-cluster
+    self-join, and candidate pairs are bounded by Σ|cluster|² — k grows
+    with the corpus (k ≈ N/target_cluster_size) exactly as SemDeDup
+    prescribes, keeping per-cluster work constant.  The input is scanned
+    by three map-side passes (pair sides a/b and the final flag join) —
+    callers on hot paths persist `df` upstream, the embedding_near_dups
+    precedent.
+
+    Returns (id_col, c_id, kept): every input vector with its cluster id
+    and whether it survives the prune.
+    """
+    from codecdb_queryengine_spark.operators import similarity as S
+
+    cents = S.kmeans_lloyd_micro(
+        df, vec_col=vec_col, id_col=id_col, dim=dim, k=k, stride=stride, iters=iters
+    )
+    vm = df.select(
+        F.col(id_col).alias("n_id"),
+        S.quantize_micro(F.col(vec_col)).alias("v"),
+        S.quantize_micro(F.col(vec_col), 1e3).alias("v3"),
+    )
+    assigned = vm.select(
+        "n_id",
+        "v3",
+        F.expr(f"({S._micro_argmin_sql('v', cents)}).c_id").alias("c_id"),
+    ).withColumn("n2", S.dot_micro(F.col("v3"), F.col("v3")))
+    a = assigned.select(
+        F.col("n_id").alias("id_a"), "c_id",
+        F.col("v3").alias("va"), F.col("n2").alias("n2a"),
+    )
+    b = assigned.select(
+        F.col("n_id").alias("id_b"), "c_id",
+        F.col("v3").alias("vb"), F.col("n2").alias("n2b"),
+    )
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+    dot = S.dot_micro(F.col("va"), F.col("vb"))
+    dropped = (
+        a.join(b, "c_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(td2) * F.col("dot") * F.col("dot")
+               >= F.lit(tn2) * F.col("n2a") * F.col("n2b"))
+        )
+        .select(F.col("id_b").alias("n_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "n_id", "left")
+        .select(
+            F.col("n_id").alias(id_col),
+            "c_id",
+            F.col("is_dup").isNull().alias("kept"),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document segment-level dedup: the RefinedWeb / MassiveText
+    "drop lines duplicated anywhere in the corpus" rule (Penedo et al.
+    2023, arXiv:2306.01116 §3.3; Rae et al. 2021, arXiv:2112.11446 A.1.2),
+    with a deterministic fixed-width token segmenter standing in for
+    newline splitting (the test corpus has no line structure; a real
+    corpus swaps the segmenter expression, same plan).
+
+    A segment OCCURRENCE survives iff it is the corpus-wide first
+    occurrence of that segment text, ordered by (id, seg_idx) — exact
+    keep-first, no hashing, no floats.  Each document is rebuilt from its
+    surviving segments in original order.
+
+    Scale shape: rows explode ~n_tokens/seg_tokens ×, then exactly TWO
+    hash shuffles — one partition-by-segment for the global first-
+    occurrence window (same key distribution as any exact dedup; segment
+    texts are high-cardinality so skew is bounded by true duplication),
+    one partition-by-id for the rebuild.  No self-join, no candidate
+    blowup: cost is linear in corpus token count, which is what lets the
+    rule run over a 100 TB crawl.
+
+    Returns (id_col, n_segs, n_kept, text_dedup).
+    """
+    from pyspark.sql import Window
+
+    toks = T.tokens(text_col)
+    nseg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + F.lit(1), seg_tokens), " "
+        ),
+    )
+    segs = df.select(
+        F.col(id_col), F.posexplode(segs_arr).alias("seg_idx", "seg")
+    )
+    first = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    flagged = segs.withColumn(
+        "kept", (F.row_number().over(first) == 1)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
     )

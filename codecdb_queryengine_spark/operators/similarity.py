@@ -1067,6 +1067,30 @@ def l2_micro(a: Column, b: Column) -> Column:
     )
 
 
+def dot_micro(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over two array<long> columns as BIGINT (JVM-side fold).
+    Exact and order-free (integer addition): with MILLI-quantized inputs
+    (quantize_micro scale=1e3, components ≤ ~1e3) each term is ≤ 1e6 and a
+    64-dim sum ≤ ~6.4e7 — small enough that downstream BIGINT products of
+    two dots (the rational cosine test in dedup.semantic_dedup) stay far
+    inside int64.  Micro-scale (1e6) inputs are for DISTANCES (l2_micro);
+    dot-product consumers must quantize at milli scale or coarser."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_dot_micro(a_sql: str, b_sql: str) -> str:
+    """SQL text for dot_micro (BIGINT Σ aᵢ·bᵢ fold) — same shape as the
+    Column form so oracles replay it exactly."""
+    return (
+        f"aggregate(zip_with({a_sql},{b_sql},(x,y)->x*y),"
+        f"CAST(0 AS BIGINT),(acc,x)->acc+x)"
+    )
+
+
 def _sql_long_arr(vals) -> str:
     """SQL text for an array<bigint> literal."""
     return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"

@@ -982,14 +982,8 @@ def sim_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_micro(emb, _query_vectors(emb), cents, k=_TOP_K, nprobe=2)
 
 
-def _ivf_lloyd_sql(
-    dim: int = 64,
-    k: int = 8,
-    stride: int = 37,
-    iters: int = 2,
-    nprobe: int = 2,
-) -> str:
-    """Bit-exact SQL replay of kmeans_lloyd_micro + ivf_topk_micro."""
+def _lloyd_l2(dim: int):
+    """Unrolled BIGINT L2 between two `v` array columns (oracle text)."""
 
     def l2(a: str, b: str) -> str:
         return " + ".join(
@@ -997,6 +991,17 @@ def _ivf_lloyd_sql(
             for j in range(1, dim + 1)
         )
 
+    return l2
+
+
+def _lloyd_train_ctes(dim: int, k: int, stride: int, iters: int) -> list[str]:
+    """The CTE block every exact-Lloyd oracle shares: micro-quantized `vm`,
+    stride-sample init `c0`, `iters` assign/sum/update rounds, and the final
+    full-corpus `assign` — a verbatim SQL replay of
+    similarity.kmeans_lloyd_micro + the literal-model argmin assignment
+    (ties to the smaller c_id).  Factored so _ivf_lloyd_sql and
+    _semdedup_sql can never drift from each other."""
+    l2 = _lloyd_l2(dim)
     quant = ", ".join(
         f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
         for j in range(1, dim + 1)
@@ -1037,6 +1042,20 @@ def _ivf_lloyd_sql(
                        PARTITION BY v.vec_id
                        ORDER BY ({l2('v', 'c')}) ASC, c.c_id ASC) AS r
             FROM vm v CROSS JOIN {cf} c) WHERE r = 1)""")
+    return ctes
+
+
+def _ivf_lloyd_sql(
+    dim: int = 64,
+    k: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """Bit-exact SQL replay of kmeans_lloyd_micro + ivf_topk_micro."""
+    l2 = _lloyd_l2(dim)
+    cf = f"c{iters}"
+    ctes = _lloyd_train_ctes(dim, k, stride, iters)
     ctes.append(f"""probes AS MATERIALIZED (
         SELECT q_id, c_id FROM (
             SELECT q.vec_id AS q_id, c.c_id,
@@ -1062,6 +1081,59 @@ def _ivf_lloyd_sql(
                        ORDER BY l2_micro2 ASC, n_id ASC) AS BIGINT) AS rk
             FROM scored)
         WHERE rk <= {_TOP_K}
+    """
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/dedup.semantic_dedup):
+    exact-Lloyd k-means clusters, then a within-cluster "keep the smallest
+    τ-similar id" prune.  Fully value-gated — training replays via the
+    shared Lloyd CTE block and the similarity test is rational BIGINT
+    arithmetic, so the oracle hashes (vec_id, c_id, kept) end to end.
+    τ = 2/5 matches dedup_embedding's 0.4 near-dup threshold on this
+    corpus (synthetic embeddings top out near cos ≈ 0.55)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return D.semantic_dedup(
+        emb, "embedding", "vec_id", dim=64, k=8, stride=37, iters=2,
+        tau_num=2, tau_den=5,
+    )
+
+
+def _semdedup_sql(
+    dim: int = 64,
+    k: int = 8,
+    stride: int = 37,
+    iters: int = 2,
+    tau_num: int = 2,
+    tau_den: int = 5,
+) -> str:
+    """Bit-exact SQL replay of dedup.semantic_dedup: the shared Lloyd
+    train+assign CTEs, milli-quantized vectors, and the rational cosine
+    test τ_den²·dot² ≥ τ_num²·|a|²·|b|² in pure BIGINT."""
+    ctes = _lloyd_train_ctes(dim, k, stride, iters)
+    milli = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    dot_ab = " + ".join(f"a.v3[{j}] * b.v3[{j}]" for j in range(1, dim + 1))
+    n2 = " + ".join(f"v3[{j}] * v3[{j}]" for j in range(1, dim + 1))
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+    ctes.append(
+        f"m3 AS MATERIALIZED (SELECT vec_id, [{milli}] AS v3 FROM embeddings)"
+    )
+    ctes.append(f"""mem AS MATERIALIZED (
+        SELECT m.vec_id, a.c_id, m.v3, CAST(({n2}) AS BIGINT) AS n2
+        FROM m3 m JOIN assign a ON a.n_id = m.vec_id)""")
+    ctes.append(f"""dropped AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id
+        FROM mem a JOIN mem b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        WHERE ({dot_ab}) > 0
+          AND {td2} * ({dot_ab}) * ({dot_ab}) >= {tn2} * a.n2 * b.n2)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT m.vec_id, m.c_id, d.vec_id IS NULL AS kept
+        FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
     """
 
 
@@ -2389,6 +2461,76 @@ _LM_SCORE_SQL = f"""
            CAST(sum(surp_micro) AS DOUBLE) / count(*) / 1e6 AS avg_bits
     FROM tok JOIN term_surp USING (term)
     GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def docs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference-as-a-query: fasttext-style linear classifier scoring
+    over the whole corpus (functions/text.classifier_logit — hashed
+    bag-of-words features, integer weight fold, one exact division), the
+    standard quality-classifier pass of an LLM data pipeline.  Pure
+    map-side column expressions: at 100 TB this is a single scan with
+    zero shuffle, and a real released weight table drops in with the
+    same plan shape (hash_weight's docstring).  Value-gated end to end —
+    integer weight sums and an exact-input IEEE division, so the double
+    logit hashes bit-exact."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.classifier_logit("text").alias("logit"),
+    ).withColumn("label", F.col("logit") > F.lit(0.0))
+
+
+_CLASSIFY_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform({_SQL_TOKENS},
+                    t -> ('0x' || substring(md5('w|' || t), 1, 8))::BIGINT
+                         % 2001 - 1000)) AS BIGINT) AS wsum
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(wsum AS DOUBLE) / n_tokens AS logit,
+           CAST(wsum AS DOUBLE) / n_tokens > 0 AS label
+    FROM w
+"""
+
+
+def docs_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document segment-level dedup (operators/dedup.segment_dedup):
+    the RefinedWeb "drop lines duplicated anywhere in the corpus" rule
+    with a fixed 8-token segmenter, keep-first by (doc_id, seg_idx),
+    documents rebuilt from surviving segments.  All-integer + string —
+    value-gated end to end including the reconstructed text."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.segment_dedup(docs, "text", "doc_id", seg_tokens=8)
+
+
+_DEDUP_SEGMENTS_SQL = f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    idx AS MATERIALIZED (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS seg_idx
+        FROM tok),
+    segs AS MATERIALIZED (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(toks[seg_idx * 8 + 1 : seg_idx * 8 + 8], ' ')
+                   AS seg
+        FROM idx),
+    flagged AS MATERIALIZED (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) = 1 AS kept
+        FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE kept), '') AS text_dedup
+    FROM flagged GROUP BY doc_id
 """
 
 
@@ -3774,6 +3916,8 @@ QUERIES = {
     "dedup_fuzzy": dedup_fuzzy,
     "dedup_canonical": dedup_canonical,
     "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
+    "docs_dedup_segments": docs_dedup_segments,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
     "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
@@ -3802,6 +3946,7 @@ QUERIES = {
     "text_bpe_gate": text_bpe_gate,
     "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
+    "docs_classify": docs_classify,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
@@ -3867,6 +4012,8 @@ ORACLE: dict[str, str] = {
     "dedup_fuzzy": _DEDUP_FUZZY_SQL,
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
     "dedup_embedding": _emb_dup_sql(),
+    "dedup_semantic": _semdedup_sql(),
+    "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,
@@ -3895,6 +4042,7 @@ ORACLE: dict[str, str] = {
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_bpe_gate": _BPE_GATE_SQL,
     "text_lm_score": _LM_SCORE_SQL,
+    "docs_classify": _CLASSIFY_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
