@@ -454,3 +454,63 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.col("n_chars").alias("meta_width"),
         F.lit(1).cast("long").alias("meta_height"),
     )
+
+
+def perceptual_hash_bits(px: "np.ndarray"):
+    """Integer dHash (difference hash — the standard perceptual-hash family
+    used for near-duplicate image detection) over decoded pixels, with NO
+    floats anywhere: per-pixel integer luma 299·R + 587·G + 114·B (the
+    BT.601 weights ×1000), one bit per horizontal neighbor pair
+    (left < right), raster order, LSB first.
+
+    Defined for images with (w−1)·h ≤ 63 so the hash fits a signed BIGINT
+    without touching the sign bit; production images are resize()d to 8×8
+    first (56 gradient bits — the classic 64-bit 9×8 dHash needs an
+    unsigned container this column type doesn't have).  Returns None for
+    width < 2 or oversize inputs.
+    """
+    h, w = px.shape[0], px.shape[1]
+    if w < 2 or (w - 1) * h > 63:
+        return None
+    lum = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    bits = (lum[:, :-1] < lum[:, 1:]).ravel()
+    return int(sum(int(b) << i for i, b in enumerate(bits)))
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """binary payload -> (media_id, width, height, phash) via the REAL
+    image decode + integer dHash.  Non-decodable payloads get NULL phash
+    (callers route them to the content-digest dedup instead).
+
+    Arrow-batched mapInPandas on the scan — embarrassingly parallel, no
+    shuffle; the dedup step downstream is one hash partition by phash,
+    exactly the exact_dedup scale shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, phs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_image(payload)
+                ids.append(mid)
+                if dec is None:
+                    ws.append(None)
+                    hs.append(None)
+                    phs.append(None)
+                else:
+                    w, h, px = dec
+                    ws.append(w)
+                    hs.append(h)
+                    phs.append(perceptual_hash_bits(px))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "phash": phs},
+                dtype="object",
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, width long, height long, phash long"
+    )

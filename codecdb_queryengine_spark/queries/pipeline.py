@@ -1541,6 +1541,83 @@ def _mm_decode_real_sql() -> str:
     """
 
 
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup through the REAL decode path: the same
+    synthetic 4×2 binary-PPM payloads as mm_decode_real, decoded by numpy
+    in mapInPandas, hashed with the all-integer dHash
+    (multimodal.perceptual_hash_bits — BT.601 integer luma, 6 horizontal
+    gradient bits), then exact keep-first dedup by hash.  The whole chain
+    is integers, so the gate hashes (media_id, phash, keep_id, n_copies,
+    is_dup) bit-exact against a DuckDB oracle that recomputes every pixel
+    from the md5 hex.  Scale shape: map-side decode+hash on the scan, ONE
+    hash partition by phash — identical to exact_dedup."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = bytearray(b"P6\n4 2\n255\n")
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(F.md5(F.col("text"))),
+        F.unhex(F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16)),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(4).cast("long").alias("meta_width"),
+        F.lit(2).cast("long").alias("meta_height"),
+    )
+    ph = M.perceptual_hash(media)
+    grp = Window.partitionBy("phash")
+    return (
+        ph.select(
+            "media_id",
+            "phash",
+            F.min("media_id").over(grp).alias("keep_id"),
+            F.count(F.lit(1)).over(grp).alias("n_copies"),
+        )
+        .withColumn("is_dup", F.col("media_id") != F.col("keep_id"))
+    )
+
+
+def _mm_phash_sql() -> str:
+    # Same byte layout as _mm_decode_real_sql: pixel i channels
+    # (3i, 3i+1, 3i+2); bytes 0..15 from md5(text), 16..23 from
+    # md5(text||'x'); 4×2 row-major.  Integer luma ×1000, LSB-first
+    # gradient bits over horizontal neighbors (3 per row × 2 rows).
+    def byte(k: int) -> str:
+        if k < 16:
+            return f"('0x' || substr(md5(text), {2 * k + 1}, 2))::BIGINT"
+        k -= 16
+        return f"('0x' || substr(md5(text || 'x'), {2 * k + 1}, 2))::BIGINT"
+
+    def ilum(i: int) -> str:
+        return (
+            f"(299 * {byte(3 * i)} + 587 * {byte(3 * i + 1)}"
+            f" + 114 * {byte(3 * i + 2)})"
+        )
+
+    # bit k for (row r, col c): k = r*3 + c, pixels row-major (row0: 0-3)
+    bits = []
+    for r in range(2):
+        for c in range(3):
+            i = r * 4 + c
+            k = r * 3 + c
+            bits.append(
+                f"(CASE WHEN {ilum(i)} < {ilum(i + 1)} THEN {1 << k} ELSE 0 END)"
+            )
+    phash = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT doc_id AS media_id, {phash} AS phash FROM documents)
+        SELECT media_id, phash,
+               min(media_id) OVER (PARTITION BY phash) AS keep_id,
+               count(*) OVER (PARTITION BY phash) AS n_copies,
+               media_id <> min(media_id) OVER (PARTITION BY phash) AS is_dup
+        FROM p
+    """
+
+
 def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real AUDIO decode tier under the value gate (mm_decode_real's
     audio sibling): each document's md5 bytes become a genuine 44-byte-
@@ -3969,6 +4046,7 @@ QUERIES = {
     "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
+    "mm_phash_dedup": mm_phash_dedup,
     "mm_decode_audio": mm_decode_audio,
     "mm_decode_video": mm_decode_video,
     "mm_frames": mm_frames,
@@ -4063,6 +4141,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq_trained_gate": _gate_invariants_sql(),
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
+    "mm_phash_dedup": _mm_phash_sql(),
     "mm_decode_audio": _mm_decode_audio_sql(),
     "mm_decode_video": _MM_DECODE_VIDEO_SQL,
     "mm_frames": _MM_FRAMES_SQL,

@@ -179,3 +179,34 @@ def test_decode_y4m_rejects_high_bitdepth_and_parses_8bit_aliases():
         assert np.array_equal(got[0], frames[0])
     for deep in (b"C420p10", b"C420p12", b"C420p16", b"C422p10"):
         assert M.decode_y4m(payload.replace(b"C420", deep)) is None
+
+
+def test_perceptual_hash_bits_known_image():
+    # 2x2 image: luma row0 rises (bit0=1), row1 falls (bit1=0)
+    px = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert M.perceptual_hash_bits(px) == 0b01
+    # constant image: no strict rise anywhere -> 0
+    flat = np.full((2, 4, 3), 7, dtype=np.uint8)
+    assert M.perceptual_hash_bits(flat) == 0
+    # width 1 (no neighbor pairs) and oversize (>63 bits) are undefined
+    assert M.perceptual_hash_bits(np.zeros((3, 1, 3), dtype=np.uint8)) is None
+    assert M.perceptual_hash_bits(np.zeros((9, 9, 3), dtype=np.uint8)) is None
+    # 8x8 (56 bits) is the production resize target and must be accepted
+    assert M.perceptual_hash_bits(np.zeros((8, 8, 3), dtype=np.uint8)) == 0
+
+
+def test_perceptual_hash_spark_identical_payloads_collide(spark):
+    header = b"P6\n2 2\n255\n"
+    img_a = header + bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
+    img_b = header + bytes(range(12))
+    rows = [(0, img_a), (1, img_a), (2, img_b), (3, b"not an image")]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in M.perceptual_hash(media).collect()}
+    assert out[0]["phash"] == out[1]["phash"] == 1
+    assert out[2]["phash"] is not None and out[2]["phash"] != 1
+    assert out[3]["phash"] is None and out[3]["width"] is None
