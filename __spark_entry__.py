@@ -49,8 +49,10 @@ BENCH_SKIP |= {
 # sketch-contract approx entries, fold-vs-Arrow parity, checkpointed CC and
 # the bucketed zero-shuffle Q3 — followed by every remaining never-driver-
 # gated non-SQL name (incl. the late-r5 persisted/streaming IVFADC pair),
-# then 14 of the 21 never-gated TPC-H SQL-text twins (q16-22_sql + the 12
-# SSB *_sql twins complete in r6).  Everything rotated
+# then the late-r5 training-pipeline additions (SemDeDup, segment-level
+# dedup, classifier inference, perceptual-hash image dedup — all value-
+# gated) and 10 of the never-gated TPC-H SQL-text twins (q11-22_sql + the
+# 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
@@ -96,6 +98,11 @@ DRIVER_FIRST = [
     "events_stream_files",
     "docs_shuffle_order",
     "docs_length_hist",
+    # late-r5 training-pipeline additions (all value-gated)
+    "dedup_semantic",
+    "docs_dedup_segments",
+    "docs_classify",
+    "mm_phash_dedup",
     # never-driver-gated TPC-H SQL-text twins (parse/analyze path)
     "q1_sql",
     "q2_sql",
@@ -107,10 +114,6 @@ DRIVER_FIRST = [
     "q8_sql",
     "q9_sql",
     "q10_sql",
-    "q11_sql",
-    "q12_sql",
-    "q14_sql",
-    "q15_sql",
 ]
 
 
