@@ -1618,6 +1618,66 @@ def _mm_phash_sql() -> str:
     """
 
 
+def mm_phash_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → perceptual-hash composition under the value gate: the 4×2
+    PPM payloads are nearest-neighbor-resized to 8×4 by the REAL pixel
+    resampler (multimodal.resize — the one transform previously pinned
+    only by unit fixtures), then dHashed (28 gradient bits).  The resize
+    index maps are deterministic integers (ys = ⌊r·2/4⌋, xs = ⌊c·4/8⌋),
+    so the oracle replays the resample by reindexing the same md5-derived
+    pixels — the whole chain stays bit-exact."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    header = bytearray(b"P6\n4 2\n255\n")
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(F.md5(F.col("text"))),
+        F.unhex(F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16)),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(4).cast("long").alias("meta_width"),
+        F.lit(2).cast("long").alias("meta_height"),
+    )
+    return M.perceptual_hash(M.resize(media, 8, 4)).orderBy("media_id")
+
+
+def _mm_phash_resized_sql() -> str:
+    # Nearest-neighbor index maps for 4×2 -> 8×4: row r reads source row
+    # (r*2)//4, col c reads source col (c*4)//8; source pixel (sr, sc) is
+    # flat index sr*4+sc over the mm_decode_real md5 byte layout.
+    def byte(k: int) -> str:
+        if k < 16:
+            return f"('0x' || substr(md5(text), {2 * k + 1}, 2))::BIGINT"
+        k -= 16
+        return f"('0x' || substr(md5(text || 'x'), {2 * k + 1}, 2))::BIGINT"
+
+    def ilum(i: int) -> str:
+        return (
+            f"(299 * {byte(3 * i)} + 587 * {byte(3 * i + 1)}"
+            f" + 114 * {byte(3 * i + 2)})"
+        )
+
+    ys = [(r * 2) // 4 for r in range(4)]
+    xs = [(c * 4) // 8 for c in range(8)]
+    bits = []
+    for r in range(4):
+        for c in range(7):
+            left = ilum(ys[r] * 4 + xs[c])
+            right = ilum(ys[r] * 4 + xs[c + 1])
+            k = r * 7 + c
+            bits.append(f"(CASE WHEN {left} < {right} THEN {1 << k} ELSE 0 END)")
+    phash = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(8 AS BIGINT) AS width,
+               CAST(4 AS BIGINT) AS height,
+               {phash} AS phash
+        FROM documents ORDER BY media_id
+    """
+
+
 def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real AUDIO decode tier under the value gate (mm_decode_real's
     audio sibling): each document's md5 bytes become a genuine 44-byte-
@@ -4047,6 +4107,7 @@ QUERIES = {
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
     "mm_phash_dedup": mm_phash_dedup,
+    "mm_phash_resized": mm_phash_resized,
     "mm_decode_audio": mm_decode_audio,
     "mm_decode_video": mm_decode_video,
     "mm_frames": mm_frames,
@@ -4142,6 +4203,7 @@ ORACLE: dict[str, str] = {
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
     "mm_phash_dedup": _mm_phash_sql(),
+    "mm_phash_resized": _mm_phash_resized_sql(),
     "mm_decode_audio": _mm_decode_audio_sql(),
     "mm_decode_video": _MM_DECODE_VIDEO_SQL,
     "mm_frames": _MM_FRAMES_SQL,
