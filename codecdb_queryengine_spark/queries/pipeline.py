@@ -2671,6 +2671,35 @@ _DEDUP_SEGMENTS_SQL = f"""
 """
 
 
+_SEARCH_TERMS = ["hash", "scan", "merge"]
+
+
+def docs_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search through the PERSISTED inverted index
+    (sources/text_index): build the bucket-partitioned postings layout
+    once, then answer "documents containing ALL query terms" by scanning
+    only the buckets the terms hash to (plan-time static pruning) with the
+    `term IN` predicate pushed to parquet.  The result is exact set
+    membership — the oracle restates it directly on the corpus — so the
+    gate checks the whole build→persist→prune→intersect loop."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index", sf_dir)
+    TI.text_index_build(docs, path)
+    hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS)
+    return docs.join(hits, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _search_index_sql() -> str:
+    conds = " AND ".join(
+        f"list_contains({_SQL_TOKENS}, '{t}')" for t in _SEARCH_TERMS
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {conds}"
+
+
 def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy probe: sketch all token occurrences
     (depth 4 × width 64 — deliberately small so collisions are visible),
@@ -4055,6 +4084,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "docs_dedup_segments": docs_dedup_segments,
+    "docs_search_index": docs_search_index,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
     "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
@@ -4153,6 +4183,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_sql(),
     "dedup_semantic": _semdedup_sql(),
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
+    "docs_search_index": _search_index_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,

@@ -1,0 +1,92 @@
+"""Persisted inverted text index: build once as a bucket-partitioned
+postings layout, serve conjunctive term queries reading only the buckets
+the query terms hash to.
+
+The text analog of sources/ann_index: the reference engine's world has no
+full-text surface (its tables are TPC-H/SSB — SURVEY.md §2), but a corpus
+store that answers "which documents contain all of these terms?" is a
+standard capability next to the dedup/decontamination operators — e.g.
+benchmark-contamination audits look up exact benchmark phrases corpus-wide.
+
+Layout contract:
+- `<path>/postings`: (doc_id, term) DISTINCT pairs, partitioned by
+  `t_bucket = md5_slice32("ti|" + term) % num_buckets`.  Partitioning by
+  a hash bucket (not the raw term) keeps the directory fanout fixed while
+  still letting a term query prune: the query's bucket set is computable
+  AT PLAN TIME (md5 is engine- and driver-side reproducible), so the scan
+  reads only |distinct buckets(terms)| partitions — static pruning, no
+  DPP subquery needed — and the parquet `term IN (...)` pushdown prunes
+  row groups within each bucket.
+
+Scale shape: build is one explode + one repartition-by-bucket write
+(linear in corpus token count); a k-term query reads ≤ k/num_buckets of
+the postings regardless of corpus size, and the conjunctive AND is one
+groupBy(doc_id) count over just those postings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.functions import text as T
+
+
+def _bucket_of(term: str, num_buckets: int) -> int:
+    """Driver-side mirror of functions/text.md5_slice32('ti|', term) —
+    bit-identical to the JVM md5 build-side expression, so plan-time
+    pruning and the stored layout can never disagree."""
+    return int(hashlib.md5(f"ti|{term}".encode()).hexdigest()[:8], 16) % num_buckets
+
+
+def text_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Explode per-document DISTINCT terms and persist the postings
+    partitioned by term bucket."""
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens(text_col))).alias("term"),
+    ).withColumn(
+        "t_bucket", (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
+    )
+    (
+        postings.repartition("t_bucket")
+        .write.mode("overwrite")
+        .partitionBy("t_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+
+
+def text_index_search_all(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    num_buckets: int = 32,
+) -> DataFrame:
+    """doc_ids containing ALL `terms`: postings-intersection as one count.
+
+    The bucket literals are computed driver-side, so partition pruning is
+    static (the scan lists only those directories); the `term IN` filter
+    reaches parquet as a pushed predicate.  Postings are distinct
+    (doc, term) pairs, so `count(*) == len(terms)` is the exact AND.
+    """
+    want = sorted(set(terms))
+    buckets = sorted({_bucket_of(t, num_buckets) for t in want})
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    hits = postings.filter(
+        F.col("t_bucket").isin(buckets) & F.col("term").isin(want)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == len(want))
+        .select("doc_id")
+    )

@@ -1,0 +1,67 @@
+"""Persisted inverted text index (sources/text_index): build, prune, AND."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.sources import text_index as TI
+
+
+def _corpus(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "beta gamma delta"),
+        (3, "alpha alpha alpha"),  # duplicate tokens must not double-count
+        (4, "epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_search_all_terms_is_exact_and(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(
+            spark, path, ["alpha", "beta"], num_buckets=8
+        ).collect()
+    }
+    assert got == {0, 1}
+    # single term, duplicated in-doc: present once
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(spark, path, ["alpha"], num_buckets=8).collect()
+    }
+    assert got == {0, 1, 3}
+    # absent term: empty intersection
+    assert (
+        TI.text_index_search_all(spark, path, ["alpha", "zeta"], num_buckets=8).count()
+        == 0
+    )
+
+
+def test_driver_bucket_mirrors_jvm_expression(spark):
+    """_bucket_of (plan-time pruning) must match the build-side JVM md5
+    bucket expression for every term, or a query would prune away the
+    partition holding its own postings."""
+    from codecdb_queryengine_spark.functions import text as T
+
+    terms = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "Ω", ""]
+    df = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term", (T.md5_slice32("ti|", F.col("term")) % 8).alias("b")
+    )
+    jvm = {r["term"]: r["b"] for r in df.collect()}
+    assert jvm == {t: TI._bucket_of(t, 8) for t in terms}
+
+
+def test_search_reads_only_hashed_buckets(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    df = TI.text_index_search_all(spark, path, ["alpha", "beta"], num_buckets=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    want = sorted({TI._bucket_of(t, 8) for t in ["alpha", "beta"]})
+    assert "PartitionFilters: [t_bucket" in plan
+    assert all(str(b) in plan.split("PartitionFilters")[1][:80] for b in want)
+    assert len(glob.glob(path + "/postings/t_bucket=*")) >= len(want)
