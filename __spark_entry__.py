@@ -51,7 +51,7 @@ BENCH_SKIP |= {
 # gated non-SQL name (incl. the late-r5 persisted/streaming IVFADC pair),
 # then the late-r5 training-pipeline additions (SemDeDup, segment-level
 # dedup, classifier inference, perceptual-hash image dedup — all value-
-# gated) and 10 of the never-gated TPC-H SQL-text twins (q11-22_sql + the
+# gated) and 8 of the never-gated TPC-H SQL-text twins (q9-22_sql + the
 # 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
@@ -103,6 +103,8 @@ DRIVER_FIRST = [
     "docs_dedup_segments",
     "docs_classify",
     "mm_phash_dedup",
+    "mm_phash_resized",
+    "docs_search_index",
     # never-driver-gated TPC-H SQL-text twins (parse/analyze path)
     "q1_sql",
     "q2_sql",
@@ -112,8 +114,6 @@ DRIVER_FIRST = [
     "q6_sql",
     "q7_sql",
     "q8_sql",
-    "q9_sql",
-    "q10_sql",
 ]
 
 
