@@ -2700,6 +2700,40 @@ def _search_index_sql() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {conds}"
 
 
+def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus indexing: documents arrive as a stream, postings
+    are derived IN-STREAM (sources/text_index.postings_of is a stateless
+    projection + explode, so it runs unchanged on a streaming frame) and
+    appended EXACTLY-ONCE into the bucket-partitioned postings layout
+    (file-sink commit log); the drained index then answers the standard
+    conjunctive search through the plan-time bucket-pruned read path —
+    the text twin of emb_stream_index_ingest, gated by the same
+    docs_search_index oracle."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+    from codecdb_queryengine_spark.streaming import events as E
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # fresh: the file sink's commit log must not see a prior invocation's
+    # ingested postings or the stream would (correctly) append nothing new
+    base = _scratch_dir("text_stream_index", sf_dir, fresh=True)
+    stream = E.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    postings = TI.postings_of(stream)
+    q = SK.stream_to_parquet(
+        postings,
+        os.path.join(base, "postings"),
+        os.path.join(base, "ckpt"),
+        partition_by=("t_bucket",),
+    )
+    q.awaitTermination()
+    hits = TI.text_index_search_all(spark, base, _SEARCH_TERMS)
+    return docs.join(hits, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy probe: sketch all token occurrences
     (depth 4 × width 64 — deliberately small so collisions are visible),
@@ -4085,6 +4119,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "docs_dedup_segments": docs_dedup_segments,
     "docs_search_index": docs_search_index,
+    "docs_stream_index_ingest": docs_stream_index_ingest,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
     "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
@@ -4184,6 +4219,7 @@ ORACLE: dict[str, str] = {
     "dedup_semantic": _semdedup_sql(),
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
     "docs_search_index": _search_index_sql(),
+    "docs_stream_index_ingest": _search_index_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,

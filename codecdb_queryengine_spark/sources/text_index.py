@@ -42,6 +42,25 @@ def _bucket_of(term: str, num_buckets: int) -> int:
     return int(hashlib.md5(f"ti|{term}".encode()).hexdigest()[:8], 16) % num_buckets
 
 
+def postings_of(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, term, t_bucket): per-document DISTINCT terms with their
+    layout bucket.  A stateless projection + explode, so it runs unchanged
+    on a STREAMING frame — the in-stream indexing path
+    (docs_stream_index_ingest) and the batch build share this exact
+    expression, which is what keeps the two layouts interchangeable."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens(text_col))).alias("term"),
+    ).withColumn(
+        "t_bucket", (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
+    )
+
+
 def text_index_build(
     docs: DataFrame,
     path: str,
@@ -51,12 +70,7 @@ def text_index_build(
 ) -> None:
     """Explode per-document DISTINCT terms and persist the postings
     partitioned by term bucket."""
-    postings = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(T.tokens(text_col))).alias("term"),
-    ).withColumn(
-        "t_bucket", (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
-    )
+    postings = postings_of(docs, text_col, id_col, num_buckets)
     (
         postings.repartition("t_bucket")
         .write.mode("overwrite")
