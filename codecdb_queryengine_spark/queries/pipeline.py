@@ -2700,6 +2700,36 @@ def _search_index_sql() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {conds}"
 
 
+_SEARCH_PHRASE = ["hash", "join"]
+
+
+def docs_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through the POSITIONAL index layout
+    (sources/text_index.text_index_build_positional): occurrences of
+    phrase[i] at anchor+i joined on (doc, position) over just the phrase
+    terms' pruned buckets.  The oracle restates the phrase as substring
+    containment over the single-space-normalized token stream — exact,
+    because whitespace tokens cannot contain the separator."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index", sf_dir)
+    TI.text_index_build_positional(docs, path)
+    hits = TI.text_index_search_phrase(spark, path, _SEARCH_PHRASE)
+    return docs.join(hits, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _search_phrase_sql() -> str:
+    phrase = " ".join(_SEARCH_PHRASE)
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE contains(' ' || array_to_string({_SQL_TOKENS}, ' ') || ' ',
+                       ' {phrase} ')
+    """
+
+
 def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus indexing: documents arrive as a stream, postings
     are derived IN-STREAM (sources/text_index.postings_of is a stateless
@@ -4119,6 +4149,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "docs_dedup_segments": docs_dedup_segments,
     "docs_search_index": docs_search_index,
+    "docs_search_phrase": docs_search_phrase,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
@@ -4219,6 +4250,7 @@ ORACLE: dict[str, str] = {
     "dedup_semantic": _semdedup_sql(),
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
     "docs_search_index": _search_index_sql(),
+    "docs_search_phrase": _search_phrase_sql(),
     "docs_stream_index_ingest": _search_index_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,

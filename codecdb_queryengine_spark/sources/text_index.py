@@ -104,3 +104,71 @@ def text_index_search_all(
         .filter(F.col("n_hit") == len(want))
         .select("doc_id")
     )
+
+
+# --- positional postings: phrase queries ------------------------------------
+
+
+def positional_postings_of(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, pos, term, t_bucket): EVERY token occurrence with its
+    0-based position — the positional layout phrase queries need (the
+    distinct layout answers AND/OR membership but cannot see adjacency).
+    ~n_tokens rows instead of distinct-terms rows; same bucketing."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(T.tokens(text_col)).alias("pos", "term"),
+    ).withColumn(
+        "t_bucket", (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
+    )
+
+
+def text_index_build_positional(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persist the positional postings under `<path>/postings_pos`,
+    bucket-partitioned like the distinct layout."""
+    (
+        positional_postings_of(docs, text_col, id_col, num_buckets)
+        .repartition("t_bucket")
+        .write.mode("overwrite")
+        .partitionBy("t_bucket")
+        .parquet(os.path.join(path, "postings_pos"))
+    )
+
+
+def text_index_search_phrase(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    num_buckets: int = 32,
+) -> DataFrame:
+    """doc_ids containing the exact token phrase: the classic positional-
+    postings join — occurrences of phrase[i] at position p+i for every i,
+    intersected on (doc_id, anchor position).  Bucket pruning and term
+    pushdown are identical to the AND search; the joins run only over the
+    phrase terms' pruned postings, keyed by (doc_id, pos) — no corpus
+    scan, no row explosion beyond the terms' occurrence lists."""
+    assert phrase, "empty phrase"
+    buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
+    postings = spark.read.parquet(os.path.join(path, "postings_pos"))
+    hits = postings.filter(
+        F.col("t_bucket").isin(buckets) & F.col("term").isin(sorted(set(phrase)))
+    ).select("doc_id", "pos", "term")
+    anchor = hits.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = hits.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "p0"])
+    return anchor.select("doc_id").distinct()

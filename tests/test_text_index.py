@@ -65,3 +65,29 @@ def test_search_reads_only_hashed_buckets(spark, tmp_path):
     assert "PartitionFilters: [t_bucket" in plan
     assert all(str(b) in plan.split("PartitionFilters")[1][:80] for b in want)
     assert len(glob.glob(path + "/postings/t_bucket=*")) >= len(want)
+
+
+def test_phrase_search_adjacency_and_repeats(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    TI.text_index_build_positional(_corpus(spark), path, num_buckets=8)
+
+    def phrase(*terms):
+        return {
+            r["doc_id"]
+            for r in TI.text_index_search_phrase(
+                spark, path, list(terms), num_buckets=8
+            ).collect()
+        }
+
+    # adjacency, not just co-occurrence: docs 0/1 have "alpha beta";
+    # doc 2 has beta and gamma adjacent but NOT alpha beta
+    assert phrase("alpha", "beta") == {0, 1}
+    assert phrase("beta", "gamma") == {0, 2}
+    # order matters
+    assert phrase("beta", "alpha") == set()
+    # repeated-term phrase must anchor on true consecutive positions
+    assert phrase("alpha", "alpha") == {3}
+    assert phrase("alpha", "alpha", "alpha") == {3}
+    assert phrase("alpha", "alpha", "alpha", "alpha") == set()
+    # single-term phrase degenerates to membership
+    assert phrase("epsilon") == {4}
