@@ -2730,6 +2730,66 @@ def _search_phrase_sql() -> str:
     """
 
 
+def docs_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 ranked retrieval through the persisted tf layout
+    (sources/text_index.text_index_search_ranked): BM25-shaped scoring
+    with the rational idf (the inside of BM25's log — ln is the one
+    non-correctly-rounded op, so the gated surface stays log-free; the
+    docstring there has the full argument).  Every input is an exact
+    integer and the score expression tree is mirrored verbatim in the
+    oracle, so the double scores hash bit-exact."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index", sf_dir)
+    TI.text_index_build_ranked(docs, path)
+    return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
+
+
+def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
+    want = sorted(set(_SEARCH_TERMS))
+    terms_in = ", ".join(f"'{t}'" for t in want)
+    cases = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN part END) AS p{i}"
+        for i, t in enumerate(want)
+    )
+    score = " + ".join(f"coalesce(p{i}, 0.0)" for i in range(len(want)))
+    return f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        dl AS MATERIALIZED (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        st AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+            WHERE term IN ({terms_in})
+            GROUP BY doc_id, term),
+        f AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        parts AS MATERIALIZED (
+            SELECT t.doc_id, t.term,
+                   ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                    / (CAST(f.df AS DOUBLE) + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * {k1 + 1.0})
+                      / (CAST(t.tf AS DOUBLE)
+                         + {k1} * ({1.0 - b} + {b}
+                             * (CAST(d.dl AS DOUBLE)
+                                / (CAST(s.sum_dl AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE)))))) AS part
+            FROM tf t
+            JOIN dl d ON d.doc_id = t.doc_id
+            JOIN f ON f.term = t.term
+            CROSS JOIN st s),
+        agg AS MATERIALIZED (
+            SELECT doc_id, {cases} FROM parts GROUP BY doc_id)
+        SELECT doc_id, {score} AS score
+        FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
 def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus indexing: documents arrive as a stream, postings
     are derived IN-STREAM (sources/text_index.postings_of is a stateless
@@ -4150,6 +4210,7 @@ QUERIES = {
     "docs_dedup_segments": docs_dedup_segments,
     "docs_search_index": docs_search_index,
     "docs_search_phrase": docs_search_phrase,
+    "docs_search_ranked": docs_search_ranked,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
@@ -4251,6 +4312,7 @@ ORACLE: dict[str, str] = {
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
     "docs_search_index": _search_index_sql(),
     "docs_search_phrase": _search_phrase_sql(),
+    "docs_search_ranked": _search_ranked_sql(),
     "docs_stream_index_ingest": _search_index_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,

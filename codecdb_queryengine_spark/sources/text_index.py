@@ -172,3 +172,108 @@ def text_index_search_phrase(
         )
         anchor = anchor.join(nxt, ["doc_id", "p0"])
     return anchor.select("doc_id").distinct()
+
+
+# --- ranked retrieval (BM25-shaped) -----------------------------------------
+
+
+def text_index_build_ranked(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persist the ranked-retrieval layout: `<path>/postings_tf`
+    (doc_id, term, tf) bucket-partitioned like the other layouts, plus
+    `<path>/doclens` (doc_id, dl) — the per-document statistics BM25-style
+    scoring needs."""
+    pos = positional_postings_of(docs, text_col, id_col, num_buckets)
+    tf = pos.groupBy("doc_id", "term", "t_bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    (
+        tf.repartition("t_bucket")
+        .write.mode("overwrite")
+        .partitionBy("t_bucket")
+        .parquet(os.path.join(path, "postings_tf"))
+    )
+    docs.select(
+        F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
+    ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+
+
+def text_index_search_ranked(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.25,
+    b: float = 0.75,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Top-k documents by a BM25-shaped score over the persisted ranked
+    layout (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+    Framework"): per query term,
+
+        part(t, d) = idf_r(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with the RATIONAL idf  idf_r = (N − df + 0.5)/(df + 0.5) — the inside
+    of BM25's log, used without the log.  The log is monotone, so the
+    PER-TERM preference order is classical BM25's; the cross-engine reason
+    is harder: ln() is the one op here that is not IEEE-correctly-rounded
+    (JVM vs DuckDB libm differ at the last ulp — the classifier_logit
+    sigmoid note), while +,−,×,÷ on exact-integer inputs are deterministic
+    in any IEEE engine.  A serving stack that wants the textbook ln(idf)
+    drops it in unchanged — same plan, same layout.
+
+    The per-document score sums the ≤|terms| parts in FIXED term order
+    (one pivoted column per query term, added left-to-right), so the
+    double is reproducible under any partitioning or merge order.
+
+    Scale shape: bucket pruning + term pushdown as in the boolean search;
+    df comes from the pruned postings themselves (one k-row aggregate),
+    corpus stats (N, Σdl) are a 1-row broadcast, and the final top-k is a
+    TakeOrderedAndProject — no corpus scan anywhere.
+    """
+    assert terms, "empty query"
+    want = sorted(set(terms))
+    buckets = sorted({_bucket_of(t, num_buckets) for t in want})
+    tfp = (
+        spark.read.parquet(os.path.join(path, "postings_tf"))
+        .filter(F.col("t_bucket").isin(buckets) & F.col("term").isin(want))
+        .select("doc_id", "term", "tf")
+    )
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfs = tfp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hits = (
+        tfp.join(doclens, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_r = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tff = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    parts = hits.select("doc_id", "term", (idf_r * tff).alias("part"))
+    agg = parts.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("part"))).alias(f"p{i}")
+            for i, t in enumerate(want)
+        ]
+    )
+    score = F.coalesce(F.col("p0"), F.lit(0.0))
+    for i in range(1, len(want)):
+        score = score + F.coalesce(F.col(f"p{i}"), F.lit(0.0))
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

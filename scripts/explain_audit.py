@@ -48,6 +48,9 @@ EXPECT_NESTED = {
     # the corpus token total (text_lm_score) join every probe row by design
     "dedup_incremental",
     "text_lm_score",
+    # ranked retrieval joins the 1-row (N, Σdl) corpus-stats aggregate to
+    # every pruned posting row (the BM25 normalization constants)
+    "docs_search_ranked",
     # heavy-hitters joins the 1-row total-count aggregate to every candidate
     # count row (the de-collected threshold probe, r4)
     "text_heavy_hitters",

@@ -91,3 +91,23 @@ def test_phrase_search_adjacency_and_repeats(spark, tmp_path):
     assert phrase("alpha", "alpha", "alpha", "alpha") == set()
     # single-term phrase degenerates to membership
     assert phrase("epsilon") == {4}
+
+
+def test_ranked_search_prefers_rare_terms_and_high_tf(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    rows = [
+        (0, "rare rare common filler filler filler"),
+        (1, "rare common filler filler filler filler"),
+        (2, "common filler filler filler filler filler"),
+        (3, "filler filler filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    TI.text_index_build_ranked(docs, path, num_buckets=8)
+    out = TI.text_index_search_ranked(
+        spark, path, ["rare", "common"], k=4, num_buckets=8
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 3 has neither term -> absent entirely (no postings row)
+    assert ids == [0, 1, 2]
+    scores = [r["score"] for r in out]
+    assert scores[0] > scores[1] > scores[2] > 0.0
