@@ -51,7 +51,8 @@ BENCH_SKIP |= {
 # gated non-SQL name (incl. the late-r5 persisted/streaming IVFADC pair),
 # then the late-r5 training-pipeline additions (SemDeDup, segment-level
 # dedup, classifier inference, perceptual-hash image dedup — all value-
-# gated) and 8 of the never-gated TPC-H SQL-text twins (q9-22_sql + the
+# gated, incl. the boolean/phrase/ranked text-index trio) and 6 of the
+# never-gated TPC-H SQL-text twins (q7-22_sql + the
 # 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
@@ -105,6 +106,8 @@ DRIVER_FIRST = [
     "mm_phash_dedup",
     "mm_phash_resized",
     "docs_search_index",
+    "docs_search_phrase",
+    "docs_search_ranked",
     # never-driver-gated TPC-H SQL-text twins (parse/analyze path)
     "q1_sql",
     "q2_sql",
@@ -112,8 +115,6 @@ DRIVER_FIRST = [
     "q4_sql",
     "q5_sql",
     "q6_sql",
-    "q7_sql",
-    "q8_sql",
 ]
 
 
