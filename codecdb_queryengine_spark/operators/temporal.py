@@ -128,3 +128,53 @@ def range_join(
         F.col(f"r.{c}{right_suffix}") for c in r_cols
     ]
     return pairs.filter(in_range).select(*keep)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Linear-interpolation gap fill over a (possibly dense-gridded)
+    series: rows where `v_col` IS NULL get
+        v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)
+    between the nearest non-null neighbors per key; rows outside a key's
+    observed span stay NULL.  The fill(linear)/interpolate() of
+    timeseries stores.
+
+    `t_col` must be an integer-valued column (epoch seconds, bucket
+    index) and `v_col` integer-valued: the interpolation is then ONE
+    float expression over exact inputs, deterministic on any IEEE engine
+    (+,−,×,÷ are correctly rounded; this is why the operator takes the
+    integers rather than doubles).
+
+    Scale shape: two running last/first IGNORE-NULLS windows per key —
+    ONE hash shuffle on the key, per-row state.  Returns the input
+    columns plus `observed` and `v_filled` (double).
+    """
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v, t = F.col(v_col), F.col(t_col)
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v_col, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first(v_col, ignorenulls=True).over(wn)
+    next_t = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = prev_v.cast("double") + (next_v - prev_v).cast("double") * (
+        (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    )
+    return df.withColumn("observed", v.isNotNull()).withColumn(
+        "v_filled",
+        F.when(v.isNotNull(), v.cast("double")).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )

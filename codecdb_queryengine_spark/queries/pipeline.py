@@ -1137,6 +1137,122 @@ def _semdedup_sql(
     """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids over the embeddings table — the grouped
+    VECTOR AGGREGATE of an embedding-curation pipeline (class prototypes
+    for label-noise checks, per-class drift monitors).  One wide
+    aggregation (count + 64 per-dimension BIGINT sums over the
+    micro-quantized vectors, map-side combinable) unpivoted to
+    (label, dim_idx) rows — no row explosion before the shuffle.  Sums
+    are exact integers and the mean is one exact-input IEEE division, so
+    every column hashes bit-exact."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vm = emb.select(
+        F.col("label").cast("long").alias("label"),
+        S.quantize_micro(F.col("embedding")).alias("v"),
+    )
+    agg = vm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(F.element_at("v", j)).alias(f"s{j}") for j in range(1, 65)],
+    )
+    stack = "stack(64, " + ", ".join(
+        f"CAST({j} AS BIGINT), s{j}" for j in range(1, 65)
+    ) + ") AS (dim_idx, s_micro)"
+    return agg.selectExpr("label", "n_vecs", stack).withColumn(
+        "mean_micro", F.col("s_micro").cast("double") / F.col("n_vecs")
+    )
+
+
+def _label_centroids_sql(dim: int = 64) -> str:
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+        WITH vm AS MATERIALIZED (
+            SELECT CAST(label AS BIGINT) AS label, [{quant}] AS v
+            FROM embeddings),
+        ex AS MATERIALIZED (
+            SELECT label, j, v[j] AS c
+            FROM vm, (SELECT unnest(generate_series(1, {dim})) AS j))
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(j AS BIGINT) AS dim_idx,
+               CAST(sum(c) AS BIGINT) AS s_micro,
+               CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT)
+                   AS mean_micro
+        FROM ex GROUP BY label, j
+    """
+
+
+def emb_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid evaluation — the label-quality probe of an
+    embedding pipeline (a vector whose nearest class prototype disagrees
+    with its label is a mislabel/outlier candidate, the classic
+    prototype-based label-noise check): class centroids from one exact
+    integer aggregation (round-half-away mean micro, the Lloyd update
+    convention), every vector assigned map-side to its nearest centroid
+    (literal-model BIGINT-L2 argmin, ties to the smaller label), then the
+    exact confusion counts per (label, pred_label).  Integers end to end."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vm = emb.select(
+        F.col("label").cast("long").alias("label"),
+        S.quantize_micro(F.col("embedding")).alias("v"),
+    )
+    agg = vm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("v", j)).alias(f"s{j}") for j in range(1, 65)],
+    )
+    cents = sorted(
+        (
+            int(r["label"]),
+            [S._round_half_away(r[f"s{j}"] / r["n"]) for j in range(1, 65)],
+        )
+        for r in agg.collect()
+    )
+    pred = vm.select(
+        "label",
+        F.expr(f"({S._micro_argmin_sql('v', cents)}).c_id").alias("pred_label"),
+    )
+    return pred.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
+def _label_eval_sql(dim: int = 64) -> str:
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    sums = ", ".join(
+        f"CAST(sum(v[{j}]) AS BIGINT) AS s{j}" for j in range(1, dim + 1)
+    )
+    upd = ", ".join(
+        f"CAST(round(CAST(s{j} AS DOUBLE) / n) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    l2 = " + ".join(
+        f"(v.v[{j}] - c.v[{j}]) * (v.v[{j}] - c.v[{j}])" for j in range(1, dim + 1)
+    )
+    return f"""
+        WITH vm AS MATERIALIZED (
+            SELECT vec_id, CAST(label AS BIGINT) AS label, [{quant}] AS v
+            FROM embeddings),
+        agg AS MATERIALIZED (
+            SELECT label, count(*) AS n, {sums} FROM vm GROUP BY label),
+        cl AS MATERIALIZED (
+            SELECT label AS c_id, [{upd}] AS v FROM agg),
+        pred AS MATERIALIZED (
+            SELECT label, pred_label FROM (
+                SELECT v.label, c.c_id AS pred_label,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({l2}) ASC, c.c_id ASC) AS r
+                FROM vm v CROSS JOIN cl c) WHERE r = 1)
+        SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM pred GROUP BY label, pred_label
+    """
+
+
 def sim_ann_ivf_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN loop with a TRAINED quantizer, value-gated
     end to end: exact-integer Lloyd training (kmeans_lloyd_micro) →
@@ -3237,6 +3353,90 @@ _EVENTS_RESAMPLE_SQL = """
 """
 
 
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR INTERPOLATION (the fill(linear) /
+    interpolate() of timeseries stores, on top of events_resample's dense
+    grid): for every empty hourly bucket strictly inside a type's observed
+    span, the count is interpolated between the nearest observed buckets;
+    outside the span it stays NULL.  Neighbor discovery is two
+    running-last/first IGNORE NULLS windows per type — one shuffle, state
+    bounded by the grid, never the event count.  The interpolation is ONE
+    mirrored float expression over exact integers (counts + epoch
+    seconds), so the doubles hash bit-exact."""
+    from codecdb_queryengine_spark.operators import temporal as TJ
+
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        grid.crossJoin(types)
+        .join(hourly, ["bucket", "event_type"], "left")
+        .withColumn("t", F.unix_timestamp(F.col("bucket")).cast("long"))
+    )
+    return (
+        TJ.interpolate_linear(dense, ["event_type"], "t", "n")
+        .select(
+            "bucket",
+            "event_type",
+            "observed",
+            F.col("v_filled").alias("n_filled"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+_EVENTS_INTERPOLATE_SQL = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    dense AS (
+        SELECT g.bucket, t.event_type, h.n
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN hourly h ON h.bucket = g.bucket AND h.event_type = t.event_type),
+    win AS (
+        SELECT bucket, event_type, n,
+               CAST(epoch(bucket) AS BIGINT) AS t,
+               last_value(n IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN n IS NOT NULL
+                               THEN CAST(epoch(bucket) AS BIGINT) END
+                          IGNORE NULLS) OVER wp AS prev_t,
+               first_value(n IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN n IS NOT NULL
+                                THEN CAST(epoch(bucket) AS BIGINT) END
+                           IGNORE NULLS) OVER wn AS next_t
+        FROM dense
+        WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT bucket, event_type,
+           n IS NOT NULL AS observed,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    CAST(prev_v AS DOUBLE)
+                    + CAST(next_v - prev_v AS DOUBLE)
+                      * (CAST(t - prev_t AS DOUBLE)
+                         / CAST(next_t - prev_t AS DOUBLE))
+           END AS n_filled
+    FROM win ORDER BY bucket, event_type
+"""
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload handling: extract a typed field from the
     JSON `props` column (get_json_object — parsed JVM-side inside
@@ -4244,6 +4444,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
+    "events_interpolate": events_interpolate,
     "events_anomaly": events_anomaly,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
@@ -4289,6 +4490,8 @@ QUERIES = {
     "emb_stream_encode": emb_stream_encode,
     "emb_stream_encode_fast": emb_stream_encode_fast,
     "emb_encode_parity": emb_encode_parity,
+    "emb_label_centroids": emb_label_centroids,
+    "emb_label_eval": emb_label_eval,
     "emb_stream_index_ingest": emb_stream_index_ingest,
     "emb_stream_ivfpq_ingest": emb_stream_ivfpq_ingest,
 }
@@ -4318,6 +4521,8 @@ ORACLE: dict[str, str] = {
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,
     "emb_encode_parity": _EMB_ENCODE_PARITY_SQL,
+    "emb_label_centroids": _label_centroids_sql(),
+    "emb_label_eval": _label_eval_sql(),
     "dedup_keep_docs": _dedup_keep_sql(),
     "dedup_report": _dedup_report_sql(),
     "dedup_simhash_clusters": _simhash_clusters_sql(),
@@ -4346,6 +4551,7 @@ ORACLE: dict[str, str] = {
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
+    "events_interpolate": _EVENTS_INTERPOLATE_SQL,
     "events_anomaly": _EVENTS_ANOMALY_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,

@@ -70,6 +70,7 @@ EXPECT_NESTED = {
     "sim_ann_pq_trained_gate",
     # the hour grid × type set cross join is bounded by hours·types, not data
     "events_resample",
+    "events_interpolate",
 }
 
 

@@ -68,3 +68,31 @@ def test_range_join_no_cross_key(spark):
         temporal.range_join(left, right, ["k"], "ts", -10_000_000, 10_000_000).count()
         == 0
     )
+
+
+def test_interpolate_linear_known_series(spark):
+    from codecdb_queryengine_spark.operators import temporal as TJ
+    from pyspark.sql import functions as F
+
+    # key a: observed at t=0 (v=10) and t=4 (v=2); gaps at 1..3 interpolate;
+    # t=5 is AFTER the last observation -> stays NULL.
+    # key b: single observation -> neighbors never bracket a gap.
+    rows = [
+        ("a", 0, 10), ("a", 1, None), ("a", 2, None), ("a", 3, None),
+        ("a", 4, 2), ("a", 5, None),
+        ("b", 0, None), ("b", 1, 7), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {
+        (r["k"], r["t"]): (r["observed"], r["v_filled"])
+        for r in TJ.interpolate_linear(df, ["k"], "t", "v").collect()
+    }
+    assert out[("a", 0)] == (True, 10.0)
+    assert out[("a", 1)] == (False, 10.0 + (2 - 10) * (1 / 4))
+    assert out[("a", 2)] == (False, 6.0)
+    assert out[("a", 3)] == (False, 10.0 + (2 - 10) * (3 / 4))
+    assert out[("a", 4)] == (True, 2.0)
+    assert out[("a", 5)] == (False, None)   # trailing edge: no next neighbor
+    assert out[("b", 0)] == (False, None)   # leading edge: no prev neighbor
+    assert out[("b", 1)] == (True, 7.0)
+    assert out[("b", 2)] == (False, None)
