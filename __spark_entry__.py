@@ -51,8 +51,9 @@ BENCH_SKIP |= {
 # gated non-SQL name (incl. the late-r5 persisted/streaming IVFADC pair),
 # then the late-r5 training-pipeline additions (SemDeDup, segment-level
 # dedup, classifier inference, perceptual-hash image dedup — all value-
-# gated, incl. the boolean/phrase/ranked text-index trio) and 6 of the
-# never-gated TPC-H SQL-text twins (q7-22_sql + the
+# gated, incl. the boolean/phrase/ranked text-index trio, interpolation
+# gap fill and the label-prototype eval pair) and 3 of the never-gated
+# TPC-H SQL-text twins (q4-22_sql + the
 # 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
@@ -108,13 +109,13 @@ DRIVER_FIRST = [
     "docs_search_index",
     "docs_search_phrase",
     "docs_search_ranked",
+    "events_interpolate",
+    "emb_label_centroids",
+    "emb_label_eval",
     # never-driver-gated TPC-H SQL-text twins (parse/analyze path)
     "q1_sql",
     "q2_sql",
     "q3_sql",
-    "q4_sql",
-    "q5_sql",
-    "q6_sql",
 ]
 
 
