@@ -111,3 +111,33 @@ def test_ranked_search_prefers_rare_terms_and_high_tf(spark, tmp_path):
     assert ids == [0, 1, 2]
     scores = [r["score"] for r in out]
     assert scores[0] > scores[1] > scores[2] > 0.0
+
+
+def test_corpus_search_example_end_to_end(spark, sf_dir, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_search",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "examples", "corpus_search.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    and_ids, phrase_ids, ranked, b_read, b_disk = mod.build_and_search(
+        spark, sf_dir, str(tmp_path / "ti")
+    )
+    assert len(and_ids) > 0
+    # phrase results are a subset of the AND results for the same 2 terms
+    two = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(
+            spark, str(tmp_path / "ti"), ["hash", "join"]
+        ).collect()
+    }
+    assert set(phrase_ids) <= two
+    assert len(ranked) == 10
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+    assert 1 <= b_read <= 3 and b_disk >= b_read
