@@ -3437,6 +3437,98 @@ _EVENTS_INTERPOLATE_SQL = """
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event counts per
+    type (α = 0.5) — the smoothing pass of a monitoring/forecasting
+    pipeline.  An EWMA is a SEQUENTIAL recurrence, so floating-point
+    reproducibility requires controlling the fold order explicitly: the
+    per-type series is materialized as a bucket-ordered array and folded
+    left-to-right with one fixed expression (s ← 0.5·x + 0.5·s, seeded
+    with the first element), which both engines replay identically —
+    order-free window sums could not express this.  α = 0.5 is exactly
+    representable; inputs are exact integer counts.  State per type is
+    the series array (bounded by the grid, not the event count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "n"))),
+            lambda r: r["n"].cast("double"),
+        ).alias("xs"),
+    )
+    ewma = F.aggregate(
+        F.col("xs"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.5) * x + F.lit(0.5) * acc
+        ),
+    )
+    return per.select("event_type", "n_hours", ewma.alias("ewma"))
+
+
+_EVENTS_EWMA_SQL = """
+    WITH hourly AS MATERIALIZED (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    per AS MATERIALIZED (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               list(CAST(n AS DOUBLE) ORDER BY bucket) AS xs
+        FROM hourly GROUP BY event_type)
+    SELECT event_type, n_hours,
+           list_reduce(xs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+    FROM per
+"""
+
+
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-novelty scoring: per document, the fraction of its
+    DISTINCT 3-word shingles that occur in no other document — a
+    boilerplate/duplication signal (low novelty = the document is made
+    of corpus-common phrasing; the inverse of the decontamination
+    overlap).  One shingle explode + one doc-frequency aggregation +
+    one re-group: the MinHash candidate-generation scale shape, and the
+    score is one exact-input division."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", 3)).alias("sh")
+    )
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.col("n_unique").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+def _docs_novelty_sql() -> str:
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id, unnest({_sql_word_shingles(3)}) AS sh
+            FROM documents),
+        dfc AS MATERIALIZED (
+            SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               CAST(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS DOUBLE)
+                   / CAST(count(*) AS BIGINT) AS novelty
+        FROM sh s JOIN dfc d ON d.sh = s.sh
+        GROUP BY s.doc_id
+    """
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload handling: extract a typed field from the
     JSON `props` column (get_json_object — parsed JVM-side inside
@@ -4441,10 +4533,12 @@ QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
     "docs_classify": docs_classify,
+    "docs_novelty": docs_novelty,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
     "events_interpolate": events_interpolate,
+    "events_ewma": events_ewma,
     "events_anomaly": events_anomaly,
     "events_retention": events_retention,
     "sim_topk": sim_topk,
@@ -4548,10 +4642,12 @@ ORACLE: dict[str, str] = {
     "text_bpe_gate": _BPE_GATE_SQL,
     "text_lm_score": _LM_SCORE_SQL,
     "docs_classify": _CLASSIFY_SQL,
+    "docs_novelty": _docs_novelty_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
     "events_interpolate": _EVENTS_INTERPOLATE_SQL,
+    "events_ewma": _EVENTS_EWMA_SQL,
     "events_anomaly": _EVENTS_ANOMALY_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "sim_topk": _SIM_TOPK_SQL,
