@@ -52,8 +52,8 @@ BENCH_SKIP |= {
 # then the late-r5 training-pipeline additions (SemDeDup, segment-level
 # dedup, classifier inference, perceptual-hash image dedup — all value-
 # gated, incl. the boolean/phrase/ranked text-index trio, interpolation
-# gap fill and the label-prototype eval pair) and 3 of the never-gated
-# TPC-H SQL-text twins (q4-22_sql + the
+# gap fill, EWMA smoothing, novelty scoring and the label-prototype eval
+# pair) and one SQL-text twin (q2-22_sql + the
 # 12 SSB *_sql twins complete in r6).  Everything rotated
 # out stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
@@ -112,10 +112,11 @@ DRIVER_FIRST = [
     "events_interpolate",
     "emb_label_centroids",
     "emb_label_eval",
-    # never-driver-gated TPC-H SQL-text twins (parse/analyze path)
+    "events_ewma",
+    "docs_novelty",
+    # one never-driver-gated SQL-text twin keeps the parse/analyze path
+    # in-window; the q2-22_sql remainder completes in r6
     "q1_sql",
-    "q2_sql",
-    "q3_sql",
 ]
 
 
