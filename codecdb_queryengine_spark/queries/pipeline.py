@@ -3489,16 +3489,19 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT 3-word shingles that occur in no other document — a
     boilerplate/duplication signal (low novelty = the document is made
     of corpus-common phrasing; the inverse of the decontamination
-    overlap).  One shingle explode + one doc-frequency aggregation +
-    one re-group: the MinHash candidate-generation scale shape, and the
-    score is one exact-input division."""
+    overlap).  One shingle explode, the doc-frequency as a COUNT OVER
+    (PARTITION BY shingle) window — one shingle-keyed shuffle instead of
+    the aggregate+join's three (measured 2× at sf0.1), identical exact
+    integers — then one re-group per doc; the score is one exact-input
+    division."""
+    from pyspark.sql import Window
+
     docs = load_tables(spark, sf_dir)["documents"]
     sh = docs.select(
         "doc_id", F.explode(T.word_shingles("text", 3)).alias("sh")
     )
-    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
-        sh.join(dfc, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
