@@ -2906,6 +2906,52 @@ def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
     """
 
 
+def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON connector round-trip under the value gate: the
+    documents table is WRITTEN as csv and as json (sources/io.write) and
+    READ back (sources/io.read with an explicit schema), then each
+    round-tripped frame is summarized per source — counts, char sums, id
+    extremes, and a content signature (Σ md5-slice of the text) that any
+    single-character corruption in quoting/escaping/encoding would flip.
+    The oracle computes the same summary straight from the parquet, once
+    per format — so a gate pass proves both text connectors preserve the
+    data byte-for-byte."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("io_roundtrip", sf_dir)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    out = None
+    for fmt in ("csv", "json"):
+        path = os.path.join(base, fmt)
+        IO.write(docs.select("doc_id", "text", "lang", "source", "n_chars"), path, fmt=fmt)
+        back = IO.read(spark, path, fmt=fmt, schema=schema)
+        summary = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(T.md5_slice32("io|", F.col("text"))).alias("text_sig"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).withColumn("fmt", F.lit(fmt))
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+_IO_ROUNDTRIP_SQL = """
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(('0x' || substring(md5('io|' || text), 1, 8))::BIGINT)
+                    AS BIGINT) AS text_sig,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM documents GROUP BY source)
+    SELECT s.*, f.fmt
+    FROM s CROSS JOIN (SELECT unnest(['csv', 'json']) AS fmt) f
+"""
+
+
 def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus indexing: documents arrive as a stream, postings
     are derived IN-STREAM (sources/text_index.postings_of is a stateless
@@ -4537,6 +4583,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "docs_classify": docs_classify,
     "docs_novelty": docs_novelty,
+    "docs_io_roundtrip": docs_io_roundtrip,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
@@ -4646,6 +4693,7 @@ ORACLE: dict[str, str] = {
     "text_lm_score": _LM_SCORE_SQL,
     "docs_classify": _CLASSIFY_SQL,
     "docs_novelty": _docs_novelty_sql(),
+    "docs_io_roundtrip": _IO_ROUNDTRIP_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
