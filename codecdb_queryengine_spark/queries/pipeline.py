@@ -2908,7 +2908,7 @@ def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
 
 def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV and JSON connector round-trip under the value gate: the
-    documents table is WRITTEN as csv and as json (sources/io.write) and
+    documents table is WRITTEN as csv, json and orc (sources/io.write) and
     READ back (sources/io.read with an explicit schema), then each
     round-tripped frame is summarized per source — counts, char sums, id
     extremes, and a content signature (Σ md5-slice of the text) that any
@@ -2922,7 +2922,7 @@ def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("io_roundtrip", sf_dir)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     out = None
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = os.path.join(base, fmt)
         IO.write(docs.select("doc_id", "text", "lang", "source", "n_chars"), path, fmt=fmt)
         back = IO.read(spark, path, fmt=fmt, schema=schema)
@@ -2948,7 +2948,7 @@ _IO_ROUNDTRIP_SQL = """
                max(doc_id) AS max_id
         FROM documents GROUP BY source)
     SELECT s.*, f.fmt
-    FROM s CROSS JOIN (SELECT unnest(['csv', 'json']) AS fmt) f
+    FROM s CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
 """
 
 
