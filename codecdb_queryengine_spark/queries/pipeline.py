@@ -2952,6 +2952,49 @@ _IO_ROUNDTRIP_SQL = """
 """
 
 
+def docs_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the value gate: the documents table is
+    deliberately written as 32 small files, compacted in place
+    (sources/io.compact — rewrite into ~target-size files with an atomic
+    directory swap), and the compacted table is summarized per source
+    with the docs_io_roundtrip content signature.  A pass proves the
+    maintenance operation every streaming sink needs at 100 TB is
+    content-preserving; the file-count mechanics are pinned separately in
+    tests/test_extensions.py."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("compact_roundtrip", sf_dir)
+    path = os.path.join(base, "docs")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    IO.compact(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(T.md5_slice32("io|", F.col("text"))).alias("text_sig"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_COMPACT_ROUNDTRIP_SQL = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(('0x' || substring(md5('io|' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS text_sig,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents GROUP BY source
+"""
+
+
 def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus indexing: documents arrive as a stream, postings
     are derived IN-STREAM (sources/text_index.postings_of is a stateless
@@ -4584,6 +4627,7 @@ QUERIES = {
     "docs_classify": docs_classify,
     "docs_novelty": docs_novelty,
     "docs_io_roundtrip": docs_io_roundtrip,
+    "docs_compact_roundtrip": docs_compact_roundtrip,
     "events_funnel": events_funnel,
     "events_json_props": events_json_props,
     "events_resample": events_resample,
@@ -4694,6 +4738,7 @@ ORACLE: dict[str, str] = {
     "docs_classify": _CLASSIFY_SQL,
     "docs_novelty": _docs_novelty_sql(),
     "docs_io_roundtrip": _IO_ROUNDTRIP_SQL,
+    "docs_compact_roundtrip": _COMPACT_ROUNDTRIP_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
     "events_resample": _EVENTS_RESAMPLE_SQL,
