@@ -143,3 +143,93 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+# --- late-r5 operators: segment dedup, interpolation, phrase search ---------
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e1"]),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy)
+def test_segment_dedup_matches_python_reference(spark, docs):
+    from codecdb_queryengine_spark.operators import dedup as D
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"])
+        for r in D.segment_dedup(df, "text", "doc_id", seg_tokens=2).collect()
+    }
+
+    seen: set = set()
+    for i, toks in enumerate(docs):
+        segs = [" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i] == (len(segs), len(kept), " ".join(kept)), (i, docs)
+
+
+series_strategy = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=series_strategy)
+def test_interpolate_linear_matches_python_reference(spark, vals):
+    from codecdb_queryengine_spark.operators import temporal as TJ
+
+    rows = [("k", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        r["t"]: r["v_filled"]
+        for r in TJ.interpolate_linear(df, ["k"], "t", "v").collect()
+    }
+    obs = [(t, v) for t, v in enumerate(vals) if v is not None]
+    for t, v in enumerate(vals):
+        if v is not None:
+            assert got[t] == float(v)
+            continue
+        prev = [(pt, pv) for pt, pv in obs if pt < t]
+        nxt = [(nt, nv) for nt, nv in obs if nt > t]
+        if not prev or not nxt:
+            assert got[t] is None, (t, vals)
+        else:
+            pt, pv = prev[-1]
+            nt, nv = nxt[0]
+            assert got[t] == pv + (nv - pv) * ((t - pt) / (nt - pt)), (t, vals)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy, phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3))
+def test_phrase_search_matches_substring_reference(spark, docs, phrase, tmp_path_factory):
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("ti"))
+    TI.text_index_build_positional(df, path, num_buckets=4)
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_phrase(spark, path, phrase, num_buckets=4).collect()
+    }
+    needle = " " + " ".join(phrase) + " "
+    expect = {
+        i for i, toks in enumerate(docs) if needle in " " + " ".join(toks) + " "
+    }
+    assert got == expect, (docs, phrase)
