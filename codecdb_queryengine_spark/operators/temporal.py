@@ -144,10 +144,13 @@ def interpolate_linear(
     timeseries stores.
 
     `t_col` must be an integer-valued column (epoch seconds, bucket
-    index) and `v_col` integer-valued: the interpolation is then ONE
-    float expression over exact inputs, deterministic on any IEEE engine
-    (+,−,×,÷ are correctly rounded; this is why the operator takes the
-    integers rather than doubles).
+    index), UNIQUE per key — the running windows order by it alone, so a
+    duplicated timestamp would make neighbor selection depend on
+    partition arrival order (pre-aggregate to the grid first, as
+    events_interpolate does) — and `v_col` integer-valued: the
+    interpolation is then ONE float expression over exact inputs,
+    deterministic on any IEEE engine (+,−,×,÷ are correctly rounded;
+    this is why the operator takes the integers rather than doubles).
 
     Scale shape: two running last/first IGNORE-NULLS windows per key —
     ONE hash shuffle on the key, per-row state.  Returns the input

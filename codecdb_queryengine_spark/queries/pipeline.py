@@ -3023,6 +3023,7 @@ def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=("t_bucket",),
     )
     q.awaitTermination()
+    TI._write_meta(spark, base, 32)
     hits = TI.text_index_search_all(spark, base, _SEARCH_TERMS)
     return docs.join(hits, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"

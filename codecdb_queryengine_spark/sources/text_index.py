@@ -42,6 +42,27 @@ def _bucket_of(term: str, num_buckets: int) -> int:
     return int(hashlib.md5(f"ti|{term}".encode()).hexdigest()[:8], 16) % num_buckets
 
 
+def _write_meta(spark: SparkSession, path: str, num_buckets: int) -> None:
+    """Persist the layout's bucket count next to the postings.  A search
+    pruning with a DIFFERENT modulus than the build silently drops every
+    posting whose bucket doesn't collide — a wrong-answer class, not an
+    error — so the layout records the constant and searches read it back
+    instead of trusting their caller."""
+    spark.createDataFrame([(int(num_buckets),)], "num_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _read_buckets(spark: SparkSession, path: str, fallback: int) -> int:
+    """Bucket count from the layout's meta table; `fallback` only for
+    pre-meta layouts."""
+    meta = os.path.join(path, "meta")
+    try:
+        return int(spark.read.parquet(meta).first()["num_buckets"])
+    except Exception:  # noqa: BLE001 — missing meta (legacy layout)
+        return fallback
+
+
 def postings_of(
     docs: DataFrame,
     text_col: str = "text",
@@ -77,6 +98,7 @@ def text_index_build(
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings"))
     )
+    _write_meta(docs.sparkSession, path, num_buckets)
 
 
 def text_index_search_all(
@@ -93,6 +115,7 @@ def text_index_search_all(
     (doc, term) pairs, so `count(*) == len(terms)` is the exact AND.
     """
     want = sorted(set(terms))
+    num_buckets = _read_buckets(spark, path, num_buckets)
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     postings = spark.read.parquet(os.path.join(path, "postings"))
     hits = postings.filter(
@@ -143,6 +166,7 @@ def text_index_build_positional(
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings_pos"))
     )
+    _write_meta(docs.sparkSession, path, num_buckets)
 
 
 def text_index_search_phrase(
@@ -158,6 +182,7 @@ def text_index_search_phrase(
     phrase terms' pruned postings, keyed by (doc_id, pos) — no corpus
     scan, no row explosion beyond the terms' occurrence lists."""
     assert phrase, "empty phrase"
+    num_buckets = _read_buckets(spark, path, num_buckets)
     buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
     postings = spark.read.parquet(os.path.join(path, "postings_pos"))
     hits = postings.filter(
@@ -201,6 +226,7 @@ def text_index_build_ranked(
     docs.select(
         F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
     ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    _write_meta(docs.sparkSession, path, num_buckets)
 
 
 def text_index_search_ranked(
@@ -238,6 +264,7 @@ def text_index_search_ranked(
     """
     assert terms, "empty query"
     want = sorted(set(terms))
+    num_buckets = _read_buckets(spark, path, num_buckets)
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     tfp = (
         spark.read.parquet(os.path.join(path, "postings_tf"))

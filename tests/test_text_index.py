@@ -141,3 +141,17 @@ def test_corpus_search_example_end_to_end(spark, sf_dir, tmp_path):
     scores = [r["score"] for r in ranked]
     assert scores == sorted(scores, reverse=True)
     assert 1 <= b_read <= 3 and b_disk >= b_read
+
+
+def test_search_uses_layout_bucket_count_not_caller_guess(spark, tmp_path):
+    """Build with 4 buckets, search with a WRONG caller default (32):
+    the layout meta must win, or pruning would silently drop postings."""
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=4)
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(
+            spark, path, ["alpha", "beta"], num_buckets=32
+        ).collect()
+    }
+    assert got == {0, 1}
