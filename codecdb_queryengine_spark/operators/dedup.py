@@ -703,11 +703,36 @@ def semantic_dedup(
         S.quantize_micro(F.col(vec_col)).alias("v"),
         S.quantize_micro(F.col(vec_col), 1e3).alias("v3"),
     )
-    assigned = vm.select(
-        "n_id",
-        "v3",
-        F.expr(f"({S._micro_argmin_sql('v', cents)}).c_id").alias("c_id"),
-    ).withColumn("n2", S.dot_micro(F.col("v3"), F.col("v3")))
+    # int64-safety guard (r5 ADVICE): the rational cosine multiplies
+    # td2·dot² against tn2·|a|²·|b|², so with |milli component| ≤ m the
+    # largest product is max(td2, tn2)·(dim·m²)² — solve for the largest m
+    # that provably stays inside int64 and fail LOUDLY (assert_true) on any
+    # vector outside it instead of silently wrapping in non-ANSI Spark.
+    # For dim=64, τ_den=5 that bound is m ≈ 3096, i.e. |x| ≲ 3.0 — roomy
+    # for unit-normalized embeddings, violated by unnormalized ones.
+    m_safe = int(
+        (((1 << 63) - 1) / (max(tau_den, tau_num) ** 2 * dim * dim)) ** 0.25
+    )
+    guard = F.assert_true(
+        F.array_max(F.transform("v3", lambda x: F.abs(x))) <= F.lit(m_safe),
+        F.lit(
+            f"semantic_dedup: milli-quantized |component| > {m_safe} would "
+            f"overflow the int64 rational-cosine test — normalize the "
+            f"embeddings (or raise the quantization scale) first"
+        ),
+    )
+    assigned = (
+        vm.select(
+            "n_id",
+            "v3",
+            F.expr(f"({S._micro_argmin_sql('v', cents)}).c_id").alias("c_id"),
+        )
+        # assert_true returns NULL for passing rows, so the filter keeps
+        # everything while forcing the guard's evaluation (a bare unused
+        # column would be pruned away by Catalyst).
+        .filter(guard.isNull())
+        .withColumn("n2", S.dot_micro(F.col("v3"), F.col("v3")))
+    )
     a = assigned.select(
         F.col("n_id").alias("id_a"), "c_id",
         F.col("v3").alias("va"), F.col("n2").alias("n2a"),

@@ -1201,12 +1201,17 @@ def kmeans_lloyd_micro(
     return cents
 
 
-def _round_half_away(x: float) -> int:
-    """round() with half-away-from-zero ties — the SQL round() semantics
-    (Python's built-in round is banker's and would diverge on exact .5)."""
-    import math
-
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+def _round_half_away(s: int, n: int) -> int:
+    """Half-away-from-zero rounding of the EXACT rational s/n (n > 0),
+    in pure integer arithmetic.  The old float form floor(s/n + 0.5)
+    diverged from true rounding on boundary doubles (e.g. the double
+    nearest 0.4999999999999999 rounds UP once +0.5 is itself rounded) —
+    r5 ADVICE.  The Lloyd oracles mirror this exact form in SQL
+    ((2s + n) // (2n) with floor division on non-negative operands), so
+    neither engine ever rounds a double."""
+    assert n > 0
+    s = int(s)
+    return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
 
 
 def _lloyd_rounds(spark, vm, keys, model, vec_len: int, iters: int):
@@ -1265,7 +1270,7 @@ def _lloyd_rounds(spark, vm, keys, model, vec_len: int, iters: int):
                 (
                     *ks,
                     c_id,
-                    [_round_half_away(int(r[f"s{j}"]) / n) for j in range(vec_len)],
+                    [_round_half_away(int(r[f"s{j}"]), n) for j in range(vec_len)],
                 )
             )
         model = new_model

@@ -289,12 +289,21 @@ _STATS_APPROX_SQL = """
 
 def ext_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array aggregation: sorted distinct ship modes per flag-pair
-    (collect_set — absent from the reference, SURVEY.md §2.4)."""
+    (collect_set — absent from the reference, SURVEY.md §2.4).
+
+    The collected array is emitted joined to a string: the driver's
+    comparator canonicalises with a pandas lexsort over every output
+    column, and a top-level array column is unhashable there (r5 window
+    red).  The array itself is still built Spark-side (collect_set +
+    sort_array); only the gate surface is a scalar.
+    """
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
         .orderBy("l_returnflag")
@@ -303,7 +312,7 @@ def ext_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_SQL = """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            count(DISTINCT l_suppkey) AS n_suppliers
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -994,6 +994,18 @@ def _lloyd_l2(dim: int):
     return l2
 
 
+
+def _sql_round_ratio(num: str, den: str) -> str:
+    """SQL mirror of operators/similarity._round_half_away: half-away-from-
+    zero rounding of the EXACT rational num/den (den > 0) in pure BIGINT
+    arithmetic — (2s + n) // (2n), floor division on non-negative operands.
+    Replaces round(CAST(s AS DOUBLE)/n), whose double quotient could round
+    the other way on boundary values (r5 ADVICE)."""
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN (2*{num} + {den}) // (2*{den}) "
+        f"ELSE -((-2*{num} + {den}) // (2*{den})) END AS BIGINT)"
+    )
+
 def _lloyd_train_ctes(dim: int, k: int, stride: int, iters: int) -> list[str]:
     """The CTE block every exact-Lloyd oracle shares: micro-quantized `vm`,
     stride-sample init `c0`, `iters` assign/sum/update rounds, and the final
@@ -1018,7 +1030,7 @@ def _lloyd_train_ctes(dim: int, k: int, stride: int, iters: int) -> list[str]:
         )
         upd = ", ".join(
             f"CASE WHEN s.n IS NULL THEN c.v[{j}] "
-            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            f"ELSE " + _sql_round_ratio(f"s.s{j}", "s.n") + " END"
             for j in range(1, dim + 1)
         )
         ctes.append(f"""a{t} AS MATERIALIZED (
@@ -1205,7 +1217,7 @@ def emb_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted(
         (
             int(r["label"]),
-            [S._round_half_away(r[f"s{j}"] / r["n"]) for j in range(1, 65)],
+            [S._round_half_away(int(r[f"s{j}"]), int(r["n"])) for j in range(1, 65)],
         )
         for r in agg.collect()
     )
@@ -1227,7 +1239,7 @@ def _label_eval_sql(dim: int = 64) -> str:
         f"CAST(sum(v[{j}]) AS BIGINT) AS s{j}" for j in range(1, dim + 1)
     )
     upd = ", ".join(
-        f"CAST(round(CAST(s{j} AS DOUBLE) / n) AS BIGINT)"
+        _sql_round_ratio(f"s{j}", "n")
         for j in range(1, dim + 1)
     )
     l2 = " + ".join(
@@ -1323,7 +1335,7 @@ def _pq_lloyd_sql(
         )
         upd = ", ".join(
             f"CASE WHEN s.n IS NULL THEN c.c[{j}] "
-            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            f"ELSE " + _sql_round_ratio(f"s.s{j}", "s.n") + " END"
             for j in range(1, sub + 1)
         )
         ctes.append(f"""a{t} AS MATERIALIZED (
@@ -1450,7 +1462,7 @@ def _ivf_pq_lloyd_sql(
         )
         upd = ", ".join(
             f"CASE WHEN s.n IS NULL THEN c.v[{j}] "
-            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            f"ELSE " + _sql_round_ratio(f"s.s{j}", "s.n") + " END"
             for j in range(1, dim + 1)
         )
         ctes.append(f"""a{t} AS MATERIALIZED (
@@ -1493,7 +1505,7 @@ def _ivf_pq_lloyd_sql(
         )
         upd = ", ".join(
             f"CASE WHEN s.n IS NULL THEN c.c[{j}] "
-            f"ELSE CAST(round(CAST(s.s{j} AS DOUBLE) / s.n) AS BIGINT) END"
+            f"ELSE " + _sql_round_ratio(f"s.s{j}", "s.n") + " END"
             for j in range(1, sub + 1)
         )
         ctes.append(f"""ra{t} AS MATERIALIZED (
@@ -1555,23 +1567,44 @@ def _ivf_pq_lloyd_sql(
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through the mapInPandas path."""
+    """Binary-payload feature extraction through the mapInPandas path.
+
+    The feature vector itself stays an ``array<double>`` inside the plan
+    (that is the mapInPandas contract under test); the gate surface joins
+    it to an exact-integer CSV because the driver's comparator lexsorts
+    every output column in pandas and a top-level array is unhashable
+    there.  Each stub feature is hexbyte/256, so ×256 recovers the exact
+    integer — no float formatting crosses the gate.
+    """
     docs = load_tables(spark, sf_dir)["documents"]
     # decoder="stub": the gate's payloads are text; pinning one tier keeps
     # the oracle deterministic (real PPM/PGM decode is pinned by fixtures
     # in tests/test_multimodal_decode.py)
-    return M.extract_features(M.documents_as_media(docs), decoder="stub")
+    feats = M.extract_features(M.documents_as_media(docs), decoder="stub")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: (x * F.lit(256.0)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("feature_csv"),
+    )
 
 
 def _mm_sql(dim: int = M.FEATURE_DIM) -> str:
     feat = ", ".join(
-        f"('0x' || substring(md5(text), {2 * i + 1}, 2))::INT / 256.0" for i in range(dim)
+        f"CAST(('0x' || substring(md5(text), {2 * i + 1}, 2))::INT AS VARCHAR)"
+        for i in range(dim)
     )
     return f"""
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest,
-               [{feat}] AS feature
+               concat_ws(',', {feat}) AS feature_csv
         FROM documents
     """
 

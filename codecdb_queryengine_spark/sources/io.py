@@ -83,15 +83,32 @@ def write_bucketed(
     Re-runnable across processes: the in-memory catalog forgets managed
     tables at session end but their warehouse directories survive, and a
     fresh session then fails with LOCATION_ALREADY_EXISTS — so any stale
-    unregistered location is removed before the write."""
+    unregistered location is removed before the write.  The location is
+    resolved from the CURRENT database's catalog entry (not assumed to be
+    `<warehouse>/<table>`), the cleanup only runs for local file://
+    locations (an hdfs://-or-s3a:// warehouse is shared storage where an
+    unregistered directory may belong to another session — deleting it
+    here would be destructive, so the stale-location failure is left to
+    surface loudly instead), and removal errors other than
+    already-absent PROPAGATE (r5 ADVICE)."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+    db = spark.catalog.currentDatabase()
+    rows = spark.sql(f"DESCRIBE DATABASE `{db}`").collect()
+    loc = next(
+        (r["info_value"] for r in rows if r["info_name"].strip().lower() == "location"),
+        "",
+    )
+    u = urlparse(loc)
+    if loc and u.scheme in ("", "file"):
+        target = os.path.join(unquote(u.path), table.lower())
+        try:
+            shutil.rmtree(target)
+        except FileNotFoundError:
+            pass  # no stale location — the normal case
     writer = df.write.format("parquet").mode("overwrite")
     cols = list(bucket_by)
     writer = writer.bucketBy(num_buckets, cols[0], *cols[1:])

@@ -42,7 +42,29 @@ def _bucket_of(term: str, num_buckets: int) -> int:
     return int(hashlib.md5(f"ti|{term}".encode()).hexdigest()[:8], 16) % num_buckets
 
 
-def _write_meta(spark: SparkSession, path: str, num_buckets: int) -> None:
+def _meta_path(path: str, layout: str) -> str:
+    """Each physical layout under `path` (postings / postings_pos /
+    postings_tf) gets its OWN meta table.  A single shared `<path>/meta`
+    let two layouts built at the same path with different bucket counts
+    clobber each other, and the loser would then be pruned with the wrong
+    modulus — the silent wrong-answer class the meta table exists to
+    prevent (r5 ADVICE)."""
+    return os.path.join(path, f"meta_{layout}")
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FileSystem of the path's scheme, so
+    the check is correct on hdfs:// and s3a:// layouts too, not only on
+    the local filesystem the tests use."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _write_meta(
+    spark: SparkSession, path: str, num_buckets: int, layout: str = "postings"
+) -> None:
     """Persist the layout's bucket count next to the postings.  A search
     pruning with a DIFFERENT modulus than the build silently drops every
     posting whose bucket doesn't collide — a wrong-answer class, not an
@@ -50,17 +72,22 @@ def _write_meta(spark: SparkSession, path: str, num_buckets: int) -> None:
     instead of trusting their caller."""
     spark.createDataFrame([(int(num_buckets),)], "num_buckets int").coalesce(
         1
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    ).write.mode("overwrite").parquet(_meta_path(path, layout))
 
 
-def _read_buckets(spark: SparkSession, path: str, fallback: int) -> int:
-    """Bucket count from the layout's meta table; `fallback` only for
-    pre-meta layouts."""
-    meta = os.path.join(path, "meta")
-    try:
-        return int(spark.read.parquet(meta).first()["num_buckets"])
-    except Exception:  # noqa: BLE001 — missing meta (legacy layout)
-        return fallback
+def _read_buckets(
+    spark: SparkSession, path: str, fallback: int, layout: str = "postings"
+) -> int:
+    """Bucket count from the layout's own meta table; `fallback` only for
+    pre-meta layouts (neither the per-layout meta nor the legacy shared
+    `<path>/meta` exists).  Existence is checked explicitly so a genuine
+    read error (permissions, corrupt parquet, transient FS failure)
+    PROPAGATES instead of silently reintroducing the wrong-modulus prune
+    the meta table guards against."""
+    for meta in (_meta_path(path, layout), os.path.join(path, "meta")):
+        if _fs_exists(spark, meta):
+            return int(spark.read.parquet(meta).first()["num_buckets"])
+    return fallback
 
 
 def postings_of(
@@ -98,7 +125,7 @@ def text_index_build(
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    _write_meta(docs.sparkSession, path, num_buckets)
+    _write_meta(docs.sparkSession, path, num_buckets, layout="postings")
 
 
 def text_index_search_all(
@@ -115,7 +142,7 @@ def text_index_search_all(
     (doc, term) pairs, so `count(*) == len(terms)` is the exact AND.
     """
     want = sorted(set(terms))
-    num_buckets = _read_buckets(spark, path, num_buckets)
+    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings")
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     postings = spark.read.parquet(os.path.join(path, "postings"))
     hits = postings.filter(
@@ -166,7 +193,7 @@ def text_index_build_positional(
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings_pos"))
     )
-    _write_meta(docs.sparkSession, path, num_buckets)
+    _write_meta(docs.sparkSession, path, num_buckets, layout="postings_pos")
 
 
 def text_index_search_phrase(
@@ -182,7 +209,7 @@ def text_index_search_phrase(
     phrase terms' pruned postings, keyed by (doc_id, pos) — no corpus
     scan, no row explosion beyond the terms' occurrence lists."""
     assert phrase, "empty phrase"
-    num_buckets = _read_buckets(spark, path, num_buckets)
+    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_pos")
     buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
     postings = spark.read.parquet(os.path.join(path, "postings_pos"))
     hits = postings.filter(
@@ -226,7 +253,7 @@ def text_index_build_ranked(
     docs.select(
         F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
     ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-    _write_meta(docs.sparkSession, path, num_buckets)
+    _write_meta(docs.sparkSession, path, num_buckets, layout="postings_tf")
 
 
 def text_index_search_ranked(
@@ -264,7 +291,7 @@ def text_index_search_ranked(
     """
     assert terms, "empty query"
     want = sorted(set(terms))
-    num_buckets = _read_buckets(spark, path, num_buckets)
+    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_tf")
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     tfp = (
         spark.read.parquet(os.path.join(path, "postings_tf"))

@@ -159,3 +159,20 @@ def test_lloyd_ivf_recall_not_below_init(spark, emb):
     r_trained, r_init = recall(trained), recall(init)
     assert r_trained >= r_init, (r_trained, r_init)
     assert r_trained >= 0.5, r_trained  # sane absolute floor on this corpus
+
+
+def test_round_half_away_is_exact_on_rational_boundaries():
+    """The float form floor(s/n + 0.5) rounds UP on the double just below
+    one half (0.49999999999999994 + 0.5 == 1.0 in IEEE); the integer form
+    rounds the exact rational (r5 ADVICE)."""
+    from codecdb_queryengine_spark.operators.similarity import _round_half_away
+
+    assert _round_half_away(1, 2) == 1
+    assert _round_half_away(-1, 2) == -1
+    assert _round_half_away(1, 3) == 0
+    assert _round_half_away(2, 3) == 1
+    assert _round_half_away(-2, 3) == -1
+    assert _round_half_away(0, 7) == 0
+    # the advisor's boundary: 49999999999999994/1e17 < 1/2 exactly,
+    # but its double quotient plus 0.5 rounds to 1.0
+    assert _round_half_away(49999999999999994, 100000000000000000) == 0

@@ -118,3 +118,15 @@ def test_segment_dedup_short_doc_single_segment(spark):
     assert out[0]["n_kept"] == 1
     assert out[0]["text_dedup"] == "only"
     assert out[1]["n_kept"] == 0 and out[1]["text_dedup"] == ""
+
+
+def test_semantic_dedup_guard_rejects_overflow_range_vectors(spark):
+    """Vectors whose milli-quantized components exceed the provable int64
+    bound of the rational cosine must fail LOUDLY (assert_true), not wrap
+    silently in non-ANSI Spark (r5 ADVICE)."""
+    import pytest
+
+    rows = [(i, [100.0] * 64) for i in range(8)]  # milli comps 100000 >> ~3096
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="overflow"):
+        D.semantic_dedup(df).collect()

@@ -155,3 +155,45 @@ def test_search_uses_layout_bucket_count_not_caller_guess(spark, tmp_path):
         ).collect()
     }
     assert got == {0, 1}
+
+
+def test_per_layout_meta_do_not_clobber(spark, tmp_path):
+    """Two layouts built at the SAME path with DIFFERENT bucket counts keep
+    their own moduli (r5 ADVICE: a shared <path>/meta let the last build
+    clobber the other layout's bucket count, silently wrong-modulus-pruning
+    its postings).  The caller's num_buckets guess is deliberately wrong on
+    both searches — only the per-layout meta can make these pass."""
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=4)
+    TI.text_index_build_positional(_corpus(spark), path, num_buckets=8)
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(
+            spark, path, ["alpha", "beta"], num_buckets=32
+        ).collect()
+    }
+    assert got == {0, 1}
+    got = {
+        r["doc_id"]
+        for r in TI.text_index_search_phrase(
+            spark, path, ["alpha", "beta"], num_buckets=32
+        ).collect()
+    }
+    assert got == {0, 1}
+
+
+def test_read_buckets_propagates_corrupt_meta(spark, tmp_path):
+    """A meta table that EXISTS but cannot be read must raise, not silently
+    fall back to the caller's modulus (r5 ADVICE: the silent fallback
+    reintroduced the wrong-modulus prune on any transient read error)."""
+    import pathlib
+
+    import pytest
+
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    meta = pathlib.Path(path) / "meta_postings"
+    for f in meta.glob("*.parquet"):
+        f.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        TI._read_buckets(spark, path, 8, layout="postings")
