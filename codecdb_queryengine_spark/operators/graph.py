@@ -294,3 +294,107 @@ def connected_components_star(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
     return out
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 6,
+    d_num: int = 85,
+    d_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) in EXACT integer micro-units, so even
+    the iteration replays bit-for-bit in a SQL oracle (the Lloyd-training
+    discipline applied to a graph recurrence):
+
+        pr_0(v)   = 1_000_000
+        contrib   = pr_t(u) div deg(u)              (floor)
+        pr_{t+1}(v) = ((d_den−d_num)·1e6) div d_den
+                      + (d_num · Σ_{u→v} contrib) div d_den
+
+    All BIGINT — no float mass ever crosses an engine boundary, and the
+    Σ is order-free, so any partitioning/merge order gives the same
+    ranks.  The floor divisions lose < 1 micro-unit per term vs real
+    PageRank — ranking-irrelevant at corpus scale.
+
+    Assumes every node has ≥ 1 out-edge (true for symmetrized graphs —
+    callers with genuinely directed, dangling-node graphs symmetrize or
+    add self-loops first, the standard dangling fix).
+
+    Scale shape: deg is computed once and joined into the edge list once
+    (edge-partitioned); each round is ONE join of the node-sized pr frame
+    into that edge frame plus ONE groupBy(dst) — both hash-partitioned on
+    node keys, no broadcast of anything corpus-sized, rounds localCheckpoint
+    (or reliably checkpoint under `checkpoint_dir`) exactly like
+    connected_components so lineage stays flat.
+    """
+    reliable, old_dir = _prepare_ckpt_dir(edges, checkpoint_dir)
+    teleport = ((d_den - d_num) * 1_000_000) // d_den
+    ed = (
+        edges.select(src, dst)
+        .join(
+            edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")),
+            src,
+        )
+        .persist()
+    )
+    pr = _round_ckpt(
+        ed.select(F.col(src).alias("node")).distinct().select(
+            "node", F.lit(1_000_000).cast("long").alias("pr")
+        ),
+        reliable,
+    )
+    try:
+        for _ in range(iters):
+            nxt = (
+                ed.join(pr, ed[src] == pr["node"])
+                .groupBy(F.col(dst).alias("out_node"))
+                .agg(
+                    F.expr(
+                        f"CAST({teleport} + ({d_num} * sum(pr div deg)) "
+                        f"div {d_den} AS BIGINT)"
+                    ).alias("pr")
+                )
+                .select(F.col("out_node").alias("node"), "pr")
+            )
+            nxt = _round_ckpt(nxt, reliable)
+            _release_ckpt(pr)
+            pr = nxt
+        return pr
+    finally:
+        ed.unpersist()
+        _restore_ckpt_dir(edges, reliable, old_dir)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph: orient every
+    edge low→high (each triangle then exists exactly once as a<b<c),
+    enumerate wedges a<b<c through the shared middle vertex, and close
+    them against the oriented edge list; every closed triangle credits
+    its three corners.  Exact integers end to end.
+
+    Scale shape: the classic oriented-join triangle enumeration (the
+    degree-ordered refinement drops in by replacing `<` with a
+    (deg, id) order when hub skew demands it) — two hash joins on node
+    keys plus one explode+count; candidate wedges, not node pairs, bound
+    the work.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

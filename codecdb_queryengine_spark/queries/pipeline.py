@@ -2170,6 +2170,48 @@ _EVENTS_WINDOW_SQL = """
 """
 
 
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling TIME-RANGE aggregates per user: for every event, the count /
+    sum / max of `value` over the trailing 10 minutes — the range-frame
+    window (RANGE BETWEEN INTERVAL ... PRECEDING) that ext_window_funcs'
+    rows-frames cannot express.  The frame is keyed on unix MICROseconds
+    (identical integer order-by on both engines) and the sum is
+    DECIMAL(18,2)-anchored, so the result is independent of how each
+    engine evaluates the sliding frame (Spark re-accumulates per frame,
+    DuckDB uses a segment tree — different double association orders, the
+    exact reason raw double sums are banned here).
+
+    Scale shape: one hash shuffle on user_id, then a per-partition sort —
+    the same cost as any windowed analytic; no self-join, no expansion.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.filter(F.col("user_id") < 500).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(dec).over(w).cast("double").alias("sum_value_10m"),
+        F.max(dec).over(w).cast("double").alias("max_value_10m"),
+    )
+
+
+_EVENTS_ROLLING_SQL = """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_10m,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_10m,
+           CAST(max(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS max_value_10m
+    FROM events WHERE user_id < 500
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) per user via lag + running sum."""
     from pyspark.sql import Window
@@ -2589,6 +2631,243 @@ _BIGRAMS_SQL = f"""
     SELECT bigram, count(*) AS n FROM (
         SELECT unnest({_sql_word_shingles_all(2)}) AS bigram FROM documents)
     GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 15
+"""
+
+
+def docs_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information,
+    PMI = log( c_xy·N / (c_x·c_y) ) (Church & Hanks 1990).  The gate uses
+    the RATIONAL inside of the log — monotone, so the ranking is PMI's —
+    in exact integer micro-units: pmi_micro = (c_xy·1e6·N) // (c_x·c_y),
+    pure BIGINT on both engines (the log-free discipline of
+    docs_search_ranked: ln/log2 are the one non-correctly-rounded op).
+
+    Min-support c_xy ≥ 3 drops the degenerate hapax pairs PMI is known to
+    over-rank.  Overflow headroom: c_xy·1e6·N needs N² ≲ 9.2e12 in int64 —
+    fine to ~3M tokens per gate run; a 100-TB corpus would keep the same
+    plan and widen to DECIMAL intermediates.
+
+    Scale shape: two explode+count aggregations (unigrams, bigrams), two
+    hash joins of the bigram table against the vocabulary-sized unigram
+    table on each word, a 1-row broadcast for N, TakeOrderedAndProject for
+    the top-k.  Everything is keyed; nothing is corpus-quadratic.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    uni = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    big = (
+        docs.select(
+            F.explode(
+                T.word_shingles_all_from_tokens(T.tokens("text"), 2)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 3)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c_xy",
+            F.expr("(c_xy * 1000000L * n_tok) div (c1 * c2)").alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc()).limit(40)
+
+
+_PMI_SQL = f"""
+    WITH uni AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest({_SQL_TOKENS}) AS w FROM documents) GROUP BY w),
+    tot AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    big AS MATERIALIZED (
+        SELECT bigram, count(*) AS c_xy,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT unnest({_sql_word_shingles_all(2)}) AS bigram FROM documents)
+        GROUP BY bigram HAVING count(*) >= 3)
+    SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((c_xy * 1000000 * n_tok) // (u1.c * u2.c) AS BIGINT) AS pmi_micro
+    FROM big JOIN uni u1 ON big.w1 = u1.w
+             JOIN uni u2 ON big.w2 = u2.w
+             CROSS JOIN tot
+    ORDER BY pmi_micro DESC, bigram ASC LIMIT 40
+"""
+
+
+# target lang mixture (percent) for docs_mixture_weights — the kind of
+# spec a training run pins in config (e.g. The Pile / Dolma mixture tables)
+_MIX_TARGET = [("en", 50), ("de", 15), ("fr", 15), ("es", 10), ("zh", 10)]
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balancing: given a target language mixture (percent)
+    and the corpus' actual per-language counts, emit each language's
+    resampling weight and its take at a fixed budget — the planning step
+    before a weighted draw (docs_sample_weighted executes such a draw).
+
+    weight_micro = (t_pct·N·1e6) // (100·n_lang) is the exact rational
+    target_share / actual_share in integer micro-units (BIGINT on both
+    engines — no float ratio crosses the gate); take_at_200 caps the
+    budget·share quota at the language's actual supply, and `deficit`
+    flags languages that cannot fill their quota without upsampling.
+
+    Scale shape: one groupBy(lang) count, a broadcast join against the
+    5-row target spec, and a 1-row broadcast total — nothing scales with
+    corpus size except the single count aggregation.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tgt = spark.createDataFrame(_MIX_TARGET, "lang string, t_pct int")
+    act = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = act.agg(F.sum("n_docs").alias("n_total"))
+    quota = F.expr("(200 * coalesce(t_pct, 0)) div 100")
+    return (
+        act.join(F.broadcast(tgt), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("t_pct", F.lit(0)).alias("t_pct"),
+            F.expr(
+                "(coalesce(t_pct, 0) * n_total * 1000000L) div (100 * n_docs)"
+            ).alias("weight_micro"),
+            F.least(F.col("n_docs"), quota).cast("long").alias("take_at_200"),
+            (F.col("n_docs") < quota).alias("deficit"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIXTURE_SQL = """
+    WITH tgt(lang, t_pct) AS (
+        VALUES ('en', 50), ('de', 15), ('fr', 15), ('es', 10), ('zh', 10)),
+    act AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM act)
+    SELECT a.lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(t_pct, 0) AS INT) AS t_pct,
+           CAST((coalesce(t_pct, 0) * n_total * 1000000) // (100 * n_docs)
+                AS BIGINT) AS weight_micro,
+           CAST(least(n_docs, (200 * coalesce(t_pct, 0)) // 100) AS BIGINT)
+             AS take_at_200,
+           n_docs < (200 * coalesce(t_pct, 0)) // 100 AS deficit
+    FROM act a LEFT JOIN tgt ON a.lang = tgt.lang CROSS JOIN tot
+    ORDER BY a.lang
+"""
+
+
+def _cooc_edges(docs: DataFrame, min_support: int = 3) -> DataFrame:
+    """Symmetrized term co-occurrence graph: distinct directed edges both
+    ways between words adjacent in ≥ `min_support` bigram occurrences —
+    the deterministic derived graph the pagerank/triangle gates run on
+    (docs_pmi mines the same bigram table for collocations)."""
+    big = (
+        docs.select(
+            F.explode(
+                T.word_shingles_all_from_tokens(T.tokens("text"), 2)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_support)
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    return (
+        big.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(big.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+
+
+_SQL_COOC_E = f"""
+    big AS MATERIALIZED (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT unnest({_sql_word_shingles_all(2)}) AS bigram FROM documents)
+        GROUP BY 1, 2
+        HAVING count(*) >= 3 AND string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+    e AS MATERIALIZED (
+        SELECT w1 AS src, w2 AS dst FROM big
+        UNION SELECT w2 AS src, w1 AS dst FROM big)
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the term co-occurrence graph (graph.pagerank_micro):
+    6 damped rounds in exact integer micro-units, gated bit-for-bit by a
+    DuckDB oracle that replays the identical BIGINT recurrence through
+    chained MATERIALIZED CTEs.  Top-30 terms by rank."""
+    from codecdb_queryengine_spark.operators import graph as G
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pr = G.pagerank_micro(_cooc_edges(docs), iters=6)
+    return (
+        pr.select("node", F.col("pr").alias("pr_micro"))
+        .orderBy(F.col("pr_micro").desc(), F.col("node").asc())
+        .limit(30)
+    )
+
+
+def _pagerank_sql(iters: int = 6) -> str:
+    ctes = [
+        _SQL_COOC_E.strip(),
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        """pr0 AS MATERIALIZED (
+            SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+            FROM (SELECT DISTINCT src FROM e))""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""pr{t + 1} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   CAST(150000 + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+            FROM e JOIN deg d ON e.src = d.src
+                   JOIN pr{t} p ON e.src = p.node
+            GROUP BY e.dst)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node, pr AS pr_micro FROM pr{iters}
+    ORDER BY pr_micro DESC, node ASC LIMIT 30
+"""
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term triangle counts over the co-occurrence graph
+    (graph.triangle_counts — oriented wedge join): top-20 most clustered
+    terms, exact integers."""
+    from codecdb_queryengine_spark.operators import graph as G
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        G.triangle_counts(_cooc_edges(docs))
+        .orderBy(F.col("n_tri").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+_TRIANGLES_SQL = f"""
+    WITH {_SQL_COOC_E.strip()},
+    elt AS MATERIALIZED (SELECT src AS lo, dst AS hi FROM e WHERE src < dst),
+    tri AS MATERIALIZED (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM elt ab JOIN elt bc ON ab.hi = bc.lo
+             JOIN elt ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
+    SELECT node, count(*) AS n_tri FROM (
+        SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 20
 """
 
 
@@ -4639,6 +4918,10 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "docs_topterms": docs_topterms,
     "docs_bigrams": docs_bigrams,
+    "docs_pmi": docs_pmi,
+    "docs_mixture_weights": docs_mixture_weights,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_train_split": docs_train_split,
@@ -4693,6 +4976,7 @@ QUERIES = {
     "mm_frames": mm_frames,
     "mm_ann": mm_ann,
     "events_window": events_window,
+    "events_rolling": events_rolling,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
     "events_asof_forward": events_asof_forward,
@@ -4751,6 +5035,10 @@ ORACLE: dict[str, str] = {
     "dedup_incremental": _DEDUP_INCR_SQL,
     "docs_topterms": _DOCS_TOPTERMS_SQL,
     "docs_bigrams": _BIGRAMS_SQL,
+    "docs_pmi": _PMI_SQL,
+    "docs_mixture_weights": _MIXTURE_SQL,
+    "graph_pagerank": _pagerank_sql(),
+    "graph_triangles": _TRIANGLES_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
@@ -4802,6 +5090,7 @@ ORACLE: dict[str, str] = {
     "mm_frames": _MM_FRAMES_SQL,
     "mm_ann": _mm_ann_sql(),
     "events_window": _EVENTS_WINDOW_SQL,
+    "events_rolling": _EVENTS_ROLLING_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "events_asof": _EVENTS_ASOF_SQL,
     "events_asof_forward": _EVENTS_ASOF_FWD_SQL,

@@ -551,6 +551,63 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume customers, the reference's HashMultiJoin —
+    cpp/src/lqf/join.h:302-321) over PRE-BUCKETED lineitem/orders: the
+    q3_bucketed discipline applied to the heaviest fact-fact shape.  With
+    both facts bucketed+sorted on the order key, the big-orders self-
+    aggregate, the semi join back onto lineitem, and the lineitem⋈orders
+    join ALL inherit the bucket clustering — no shuffle Exchange anywhere
+    on the fact path (the final groupBy keys include o_orderkey, so the
+    bucket partitioning satisfies its clustering too); customer is the
+    one broadcast.  scripts/explain_audit.py pins the no-Exchange fact;
+    the value oracle is q18's."""
+    import os as _os
+
+    from codecdb_queryengine_spark.sources import io as IO
+
+    t = load_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, ord_t = f"q18b_lineitem_{tag}", f"q18b_orders_{tag}"
+    IO.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity"),
+        li_t,
+        bucket_by=["l_orderkey"],
+        num_buckets=8,
+        sort_by=["l_orderkey"],
+    )
+    IO.write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        ord_t,
+        bucket_by=["o_orderkey"],
+        num_buckets=8,
+        sort_by=["o_orderkey"],
+    )
+    li, orders = spark.table(li_t), spark.table(ord_t)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 180.0)
+        .select(F.col("l_orderkey").alias("b_orderkey"))
+    )
+    # merge hints as in q3_bucketed: keep AQE from broadcasting the
+    # post-filter sides, so the gate exercises the bucketed co-location
+    return (
+        li.hint("merge")
+        .join(big.hint("merge"), F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 # Q19 — discounted revenue: disjunction of conjunction blocks as one boolean
 # expression over the joined pair.
 # Reference: three filter subplans OR-ed via FilterUnion bitmap
@@ -691,6 +748,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 23)}
 QUERIES["q3_bucketed"] = q3_bucketed
+QUERIES["q18_bucketed"] = q18_bucketed
 
 
 ORACLE: dict[str, str] = {
@@ -970,3 +1028,4 @@ ORACLE: dict[str, str] = {
 # Same result contract as q3 — the bucketed layout must change the plan
 # (no shuffle Exchange; pinned by scripts/explain_audit.py), never the rows.
 ORACLE["q3_bucketed"] = ORACLE["q3"]
+ORACLE["q18_bucketed"] = ORACLE["q18"]

@@ -114,3 +114,34 @@ def test_no_cached_block_growth_across_rounds(spark):
             break
         time.sleep(0.5)
     assert after - before <= 1  # final labels only, nothing per-round
+
+
+def test_pagerank_micro_hand_checked_path(spark):
+    """3-node path a–b–c (symmetrized): one hand-replayable round.
+    pr0 = 1e6 each; contrib a→b = 1e6 (deg 1), b→a = 500000 (deg 2).
+    pr1(a) = 150000 + 85*500000 div 100 = 575000 = pr1(c);
+    pr1(b) = 150000 + 85*(1e6 + 1e6) div 100 = 1850000."""
+    from codecdb_queryengine_spark.operators.graph import pagerank_micro
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank_micro(e, iters=1).collect()}
+    assert got == {"a": 575000, "b": 1850000, "c": 575000}
+    # mass is conserved up to the floor losses: total stays near 3e6
+    got6 = {r["node"]: r["pr"] for r in pagerank_micro(e, iters=6).collect()}
+    assert got6["b"] > got6["a"] == got6["c"]
+    assert abs(sum(got6.values()) - 3_000_000) < 10
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    """K4 minus one edge has exactly 2 triangles; the two hub nodes sit in
+    both, the two rim nodes in one each.  Duplicate/reversed input edges
+    must not double-count."""
+    from codecdb_queryengine_spark.operators.graph import triangle_counts
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d"),
+             ("b", "a"), ("c", "a")]  # reversed duplicates on purpose
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    assert got == {"a": 2, "c": 2, "b": 1, "d": 1}
