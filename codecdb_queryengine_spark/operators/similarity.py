@@ -1705,3 +1705,73 @@ def ivfpq_rank_micro(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "adc_q", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def sq8_scale(vectors: DataFrame, vec_col: str = "embedding") -> float:
+    """Trained symmetric SQ8 scale: 127 / max|component| over the corpus
+    (the symmetric variant of FAISS's ScalarQuantizer QT_8bit training —
+    Jégou et al.'s scalar-quantization baseline tier).  One scalar probe;
+    max of floats is exact and the division is a single correctly-rounded
+    IEEE op, so both engines derive the bit-identical double."""
+    mx = vectors.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        )
+    ).first()[0]
+    return 127.0 / float(mx)
+
+
+def sq8_encode(c: Column, scale: float) -> Column:
+    """Element-wise int8 code: clamp(floor(x·scale + 0.5), -127, 127) as
+    array<long> — one correctly-rounded multiply then exact integer ops,
+    the quantize_micro discipline at 8-bit width."""
+    return F.transform(
+        c,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
+            ),
+        ),
+    )
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by EXACT integer dot product over trained int8 codes — the
+    scalar-quantization compression tier between the full-precision scan
+    (brute_force_topk) and the codebook tiers (pq_topk): 4× smaller scan
+    footprint, no codebook training, distances exact BIGINT arithmetic so
+    the whole tier value-gates bit-for-bit.
+
+    Scale shape: codes stream map-side past the broadcast query codes —
+    the same embarrassingly-parallel scan cost model as the brute-force
+    baseline with a quarter of the bytes; no shuffle until the per-query
+    top-k (TakeOrdered-sized window state).
+    """
+    scale = sq8_scale(vectors, vec_col)
+    cand = vectors.select(
+        F.col(id_col).alias("n_id"), sq8_encode(F.col(vec_col), scale).alias("nq")
+    )
+    qs = queries.select("q_id", sq8_encode(F.col("q_vec"), scale).alias("qq"))
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(cand)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "dot_q",
+            F.expr("aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot_q").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "dot_q", "rk")
+    )

@@ -318,6 +318,38 @@ _COLLECT_SQL = """
 """
 
 
+def ext_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type absent from both the reference
+    (inner/left-outer/semi/anti/exist only, cpp/src/lqf/join.h) and the
+    rest of this surface: per-nation customer counts against supplier
+    counts, preserving nations present on only one side (nulls intact
+    through the gate)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    su = t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(su, "nationkey", "full_outer")
+        .select("nationkey", "n_cust", "n_supp")
+        .orderBy("nationkey")
+    )
+
+
+_FULL_OUTER_SQL = """
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    ORDER BY nationkey
+"""
+
+
 def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT between distinct derived tables —
     the general forms of the reference's same-table bitmap union
@@ -1368,6 +1400,7 @@ QUERIES = {
     "ext_stats": ext_stats,
     "ext_stats_approx": ext_stats_approx,
     "ext_collect": ext_collect,
+    "ext_full_outer": ext_full_outer,
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
     "ext_pivot": ext_pivot,
@@ -1402,6 +1435,7 @@ ORACLE: dict[str, str] = {
     "ext_window_funcs": _WINDOW_SQL,
     "ext_stats": _STATS_SQL,
     "ext_collect": _COLLECT_SQL,
+    "ext_full_outer": _FULL_OUTER_SQL,
     "ext_setops": _SETOPS_SQL,
     # sketch estimates are engine-specific, but their CONTRACTS are not:
     # both approx entries emit exact integers + bound-held booleans (r5)

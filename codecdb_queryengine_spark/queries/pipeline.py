@@ -537,6 +537,44 @@ _SIM_TOPK_SQL = f"""
 """
 
 
+def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) similarity scan: trained symmetric scale,
+    exact BIGINT dot products over the codes (similarity.sq8_topk) — the
+    compression tier between the double-precision brute force (sim_topk)
+    and the PQ codebook tiers."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.sq8_topk(emb, _query_vectors(emb), k=_TOP_K)
+
+
+def _sq8_sql(dim: int = 64) -> str:
+    q8 = (
+        "list_transform({col}, x -> greatest(-127, least(127, "
+        "CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))))"
+    )
+    return f"""
+    WITH mx AS MATERIALIZED (
+        SELECT 127.0 / max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) AS scale
+        FROM embeddings),
+    codes AS MATERIALIZED (
+        SELECT vec_id, {q8.format(col="embedding")} AS nq
+        FROM embeddings CROSS JOIN mx),
+    scored AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                    i -> q.nq[i] * n.nq[i])) AS BIGINT) AS dot_q
+        FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+    SELECT q_id, n_id, dot_q, rk FROM (
+        SELECT q_id, n_id, dot_q,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY dot_q DESC, n_id ASC) AS BIGINT) AS rk
+        FROM scored)
+    WHERE rk <= {_TOP_K}
+"""
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k (the scale path)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -3099,6 +3137,118 @@ _DEDUP_SEGMENTS_SQL = f"""
 """
 
 
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span profiling (the measurement half of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at k-gram granularity): for every document, the
+    fraction of its 5-token spans that occur ≥ 2 times ANYWHERE in the
+    corpus (other documents or elsewhere in the same one) — the per-doc
+    duplication diagnostic that decides between document-level dedup
+    (dedup_minhash) and span-level surgery (docs_dedup_segments).
+    dup_frac is exact integer micro-units, counts exact BIGINTs.
+
+    Scale shape: one explode, one span-count aggregation, one join of the
+    spans against their counts, one per-doc aggregation — all keyed hash
+    shuffles, nothing quadratic; identical shape to the segment-dedup
+    pipeline it complements.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(T.word_shingles_all_from_tokens(T.tokens("text"), 5)).alias("sh"),
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac_micro", F.expr("(n_dup_spans * 1000000L) div n_spans")
+        )
+    )
+
+
+_DUP_SPANS_SQL = f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id, unnest({_sql_word_shingles_all(5)}) AS sh FROM documents),
+    cnt AS MATERIALIZED (SELECT sh, count(*) AS n_occ FROM sh GROUP BY sh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST((sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_frac_micro
+    FROM sh JOIN cnt USING (sh) GROUP BY doc_id
+"""
+
+
+def docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every 4-token shingle (md5_slice32 — the one
+    engine-portable hash), slide a w=4 window over the hash sequence and
+    keep each window's MINIMUM — the classic guarantee that any shared
+    run of ≥ k+w-1 tokens between two documents shares a fingerprint.
+    Gated on exact integers: the distinct-fingerprint count and the
+    order-free sum of the distinct fingerprint hashes per document
+    (text_fingerprint is the single-hash cousin; this is the local-match
+    fingerprint set plagiarism/overlap detectors actually use).
+
+    Scale shape: one explode + ONE hash shuffle on doc_id for the
+    window-min (the same partitioning serves the final per-doc
+    aggregate); no cross-document work at all until fingerprints are
+    compared downstream.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = 4
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            T.word_shingles_all_from_tokens(T.tokens("text"), 4)
+        ).alias("pos", "sh"),
+    ).withColumn("h", T.md5_slice32("wn|", F.col("sh")))
+    part = Window.partitionBy("doc_id")
+    win = part.orderBy("pos").rowsBetween(0, w - 1)
+    fp = (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(part).alias("n_sh"),
+            F.min("h").over(win).alias("wmin"),
+        )
+        # full windows only (the winnowing guarantee needs all w hashes)
+        .filter(F.col("pos") <= F.col("n_sh") - w)
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count_distinct(F.col("wmin")).alias("n_fp"),
+        F.sum_distinct(F.col("wmin")).alias("fp_sig"),
+    )
+
+
+_WINNOW_SQL = f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, {_sql_word_shingles_all(4)} AS shs FROM documents),
+    pos AS MATERIALIZED (
+        SELECT doc_id, unnest(generate_series(0, len(shs) - 1)) AS pos, shs
+        FROM tok WHERE len(shs) > 0),
+    hashed AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS INT) AS pos, len(shs) AS n_sh,
+               ('0x' || substring(md5('wn|' || shs[pos + 1]), 1, 8))::BIGINT AS h
+        FROM pos),
+    wm AS MATERIALIZED (
+        SELECT doc_id, pos, n_sh,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM hashed)
+    SELECT doc_id,
+           CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+           CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_sig
+    FROM wm WHERE pos <= n_sh - 4 GROUP BY doc_id
+"""
+
+
 _SEARCH_TERMS = ["hash", "scan", "merge"]
 
 
@@ -3216,6 +3366,52 @@ def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
         SELECT doc_id, {score} AS score
         FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+def docs_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion through Spark's `binaryFile` source — the
+    entry point every multimodal pipeline starts from (raw image/audio
+    blobs on disk → DataFrame of payload bytes): each document's text is
+    materialized as a standalone .bin file from the EXECUTORS (mapInPandas
+    batch writer — one task per partition, the distributed shape; a
+    cluster run points the same writer at shared storage), the directory
+    is read back with `spark.read.format("binaryFile")`, and the gate
+    pins filename-derived ids, byte lengths and content md5 against an
+    oracle recomputing all three from the source table — write→list→
+    read→decode verified end to end with no trust in the writer.
+    """
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("binfiles", sf_dir)
+
+    def _write(batches):
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fname = os.path.join(path, f"doc_{int(doc_id):06d}.bin")
+                with open(fname, "wb") as f:
+                    f.write(str(text).encode("utf-8"))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    docs.filter(F.col("text").isNotNull()).select("doc_id", "text").mapInPandas(
+        _write, "n long"
+    ).agg(F.sum("n")).collect()
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.regexp_extract(
+            F.col("path"), r"doc_(\d+)\.bin$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+_BINARYFILE_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE text IS NOT NULL
+"""
 
 
 def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4922,6 +5118,10 @@ QUERIES = {
     "docs_mixture_weights": docs_mixture_weights,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "docs_dup_spans": docs_dup_spans,
+    "docs_winnow": docs_winnow,
+    "sim_ann_sq8": sim_ann_sq8,
+    "docs_binaryfile": docs_binaryfile,
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_train_split": docs_train_split,
@@ -5039,6 +5239,10 @@ ORACLE: dict[str, str] = {
     "docs_mixture_weights": _MIXTURE_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _TRIANGLES_SQL,
+    "docs_dup_spans": _DUP_SPANS_SQL,
+    "docs_winnow": _WINNOW_SQL,
+    "sim_ann_sq8": _sq8_sql(),
+    "docs_binaryfile": _BINARYFILE_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,

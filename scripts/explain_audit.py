@@ -71,6 +71,12 @@ EXPECT_NESTED = {
     # the hour grid × type set cross join is bounded by hours·types, not data
     "events_resample",
     "events_interpolate",
+    # SQ8 is a compression tier over the same exact-scan cost model as
+    # sim_topk: all codes stream past the broadcast query codes
+    "sim_ann_sq8",
+    # 1-row broadcast of the corpus total (N) joined to every scored row
+    "docs_pmi",
+    "docs_mixture_weights",
 }
 
 
@@ -93,6 +99,7 @@ EXPECT_DPP = {
 # here means the bucketing metadata stopped reaching the planner.
 EXPECT_BUCKETED_NOSHUFFLE = {
     "q3_bucketed",
+    "q18_bucketed",
 }
 
 

@@ -12,7 +12,7 @@ def test_driver_window_is_the_curated_cross_section():
     non_relational = [
         n
         for n in qs[:50]
-        if n.startswith(("dedup_", "sim_", "events_", "ext_"))
+        if n.startswith(("dedup_", "sim_", "events_", "ext_", "docs_", "graph_", "mm_"))
     ]
     assert len(non_relational) >= 10
 
