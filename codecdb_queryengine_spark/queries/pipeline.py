@@ -3147,9 +3147,11 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_minhash) and span-level surgery (docs_dedup_segments).
     dup_frac is exact integer micro-units, counts exact BIGINTs.
 
-    Scale shape: one explode, one span-count aggregation, one join of the
-    spans against their counts, one per-doc aggregation — all keyed hash
-    shuffles, nothing quadratic; identical shape to the segment-dedup
+    Scale shape: one explode, then corpus-wide span counts as ONE
+    window — COUNT() OVER (PARTITION BY span) — instead of an aggregate
+    plus a join back (one span-keyed shuffle instead of three; the
+    docs_novelty lesson, measured 2× there), then one per-doc
+    aggregation.  Nothing quadratic; identical shape to the segment-dedup
     pipeline it complements.
     """
     docs = load_tables(spark, sf_dir)["documents"]
@@ -3157,9 +3159,8 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(T.word_shingles_all_from_tokens(T.tokens("text"), 5)).alias("sh"),
     )
-    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
-        sh.join(counts, "sh")
+        sh.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
