@@ -53,10 +53,9 @@ BENCH_SKIP |= {
 # winnowing fingerprints, int8 scalar-quantized ANN, binaryFile-source
 # round-trip, full-outer join).  The remainder COMPLETES the rotation:
 # after this window every oracle-backed name in the registry has been
-# driver-gated at least once across r1-r6, except q18_bucketed_sql (the
-# auto-generated SQL twin of this round's q18_bucketed — same SQL text
-# and physical plan as q18_sql, which IS windowed here) and the 4
-# rows-only-by-design entries.  Everything rotated out
+# driver-gated at least once across r1-r6, except three SQL-text twins
+# plan-identical to in-window forms (ssb_q4_{2,3}_sql, q18_bucketed_sql
+# — they complete in r7) and the 4 rows-only-by-design entries.  Everything rotated out
 # stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
@@ -114,8 +113,12 @@ DRIVER_FIRST = [
     "ssb_q3_3_sql",
     "ssb_q3_4_sql",
     "ssb_q4_1_sql",
-    "ssb_q4_2_sql",
-    "ssb_q4_3_sql",
+    # the exact-integer PCA pair (power-iteration training replayed
+    # bit-for-bit by the oracle) takes the last two slots; the two SSB
+    # SQL twins they displace (ssb_q4_{2,3}_sql — plan-identical to the
+    # driver-gated DataFrame forms) and q18_bucketed_sql complete in r7
+    "emb_pca_power",
+    "emb_pca_project",
 ]
 
 

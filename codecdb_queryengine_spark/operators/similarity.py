@@ -1775,3 +1775,74 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "dot_q", "rk")
     )
+
+
+def pca_power_micro(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 6,
+) -> tuple[list[int], list[int]]:
+    """Top principal component by power iteration in EXACT integer
+    arithmetic — the Lloyd-training discipline applied to dimensionality
+    reduction: every step replays bit-for-bit in a SQL oracle, so even
+    the TRAINING is value-gateable.
+
+    Milli-quantized vectors are mean-centered with round-half-away
+    integer means; the iteration never materializes the dim×dim
+    covariance — each round is the tall-matrix two-pass form
+        y_i = Σ_j c_ij·x_j      (map-side fold per row)
+        z_j = Σ_i c_ij·y_i      (one explode + 64-key aggregation)
+    with the z sums carried as DECIMAL(38,0) (exact and associative at
+    any row count; DuckDB mirrors with HUGEINT), then x is rescaled to
+    ≤1e6 by q = max(1, (max|z|+999999) // 1e6), x'_j = sign·(|z_j| // q)
+    — floor division on non-negative operands, identical in Python,
+    Spark and DuckDB.  Start vector x0_j = 1e6 + j (deterministic, not
+    axis-aligned).
+
+    Scale shape: the centered frame is persisted once and scanned
+    `iters` times; per round the only shuffle is the 64-key partial
+    aggregation (map-side combine does the work), and y is computed in
+    ONE fold per row (the posexplode carries it, so CollapseProject
+    cannot re-inline it per output column).  Row-local products stay
+    under ~1e14, far inside int64.
+
+    Returns (means, component): both length-`dim` integer lists (milli
+    means, micro-unit component).
+    """
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col), 1e3).alias("v")
+    )
+    agg = vm.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
+    ).first()
+    n = int(agg["n"])
+    means = [_round_half_away(int(agg[f"s{j}"]), n) for j in range(dim)]
+    mean_arr = "array(" + ",".join(f"{m}L" for m in means) + ")"
+    cen = vm.select(
+        "n_id", F.expr(f"zip_with(v, {mean_arr}, (a, b) -> a - b)").alias("c")
+    ).persist()
+    x = [1_000_000 + j for j in range(dim)]
+    try:
+        for _ in range(iters):
+            x_arr = "array(" + ",".join(f"{xi}L" for xi in x) + ")"
+            y = F.expr(
+                f"aggregate(zip_with(c, {x_arr}, (a, b) -> a * b), 0L, (s, e) -> s + e)"
+            )
+            rows = (
+                cen.select(y.alias("y"), F.posexplode("c").alias("j", "cv"))
+                .groupBy("j")
+                .agg(F.sum((F.col("cv") * F.col("y")).cast("decimal(38,0)")).alias("z"))
+                .collect()
+            )
+            z = [0] * dim
+            for r in rows:
+                z[int(r["j"])] = int(r["z"])
+            mx = max(abs(e) for e in z)
+            q = max(1, (mx + 999_999) // 1_000_000)
+            x = [e // q if e >= 0 else -((-e) // q) for e in z]
+        return means, x
+    finally:
+        cen.unpersist()

@@ -575,6 +575,112 @@ def _sq8_sql(dim: int = 64) -> str:
 """
 
 
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus, trained by
+    EXACT-integer power iteration (similarity.pca_power_micro): milli
+    quantization, round-half-away integer means, 6 two-pass rounds with
+    DECIMAL-exact z sums and integer rescaling — the whole TRAINING
+    replays bit-for-bit in the DuckDB oracle (chained MATERIALIZED CTEs),
+    the Lloyd discipline applied to dimensionality reduction."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    _, comp = S.pca_power_micro(emb, dim=64, iters=6)
+    return spark.createDataFrame(
+        [(j + 1, int(c)) for j, c in enumerate(comp)],
+        "dim_idx int, comp_micro long",
+    )
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned component applied back to the corpus: per-vector
+    integer projection onto the trained direction, top-20 by magnitude —
+    the dimensionality-reduction serving step (train → literal-fold
+    projection, no shuffle beyond the top-k), same oracle chain."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    means, comp = S.pca_power_micro(emb, dim=64, iters=6)
+    mean_arr = "array(" + ",".join(f"{m}L" for m in means) + ")"
+    comp_arr = "array(" + ",".join(f"{c}L" for c in comp) + ")"
+    quant = "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+    cen = emb.select(
+        F.col("vec_id"),
+        F.expr(f"zip_with({quant}, {mean_arr}, (a, b) -> a - b)").alias("c"),
+    )
+    proj = F.expr(
+        f"aggregate(zip_with(c, {comp_arr}, (a, b) -> a * b), 0L, (s, e) -> s + e)"
+    )
+    return (
+        cen.select("vec_id", proj.alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def _pca_sql_ctes(iters: int = 6, dim: int = 64) -> str:
+    """The shared oracle chain replaying pca_power_micro's training:
+    milli quantization → integer means → centering → `iters` exact
+    two-pass power rounds (HUGEINT z sums mirror the DECIMAL(38,0)
+    Spark sums; the rescale's floor divisions run on non-negative
+    operands on both engines)."""
+    quant = ", ".join(
+        f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    sums = ", ".join(f"CAST(sum(v[{j}]) AS BIGINT)" for j in range(1, dim + 1))
+    ctes = [
+        f"vm AS MATERIALIZED (SELECT vec_id, [{quant}] AS v FROM embeddings)",
+        f"st AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, [{sums}] AS s FROM vm)",
+        f"""mn AS MATERIALIZED (
+            SELECT list_transform(range(1, {dim + 1}),
+                i -> {_sql_round_ratio("s[i]", "n")}) AS m FROM st)""",
+        f"""cen AS MATERIALIZED (
+            SELECT vec_id, list_transform(range(1, {dim + 1}),
+                i -> v[i] - m[i]) AS c FROM vm CROSS JOIN mn)""",
+        f"""x0 AS MATERIALIZED (
+            SELECT list_transform(range(1, {dim + 1}),
+                i -> CAST(999999 + i AS BIGINT)) AS x)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""y{t} AS MATERIALIZED (
+            SELECT vec_id, c,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> c[i] * x[i])) AS y
+            FROM cen CROSS JOIN x{t - 1})""")
+        ctes.append(f"""z{t} AS MATERIALIZED (
+            SELECT list(z ORDER BY i) AS z FROM (
+                SELECT i, sum(c[i] * y) AS z
+                FROM y{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i)
+                GROUP BY i))""")
+        ctes.append(f"""x{t} AS MATERIALIZED (
+            SELECT list_transform(z,
+                e -> CAST(CASE WHEN e >= 0 THEN e // q
+                          ELSE -((-e) // q) END AS BIGINT)) AS x
+            FROM (SELECT z,
+                         greatest(CAST(1 AS HUGEINT),
+                                  (list_max(list_transform(z, e -> abs(e)))
+                                   + 999999) // 1000000) AS q
+                  FROM z{t}))""")
+    return ",\n    ".join(ctes)
+
+
+def _pca_power_sql(iters: int = 6, dim: int = 64) -> str:
+    return f"""
+    WITH {_pca_sql_ctes(iters, dim)}
+    SELECT CAST(i AS INT) AS dim_idx, x[i] AS comp_micro
+    FROM x{iters} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i)
+"""
+
+
+def _pca_project_sql(iters: int = 6, dim: int = 64) -> str:
+    return f"""
+    WITH {_pca_sql_ctes(iters, dim)}
+    SELECT vec_id, proj FROM (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> c[i] * x[i])) AS BIGINT) AS proj
+        FROM cen CROSS JOIN x{iters})
+    ORDER BY abs(proj) DESC, vec_id ASC LIMIT 20
+"""
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k (the scale path)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5122,6 +5228,8 @@ QUERIES = {
     "docs_dup_spans": docs_dup_spans,
     "docs_winnow": docs_winnow,
     "sim_ann_sq8": sim_ann_sq8,
+    "emb_pca_power": emb_pca_power,
+    "emb_pca_project": emb_pca_project,
     "docs_binaryfile": docs_binaryfile,
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
@@ -5243,6 +5351,8 @@ ORACLE: dict[str, str] = {
     "docs_dup_spans": _DUP_SPANS_SQL,
     "docs_winnow": _WINNOW_SQL,
     "sim_ann_sq8": _sq8_sql(),
+    "emb_pca_power": _pca_power_sql(),
+    "emb_pca_project": _pca_project_sql(),
     "docs_binaryfile": _BINARYFILE_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,

@@ -176,3 +176,24 @@ def test_round_half_away_is_exact_on_rational_boundaries():
     # the advisor's boundary: 49999999999999994/1e17 < 1/2 exactly,
     # but its double quotient plus 0.5 rounds to 1.0
     assert _round_half_away(49999999999999994, 100000000000000000) == 0
+
+
+def test_pca_power_micro_finds_the_dominant_direction(spark):
+    """Points spread widely along axis 3 with small off-axis jitter: the
+    trained component must put its dominant weight on dim 3 and be exactly
+    reproducible run to run (pure integer recurrence)."""
+    from codecdb_queryengine_spark.operators.similarity import pca_power_micro
+
+    rows = []
+    for i in range(40):
+        v = [0.001 * ((i * 7 + j) % 5) for j in range(8)]  # jitter ≤ 0.004
+        v[3] = 0.5 if i % 2 == 0 else -0.5  # dominant axis
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    means, comp = pca_power_micro(df, dim=8, iters=6)
+    assert len(means) == 8 and len(comp) == 8
+    dom = max(range(8), key=lambda j: abs(comp[j]))
+    assert dom == 3
+    assert abs(comp[3]) >= 900_000  # rescale puts max |component| near 1e6
+    # pure integer arithmetic: bit-identical on re-run
+    assert (means, comp) == pca_power_micro(df, dim=8, iters=6)
