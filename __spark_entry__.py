@@ -54,8 +54,10 @@ BENCH_SKIP |= {
 # round-trip, full-outer join).  The remainder COMPLETES the rotation:
 # after this window every oracle-backed name in the registry has been
 # driver-gated at least once across r1-r6, except three SQL-text twins
-# plan-identical to in-window forms (ssb_q4_{2,3}_sql, q18_bucketed_sql
-# — they complete in r7) and the 4 rows-only-by-design entries.  Everything rotated out
+# plan-identical to in-window forms (ssb_q4_{2,3}_sql, q18_bucketed_sql),
+# the four late-r6 additions (events_variant_props, events_hll_rollup,
+# ext_recursive_cte, ext_lateral_topk — window them in r7) and the 4
+# rows-only-by-design entries.  Everything rotated out
 # stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [

@@ -350,6 +350,60 @@ _FULL_OUTER_SQL = """
 """
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE spine(w) AS (
+        SELECT date_trunc('WEEK', (SELECT min(ts) FROM events))
+        UNION ALL
+        SELECT w + INTERVAL 1 WEEK FROM spine
+        WHERE w < (SELECT date_trunc('WEEK', max(ts)) FROM events))
+    SELECT CAST(w AS TIMESTAMP) AS week_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN (
+        SELECT date_trunc('WEEK', ts) AS ww, count(*) AS n
+        FROM events GROUP BY 1) ON w = ww
+    ORDER BY w
+"""
+
+
+def ext_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): generate the
+    complete week spine between the first and last event and zero-fill
+    the weeks with no events — the calendar-dimension-without-a-table
+    warehouse pattern, impossible to express in one query without
+    recursion (the grid must cover weeks absent from the data).  The SQL
+    text is dialect-neutral and IS the DuckDB oracle (the sqltext
+    discipline).  Spark executes one tiny job per recursion step
+    (~0.4 s fixed cost each), so the spine granularity is chosen to keep
+    the depth single-digit at any SF — the events table spans ~5 weeks
+    regardless of scale; the depth of a date spine is a property of the
+    calendar range, never of the row count."""
+    from codecdb_queryengine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n, LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) t
+    ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+"""
+
+
+def ext_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    join-form of grouped top-k (ext_grouped_topk is the window form; the
+    reference has neither).  Dialect-neutral text, same string on both
+    engines; deterministic tie-break inside the lateral."""
+    from codecdb_queryengine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT between distinct derived tables —
     the general forms of the reference's same-table bitmap union
@@ -1401,6 +1455,8 @@ QUERIES = {
     "ext_stats_approx": ext_stats_approx,
     "ext_collect": ext_collect,
     "ext_full_outer": ext_full_outer,
+    "ext_recursive_cte": ext_recursive_cte,
+    "ext_lateral_topk": ext_lateral_topk,
     "ext_setops": ext_setops,
     "ext_approx_distinct": ext_approx_distinct,
     "ext_pivot": ext_pivot,
@@ -1436,6 +1492,8 @@ ORACLE: dict[str, str] = {
     "ext_stats": _STATS_SQL,
     "ext_collect": _COLLECT_SQL,
     "ext_full_outer": _FULL_OUTER_SQL,
+    "ext_recursive_cte": _RECURSIVE_SQL,
+    "ext_lateral_topk": _LATERAL_SQL,
     "ext_setops": _SETOPS_SQL,
     # sketch estimates are engine-specific, but their CONTRACTS are not:
     # both approx entries emit exact integers + bound-held booleans (r5)

@@ -3645,6 +3645,100 @@ def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through the VARIANT type (Spark 4's
+    open-ended JSON column): parse_json materializes the payload as a
+    typed variant once, variant_get extracts a strongly-typed field,
+    try_variant_get returns NULL (instead of raising) for a path that
+    does not exist, and to_json round-trips the variant to canonical
+    text — the schema-on-write pass events_json_props' docstring
+    prescribes for hot pipelines, value-gated row by row.
+
+    Scale shape: pure scan-side expressions inside whole-stage codegen;
+    a production pipeline writes the variant column once and every
+    downstream query skips the re-parse.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(parse_json(props), '$.absent', 'long')").alias(
+            "missing"
+        ),
+        F.to_json(v).alias("props_canon"),
+    )
+
+
+_VARIANT_SQL = """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing,
+           regexp_replace(props, '": ', '":') AS props_canon
+    FROM events
+"""
+
+
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count maintenance with DataSketches HLL (the
+    Spark 4 hll_sketch_agg / hll_union_agg surface): per-day user
+    sketches built in one pass, the corpus-wide distinct estimated by
+    MERGING the daily sketches — never rescanning raw data — and every
+    estimate gated through its CONTRACT against the exact distinct count
+    (the ext_approx_distinct discipline: exact integers + bound-held
+    booleans; sketch bytes are engine-specific, the bound is not).
+
+    Scale shape: this is the 100-TB distinct-count story — daily
+    partitions maintain kilobyte sketches incrementally; rollups to any
+    coarser grain are sketch unions, constant work per merged partition.
+    The exact distinct counts computed alongside exist only to gate the
+    bound and would be dropped in production.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("n_exact"),
+        )
+    )
+    in_bound = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= F.lit(0.05) * F.col("n_exact") + F.lit(5.0)
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        in_bound.alias("est_in_bound"),
+    )
+    total_exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    merged = (
+        daily.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("TOTAL(merged)").alias("day"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            in_bound.alias("est_in_bound"),
+        )
+    )
+    return per_day.unionByName(merged).orderBy("day")
+
+
+_HLL_SQL = """
+    SELECT CAST(day AS VARCHAR) AS day, n_exact, TRUE AS est_in_bound FROM (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1)
+    UNION ALL
+    SELECT 'TOTAL(merged)' AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_in_bound
+    FROM events
+    ORDER BY day
+"""
+
+
 def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy probe: sketch all token occurrences
     (depth 4 × width 64 — deliberately small so collisions are visible),
@@ -5230,6 +5324,8 @@ QUERIES = {
     "sim_ann_sq8": sim_ann_sq8,
     "emb_pca_power": emb_pca_power,
     "emb_pca_project": emb_pca_project,
+    "events_variant_props": events_variant_props,
+    "events_hll_rollup": events_hll_rollup,
     "docs_binaryfile": docs_binaryfile,
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
@@ -5353,6 +5449,8 @@ ORACLE: dict[str, str] = {
     "sim_ann_sq8": _sq8_sql(),
     "emb_pca_power": _pca_power_sql(),
     "emb_pca_project": _pca_project_sql(),
+    "events_variant_props": _VARIANT_SQL,
+    "events_hll_rollup": _HLL_SQL,
     "docs_binaryfile": _BINARYFILE_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,

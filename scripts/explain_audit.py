@@ -77,6 +77,9 @@ EXPECT_NESTED = {
     # 1-row broadcast of the corpus total (N) joined to every scored row
     "docs_pmi",
     "docs_mixture_weights",
+    # the merged-sketch row joins the 1-row exact-total aggregate (the
+    # contract's reference value) — a single-row probe by construction
+    "events_hll_rollup",
 }
 
 
