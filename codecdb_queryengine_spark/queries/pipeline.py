@@ -3739,6 +3739,95 @@ _HLL_SQL = """
 """
 
 
+def docs_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised classifier training IN the engine: batch-perceptron
+    rounds over hashed token-count features (operators/classify — exact
+    integer updates, order-free gradient sums), labels y=+1 for English
+    documents, then the trained weights applied back for exact confusion
+    counts.  The DuckDB oracle replays the ENTIRE training (4 rounds of
+    margin-filter + gradient aggregation through chained MATERIALIZED
+    CTEs) — supervised learning under the same bit-exact standard as the
+    Lloyd/PCA trainers.  docs_classify is the fixed-table inference twin.
+
+    Honest accuracy note: the synthetic corpus draws every language's
+    text from ONE shared vocabulary, so the lang label is independent of
+    the features by construction — no classifier can beat chance here,
+    and the batch perceptron correctly oscillates on the non-separable
+    data (its textbook behavior).  What this gate pins is the TRAINING
+    ARITHMETIC: four full update rounds replayed integer-for-integer
+    across engines; point the same operator at a corpus whose labels
+    correlate with text and the identical plan learns.
+    """
+    from codecdb_queryengine_spark.operators import classify as CL
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dim, iters = 32, 4
+    feats = CL.hashed_features(docs, dim=dim, prefix="pc|")
+    ex = feats.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        ),
+        "id",
+    )
+    w = CL.perceptron_train_micro(ex, dim=dim, iters=iters)
+    w_arr = "array(" + ",".join(f"{wj}L" for wj in w) + ")"
+    margin = F.expr(
+        f"aggregate(zip_with(f, {w_arr}, (a, b) -> a * b), 0L, (s, e) -> s + e)"
+    )
+    return (
+        ex.select("y", (margin > 0).alias("pred_pos"))
+        .groupBy("y", "pred_pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "pred_pos")
+    )
+
+
+def _train_classifier_sql(dim: int = 32, iters: int = 4) -> str:
+    width = dim + 1
+    fsums = ", ".join(
+        f"CAST(sum(CASE WHEN b = {j} THEN 1 ELSE 0 END) AS BIGINT) AS f{j}"
+        for j in range(dim)
+    )
+    farr = "[" + ", ".join(f"f{j}" for j in range(dim)) + ", CAST(1 AS BIGINT)]"
+    zeros = "[" + ", ".join(["CAST(0 AS BIGINT)"] * width) + "]"
+    mfold = f"list_sum(list_transform(range(1, {width + 1}), i -> f[i] * w[i]))"
+    ctes = [
+        f"""tok AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   ('0x' || substring(md5('pc|' || tok), 1, 8))::BIGINT % {dim} AS b
+            FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents))""",
+        f"fx AS MATERIALIZED (SELECT id, {fsums} FROM tok GROUP BY id)",
+        f"""ex AS MATERIALIZED (
+            SELECT fx.id, {farr} AS f,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+            FROM fx JOIN documents ON fx.id = documents.doc_id)""",
+        f"w0 AS MATERIALIZED (SELECT {zeros} AS w)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""g{t} AS MATERIALIZED (
+            SELECT list(CAST(coalesce(g, 0) AS BIGINT) ORDER BY j) AS gl FROM
+                (SELECT grid.j, s.g
+                 FROM (SELECT unnest(range(1, {width + 1})) AS j) grid
+                 LEFT JOIN (
+                     SELECT j, sum(y * f[j]) AS g
+                     FROM ex CROSS JOIN w{t - 1}
+                     CROSS JOIN (SELECT unnest(range(1, {width + 1})) AS j)
+                     WHERE y * ({mfold}) <= 0
+                     GROUP BY j) s ON grid.j = s.j))""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+            SELECT list_transform(range(1, {width + 1}),
+                                  i -> w[i] + gl[i]) AS w
+            FROM w{t - 1} CROSS JOIN g{t})""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT y, ({mfold}) > 0 AS pred_pos, count(*) AS n
+    FROM ex CROSS JOIN w{iters}
+    GROUP BY y, pred_pos ORDER BY y, pred_pos
+"""
+
+
 def text_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy probe: sketch all token occurrences
     (depth 4 × width 64 — deliberately small so collisions are visible),
@@ -5326,6 +5415,7 @@ QUERIES = {
     "emb_pca_project": emb_pca_project,
     "events_variant_props": events_variant_props,
     "events_hll_rollup": events_hll_rollup,
+    "docs_train_classifier": docs_train_classifier,
     "docs_binaryfile": docs_binaryfile,
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
@@ -5451,6 +5541,7 @@ ORACLE: dict[str, str] = {
     "emb_pca_project": _pca_project_sql(),
     "events_variant_props": _VARIANT_SQL,
     "events_hll_rollup": _HLL_SQL,
+    "docs_train_classifier": _train_classifier_sql(),
     "docs_binaryfile": _BINARYFILE_SQL,
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,
