@@ -614,6 +614,39 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pca_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-registry loop for the PCA tier: train → PERSIST the
+    integer model as a parquet artifact (sources/model_store — vectors +
+    self-describing meta, the ann/text-index layout discipline) → load it
+    back trusting the artifact's own shape → serve projections from the
+    LOADED weights.  Gated by the identical oracle as emb_pca_project, so
+    a pass proves the persistence round trip is lossless end to end
+    (trivially guaranteed for integer models — which is exactly why the
+    engine's trained models are integers)."""
+    from codecdb_queryengine_spark.sources import model_store as MS
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    means, comp = S.pca_power_micro(emb, dim=64, iters=6)
+    path = _scratch_dir("model_store", sf_dir)
+    MS.save_model(spark, path, "pca_top1", {"mean": means, "comp": comp})
+    loaded = MS.load_model(spark, path, "pca_top1")
+    mean_arr = "array(" + ",".join(f"{m}L" for m in loaded["mean"]) + ")"
+    comp_arr = "array(" + ",".join(f"{c}L" for c in loaded["comp"]) + ")"
+    quant = "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+    cen = emb.select(
+        F.col("vec_id"),
+        F.expr(f"zip_with({quant}, {mean_arr}, (a, b) -> a - b)").alias("c"),
+    )
+    proj = F.expr(
+        f"aggregate(zip_with(c, {comp_arr}, (a, b) -> a * b), 0L, (s, e) -> s + e)"
+    )
+    return (
+        cen.select("vec_id", proj.alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
 def _pca_sql_ctes(iters: int = 6, dim: int = 64) -> str:
     """The shared oracle chain replaying pca_power_micro's training:
     milli quantization → integer means → centering → `iters` exact
@@ -3522,8 +3555,8 @@ _BINARYFILE_SQL = """
 
 
 def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV and JSON connector round-trip under the value gate: the
-    documents table is WRITTEN as csv, json and orc (sources/io.write) and
+    """Text-connector round-trips under the value gate: the
+    documents table is WRITTEN as csv, json, orc and xml (sources/io.write) and
     READ back (sources/io.read with an explicit schema), then each
     round-tripped frame is summarized per source — counts, char sums, id
     extremes, and a content signature (Σ md5-slice of the text) that any
@@ -3537,7 +3570,7 @@ def docs_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("io_roundtrip", sf_dir)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     out = None
-    for fmt in ("csv", "json", "orc"):
+    for fmt in ("csv", "json", "orc", "xml"):
         path = os.path.join(base, fmt)
         IO.write(docs.select("doc_id", "text", "lang", "source", "n_chars"), path, fmt=fmt)
         back = IO.read(spark, path, fmt=fmt, schema=schema)
@@ -3563,7 +3596,7 @@ _IO_ROUNDTRIP_SQL = """
                max(doc_id) AS max_id
         FROM documents GROUP BY source)
     SELECT s.*, f.fmt
-    FROM s CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
+    FROM s CROSS JOIN (SELECT unnest(['csv', 'json', 'orc', 'xml']) AS fmt) f
 """
 
 
@@ -5413,6 +5446,7 @@ QUERIES = {
     "sim_ann_sq8": sim_ann_sq8,
     "emb_pca_power": emb_pca_power,
     "emb_pca_project": emb_pca_project,
+    "emb_pca_served": emb_pca_served,
     "events_variant_props": events_variant_props,
     "events_hll_rollup": events_hll_rollup,
     "docs_train_classifier": docs_train_classifier,
@@ -5539,6 +5573,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_sq8": _sq8_sql(),
     "emb_pca_power": _pca_power_sql(),
     "emb_pca_project": _pca_project_sql(),
+    "emb_pca_served": _pca_project_sql(),
     "events_variant_props": _VARIANT_SQL,
     "events_hll_rollup": _HLL_SQL,
     "docs_train_classifier": _train_classifier_sql(),

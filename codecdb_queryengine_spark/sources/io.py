@@ -22,7 +22,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
-READ_FORMATS = ("parquet", "csv", "json", "orc")
+READ_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 
 
 def read(
@@ -42,6 +42,8 @@ def read(
         reader = reader.schema(schema)
     if fmt == "csv":
         reader = reader.option("header", options.pop("header", "true"))
+    if fmt == "xml":
+        reader = reader.option("rowTag", options.pop("rowTag", "row"))
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load(path)
@@ -59,9 +61,13 @@ def write(
 ) -> None:
     """Write a result table; partition_by yields hive-style directories so
     downstream scans partition-prune."""
-    writer = df.write.format(fmt).mode(mode).option("compression", compression)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt != "xml":  # the XML writer rejects snappy; leave its default
+        writer = writer.option("compression", compression)
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
+    if fmt == "xml":
+        writer = writer.option("rowTag", options.pop("rowTag", "row"))
     for k, v in options.items():
         writer = writer.option(k, v)
     if partition_by:

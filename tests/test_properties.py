@@ -233,3 +233,56 @@ def test_phrase_search_matches_substring_reference(spark, docs, phrase, tmp_path
         i for i, toks in enumerate(docs) if needle in " " + " ".join(toks) + " "
     }
     assert got == expect, (docs, phrase)
+
+
+# --- graph operators vs pure-Python references -------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=16,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from codecdb_queryengine_spark.operators.graph import triangle_counts
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy, iters=st.integers(min_value=1, max_value=3))
+def test_pagerank_micro_matches_python_replay(spark, edges, iters):
+    from codecdb_queryengine_spark.operators.graph import pagerank_micro
+
+    sym = sorted({(a, b) for a, b in edges if a != b} | {(b, a) for a, b in edges if a != b})
+    deg: dict[int, int] = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    pr = {n: 1_000_000 for n in deg}
+    for _ in range(iters):
+        incoming: dict[int, int] = {n: 0 for n in deg}
+        for a, b in sym:
+            incoming[b] += pr[a] // deg[a]
+        pr = {n: 150_000 + (85 * s) // 100 for n, s in incoming.items()}
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank_micro(df, iters=iters).collect()}
+    assert got == pr
