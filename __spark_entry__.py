@@ -33,6 +33,7 @@ BENCH_SKIP = {name for name in sqltext.QUERIES if name not in _SQL_KEEP}
 # engine-specific path (trained-quantizer invariants, checkpointed CC,
 # fold-vs-Arrow parity); timing them would double-count the same work.
 BENCH_SKIP |= {
+    "graph_pagerank_ckpt",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",
     "graph_cc_chain_ckpt",
@@ -55,8 +56,9 @@ BENCH_SKIP |= {
 # after this window every oracle-backed name in the registry has been
 # driver-gated at least once across r1-r6, except three SQL-text twins
 # plan-identical to in-window forms (ssb_q4_{2,3}_sql, q18_bucketed_sql),
-# the four late-r6 additions (events_variant_props, events_hll_rollup,
-# ext_recursive_cte, ext_lateral_topk — window them in r7) and the 4
+# the late-r6 additions (events_variant_props, events_hll_rollup,
+# ext_recursive_cte, ext_lateral_topk, docs_train_classifier,
+# emb_pca_served, graph_pagerank_ckpt — window them in r7) and the 4
 # rows-only-by-design entries.  Everything rotated out
 # stays covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).

@@ -3021,6 +3021,27 @@ def _pagerank_sql(iters: int = 6) -> str:
 """
 
 
+def graph_pagerank_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank through RELIABLE (files-on-disk) checkpoints — the
+    durability mode a long iterative 100-TB rank job would run with
+    (graph_cc_chain_ckpt's discipline applied to the second iterative
+    graph operator).  Same exact oracle; per-round checkpoint write and
+    superseded-round cleanup run under the value gate."""
+    from codecdb_queryengine_spark.operators import graph as G
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pr = G.pagerank_micro(
+        _cooc_edges(docs),
+        iters=6,
+        checkpoint_dir=_scratch_dir("pr_ckpt", sf_dir, fresh=True),
+    )
+    return (
+        pr.select("node", F.col("pr").alias("pr_micro"))
+        .orderBy(F.col("pr_micro").desc(), F.col("node").asc())
+        .limit(30)
+    )
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term triangle counts over the co-occurrence graph
     (graph.triangle_counts — oriented wedge join): top-20 most clustered
@@ -5441,6 +5462,7 @@ QUERIES = {
     "docs_mixture_weights": docs_mixture_weights,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_pagerank_ckpt": graph_pagerank_ckpt,
     "docs_dup_spans": docs_dup_spans,
     "docs_winnow": docs_winnow,
     "sim_ann_sq8": sim_ann_sq8,
@@ -5568,6 +5590,7 @@ ORACLE: dict[str, str] = {
     "docs_mixture_weights": _MIXTURE_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _TRIANGLES_SQL,
+    "graph_pagerank_ckpt": _pagerank_sql(),
     "docs_dup_spans": _DUP_SPANS_SQL,
     "docs_winnow": _WINNOW_SQL,
     "sim_ann_sq8": _sq8_sql(),
