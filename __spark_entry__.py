@@ -33,6 +33,7 @@ BENCH_SKIP = {name for name in sqltext.QUERIES if name not in _SQL_KEEP}
 # engine-specific path (trained-quantizer invariants, checkpointed CC,
 # fold-vs-Arrow parity); timing them would double-count the same work.
 BENCH_SKIP |= {
+    "emb_pca_served",
     "graph_pagerank_ckpt",
     "sim_ann_ivf_trained_gate",
     "sim_ann_pq_trained_gate",

@@ -45,6 +45,7 @@ def test_bench_skip_only_hides_twins():
     twins (same physical plans as the DataFrame forms) and value-gate twins
     (re-run an already-timed pipeline to check an engine-specific path)."""
     gate_twins = {
+        "emb_pca_served",
         "graph_pagerank_ckpt",
         "sim_ann_ivf_trained_gate",
         "sim_ann_pq_trained_gate",
