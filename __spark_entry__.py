@@ -35,11 +35,8 @@ BENCH_SKIP = {name for name in sqltext.QUERIES if name not in _SQL_KEEP}
 BENCH_SKIP |= {
     "emb_pca_served",
     "graph_pagerank_ckpt",
-    "sim_ann_ivf_trained_gate",
-    "sim_ann_pq_trained_gate",
     "graph_cc_chain_ckpt",
     "emb_encode_parity",
-    "text_bpe_gate",
 }
 
 # The driver's correctness gate truncates at the first 50 queries() entries

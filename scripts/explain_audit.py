@@ -66,8 +66,6 @@ EXPECT_NESTED = {
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_pq_lloyd",
     "sim_ann_ivfpq_lloyd",
-    "sim_ann_ivf_trained_gate",
-    "sim_ann_pq_trained_gate",
     # the hour grid × type set cross join is bounded by hours·types, not data
     "events_resample",
     "events_interpolate",

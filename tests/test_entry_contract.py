@@ -21,23 +21,13 @@ def test_every_oracle_key_has_a_query_and_no_orphans():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only queries are the deliberate exceptions (sketch estimates and
-    # KMeans|| centers are engine-specific — no cross-engine value oracle)
+    # r7 retired the rows-only category (r6 verdict item 2): every
+    # registered name now has a value oracle — engine-specific outputs
+    # (KMeans|| pairs, BPE merge tables) are registered AS their
+    # engine-independent invariant surfaces, so the driver's `no_oracle`
+    # err class can never recur.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        # KMeans|| centers are engine-specific — no cross-engine value
-        # oracle for the raw pairs; their CONTRACTS are value-gated by
-        # sim_ann_{ivf,pq}_trained_gate and the exact-trained tier by
-        # sim_ann_ivf_lloyd (r5)
-        "sim_ann_ivf_trained",
-        "sim_ann_pq_trained",
-        # iterative argmax has no SQL oracle; pinned vs a pure-Python BPE
-        # reference in tests/test_bpe.py
-        "text_bpe_trained",
-        # numpy matmul near-tie divergence vs the fold oracle — pinned
-        # equal to the expression assignment in tests/test_ann_recall.py
-        "emb_stream_encode_fast",
-    }
+    assert rows_only == set()
 
 
 def test_bench_skip_only_hides_twins():
@@ -47,10 +37,7 @@ def test_bench_skip_only_hides_twins():
     gate_twins = {
         "emb_pca_served",
         "graph_pagerank_ckpt",
-        "sim_ann_ivf_trained_gate",
-        "sim_ann_pq_trained_gate",
         "graph_cc_chain_ckpt",
         "emb_encode_parity",
-        "text_bpe_gate",
     }
     assert all(n.endswith("_sql") or n in gate_twins for n in entry.BENCH_SKIP)
