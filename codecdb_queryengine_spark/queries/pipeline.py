@@ -830,6 +830,25 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def sim_ann_ivf_indexed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index with HOT-LIST REBALANCING (r6 verdict
+    item 6): built with max_list_rows=16, so every list bigger than the
+    cap splits across a secondary `c_slot` partition level while serving
+    still probes (and dynamic-partition-prunes) on `c_list` alone — a
+    skewed list stops being one serving-bottleneck partition and becomes
+    ceil(n/cap) parallel tasks.  Results are bit-identical to sim_ann_ivf
+    (the split changes only physical layout), so the same oracle gates
+    the rebalanced layout end-to-end; the slot mechanics are pinned in
+    tests/test_ann_index.py and the pruned scan over split lists in
+    scripts/explain_audit.py (PLANS.md `dpp` row)."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_split", sf_dir)
+    AI.ivf_index_build(emb, path, centroid_mod=29, max_list_rows=16)
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.pq_topk):
     4 subspaces × 8 sampled codewords over the 64-dim embeddings."""
@@ -3693,6 +3712,59 @@ def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-index COMPACTION under the value gate (r6 verdict item 5):
+    the exactly-once micro-batch ingest of docs_stream_index_ingest
+    accumulates small files per trigger — the classic 100-TB killer — so
+    this entry ingests the corpus as FOUR micro-batches (staged as four
+    input files, maxFilesPerTrigger=1), compacts the postings layout with
+    sources/io.compact_partitioned (per-partition rewrite that KEEPS the
+    t_bucket directory partitioning, atomic swap), and proves the
+    maintenance pass is content-preserving: the post-compaction
+    bucket-pruned search result is gated by the same docs_search_index
+    oracle, with a `files_shrunk` contract column pinning that the data
+    file count actually went down (the oracle states TRUE — a compaction
+    that failed to shrink flips the hash)."""
+    from codecdb_queryengine_spark.sources import io as IO
+    from codecdb_queryengine_spark.sources import text_index as TI
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("text_stream_index_compact", sf_dir, fresh=True)
+    # stage the corpus as 4 files => 4 micro-batches through the sink
+    staged = os.path.join(base, "in")
+    docs.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(
+        staged
+    )
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter(F.col("text").isNotNull())
+    )
+    postings_path = os.path.join(base, "postings")
+    q = SK.stream_to_parquet(
+        TI.postings_of(stream),
+        postings_path,
+        os.path.join(base, "ckpt"),
+        partition_by=("t_bucket",),
+    )
+    q.awaitTermination()
+    TI._write_meta(spark, base, 32)
+    files_before = IO.data_file_count(postings_path)
+    IO.compact_partitioned(
+        spark, postings_path, partition_by=("t_bucket",), target_file_bytes=1 << 30
+    )
+    files_after = IO.data_file_count(postings_path)
+    hits = TI.text_index_search_all(spark, base, _SEARCH_TERMS)
+    return (
+        docs.join(hits, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .withColumn("files_shrunk", F.lit(files_after < files_before))
+    )
+
+
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payloads through the VARIANT type (Spark 4's
     open-ended JSON column): parse_json materializes the payload as a
@@ -5436,6 +5508,7 @@ QUERIES = {
     "docs_search_phrase": docs_search_phrase,
     "docs_search_ranked": docs_search_ranked,
     "docs_stream_index_ingest": docs_stream_index_ingest,
+    "docs_stream_index_compact": docs_stream_index_compact,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
     "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
@@ -5493,6 +5566,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
+    "sim_ann_ivf_indexed_split": sim_ann_ivf_indexed_split,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_pq_trained": sim_ann_pq_trained,
@@ -5558,6 +5632,9 @@ ORACLE: dict[str, str] = {
     "docs_search_phrase": _search_phrase_sql(),
     "docs_search_ranked": _search_ranked_sql(),
     "docs_stream_index_ingest": _search_index_sql(),
+    "docs_stream_index_compact": "SELECT s.*, TRUE AS files_shrunk FROM ("
+    + _search_index_sql()
+    + ") s",
     "dedup_clusters": _dedup_clusters_sql(),
     "graph_cc_chain": _GRAPH_CC_CHAIN_SQL,
     "graph_cc_chain_ckpt": _GRAPH_CC_CHAIN_SQL,
@@ -5618,6 +5695,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_lsh": _ann_sql(),
     "sim_ann_ivf": _ivf_sql(),
     "sim_ann_ivf_indexed": _ivf_sql(),
+    "sim_ann_ivf_indexed_split": _ivf_sql(),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),

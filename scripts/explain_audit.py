@@ -87,6 +87,7 @@ EXPECT_NESTED = {
 # (r4 ADVICE: a cast on the partition column can void DPP on some versions).
 EXPECT_DPP = {
     "sim_ann_ivf_indexed",
+    "sim_ann_ivf_indexed_split",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
     "emb_stream_index_ingest",

@@ -42,6 +42,47 @@ def test_index_probe_plan_uses_dynamic_partition_pruning(spark, sf_dir):
     assert len(dirs) > 2
 
 
+def test_hot_list_split_rebalances_and_preserves_results(spark, sf_dir):
+    """max_list_rows (r6 verdict item 6): an oversized list must fan out
+    over ceil(n/cap) c_slot sub-partitions — so a skewed list stops being
+    one serving-bottleneck partition — while the served top-k stays
+    bit-identical to the unsplit index and the probe scan still
+    dynamic-partition-prunes on c_list."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cap = 8
+    plain = tempfile.mkdtemp(prefix="ivf_idx_plain_")
+    split = tempfile.mkdtemp(prefix="ivf_idx_split_")
+    AI.ivf_index_build(emb, plain, centroid_mod=29)
+    AI.ivf_index_build(emb, split, centroid_mod=29, max_list_rows=cap)
+    # physical layout: every list dir fans out over its slots, and each
+    # oversized list has exactly ceil(n/cap) of them
+    members: dict[int, list[int]] = {}
+    for r in spark.read.parquet(os.path.join(plain, "lists")).select("c_list", "n_id").collect():
+        members.setdefault(r.c_list, []).append(r.n_id)
+    assert any(len(ids) > cap for ids in members.values()), (
+        "fixture too small to exercise split"
+    )
+    lists_dir = os.path.join(split, "lists")
+    fanned_out = 0
+    for c_list, ids in members.items():
+        n_slots = -(-len(ids) // cap)
+        expected = {i % n_slots for i in ids}
+        slots = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(lists_dir, f"c_list={c_list}"))
+            if d.startswith("c_slot=")
+        }
+        assert slots == expected, (c_list, len(ids), slots, expected)
+        fanned_out += len(slots) > 1
+    assert fanned_out >= 1  # at least one hot list really split
+    # served results bit-identical to the unsplit layout
+    a = AI.ivf_index_topk(spark, plain, _queries(emb), k=5, nprobe=2).collect()
+    b_df = AI.ivf_index_topk(spark, split, _queries(emb), k=5, nprobe=2)
+    b = b_df.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert "dynamicpruning" in b_df._jdf.queryExecution().executedPlan().toString().lower()
+
+
 def test_index_rebuild_overwrites_cleanly(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     path = tempfile.mkdtemp(prefix="ivf_idx_rebuild_")

@@ -162,3 +162,30 @@ def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_compact_partitioned_keeps_layout_and_content(spark, tmp_path):
+    """compact_partitioned (r6 verdict item 5): shrinks the per-partition
+    small-file population, KEEPS the partition directories (so pruning
+    survives), and preserves content exactly."""
+    path = str(tmp_path / "part_frag")
+    df = spark.range(10_000).selectExpr("id", "CAST(id % 4 AS INT) AS b")
+    # simulate 5 micro-batch appends: 5 writer rounds x 4 partitions
+    df.repartition(5).write.partitionBy("b").parquet(path)
+    for _ in range(4):
+        df.repartition(5).write.mode("append").partitionBy("b").parquet(path)
+    n_before = io.data_file_count(path)
+    assert n_before >= 20
+    io.compact_partitioned(spark, path, partition_by=("b",), target_file_bytes=1 << 30)
+    n_after = io.data_file_count(path)
+    assert n_after < n_before
+    import pathlib
+
+    dirs = {d.name for d in pathlib.Path(path).iterdir() if d.is_dir()}
+    assert dirs == {f"b={i}" for i in range(4)}
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 5 * (10_000 * 9_999 // 2)
+    # partition pruning still fires on the kept layout
+    pruned = back.filter(F.col("b") == 1)
+    assert pruned.count() == 12_500
