@@ -1,0 +1,318 @@
+#!/usr/bin/env python3
+"""Empirical scale evidence for the 5 heaviest operator families
+(r6 verdict item 4): synthetic corpora at 1x / 4x / 16x of sf0.1, wall
+time AND shuffle read/write bytes per run pulled from the Spark UI REST
+metrics, plus a shuffle-COUNT check — the claims in SCALE.md are plan
+shapes; this measures them.
+
+What the synthetic scaling preserves (and why): every copy of the base
+corpus is token-salted (copy i appends `_i` to every token) or
+vector-shifted, so duplicate/near-dup DENSITY stays constant across
+factors — naive replication would make every doc a 16-way near-dup of
+itself and quadratic pair growth inside buckets would be a DATA artifact,
+not an algorithm property.  With density held constant:
+
+- wall time and shuffle bytes should grow ~linearly with rows (CC and
+  PageRank add a log/iteration term that is constant here: fixed rounds);
+- the NUMBER of shuffle stages must stay constant — a plan whose shuffle
+  count grows with data dies at 100 TB regardless of per-shuffle cost.
+
+Families: simhash near-dup -> star-CC clusters, inverted text index
+build, IVFPQ train+encode+serve (Lloyd micro), PageRank over the
+co-occurrence graph, segment-level dedup (RefinedWeb rule).
+
+Usage: python -u scripts/scale_measure.py [out_md]   (writes
+SCALE_MEASURED.md; ~10-20 min).  SCALE_MEASURE_FACTORS / _RUNS override.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from codecdb_queryengine_spark.session import get_spark
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [int(x) for x in os.environ.get("SCALE_MEASURE_FACTORS", "1,4,16").split(",")]
+RUNS = int(os.environ.get("SCALE_MEASURE_RUNS", "2"))
+SCRATCH = "/tmp/scale_measure"
+
+
+# --- UI REST metrics --------------------------------------------------------
+
+
+def _ui_json(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def _app_id(spark) -> str:
+    return _ui_json(spark, "applications")[0]["id"]
+
+
+def _stages(spark, app: str):
+    """Completed-stage metrics keyed by (stageId, attemptId)."""
+    out = {}
+    for s in _ui_json(spark, f"applications/{app}/stages?status=complete"):
+        out[(s["stageId"], s["attemptId"])] = (
+            s.get("shuffleReadBytes", 0),
+            s.get("shuffleWriteBytes", 0),
+        )
+    return out
+
+
+class MetricWindow:
+    """Shuffle bytes + shuffle-stage count for the jobs run inside the
+    `with` block (delta of the UI's completed-stage metrics)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.app = _app_id(spark)
+
+    def __enter__(self):
+        self.before = _stages(self.spark, self.app)
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall = time.perf_counter() - self.t0
+        after = _stages(self.spark, self.app)
+        new = {k: v for k, v in after.items() if k not in self.before}
+        self.shuffle_read = sum(r for r, _ in new.values())
+        self.shuffle_write = sum(w for _, w in new.values())
+        # one map-side shuffle write boundary == one shuffle
+        self.n_shuffles = sum(1 for _, w in new.values() if w > 0)
+        self.n_stages = len(new)
+
+
+# --- synthetic corpora: constant duplicate density across factors -----------
+
+
+def stage_scaled_inputs(spark, factor: int) -> str:
+    """Write documents/embeddings scaled `factor`x under SCRATCH and return
+    the directory.  Copy i token-salts text (disjoint vocabularies) and
+    offsets ids, so intra-copy structure — dup clusters, co-occurrence
+    graph, segment repeats — replicates instead of cross-linking."""
+    out = os.path.join(SCRATCH, f"f{factor}")
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    d_parts, e_parts = [], []
+    for i in range(factor):
+        if i == 0:
+            d_parts.append(docs.select("doc_id", "text"))
+            e_parts.append(emb.select("vec_id", "embedding"))
+            continue
+        salt = f"_{i}"
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(salt)),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x + F.lit(float(i) * 0.0017)
+                ).alias("embedding"),
+            )
+        )
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(max(4, 2 * factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents")
+    )
+    e.repartition(max(4, 2 * factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings")
+    )
+    open(done, "w").close()
+    return out
+
+
+# --- the five families -------------------------------------------------------
+
+
+def fam_simhash_cc(spark, d):
+    from codecdb_queryengine_spark.operators import dedup as D
+    from codecdb_queryengine_spark.operators.graph import connected_components_star
+
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    sim = D.simhash(docs, "text", "doc_id")
+    pairs = D.simhash_near_dups(sim, max_hamming=3, bands=4)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.count()
+
+
+def fam_index_build(spark, d):
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    TI.text_index_build(docs, os.path.join(d, "text_index"))
+    return 1
+
+
+def fam_ivfpq(spark, d):
+    from codecdb_queryengine_spark.operators import similarity as S
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.ivf_pq_topk_lloyd_micro(emb, qs, dim=64, k=5).count()
+
+
+def fam_pagerank(spark, d):
+    from codecdb_queryengine_spark.operators import graph as G
+    from codecdb_queryengine_spark.queries.pipeline import _cooc_edges
+
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    return G.pagerank_micro(_cooc_edges(docs), iters=6).count()
+
+
+def fam_segment_dedup(spark, d):
+    from codecdb_queryengine_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    return D.segment_dedup(docs, "text", "doc_id", seg_tokens=8).count()
+
+
+FAMILIES = [
+    ("simhash_cc", fam_simhash_cc, "band-bucketed pairs + O(log^2 n)-round star-CC"),
+    ("index_build", fam_index_build, "postings explode + 1 repartition(bucket) write"),
+    ("ivfpq_lloyd", fam_ivfpq, "integer Lloyd train + encode + ADC serve, fixed iters"),
+    ("pagerank", fam_pagerank, "6 damped integer rounds, shuffles ~ iterations"),
+    ("segment_dedup", fam_segment_dedup, "segment hash-groupBy keep-first + rebuild"),
+]
+
+
+def main() -> int:
+    out_md = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALE_MEASURED.md"
+    spark = get_spark(
+        "scale-measure",
+        **{"spark.ui.enabled": "true", "spark.ui.port": "4055"},
+    )
+    assert spark.sparkContext.uiWebUrl, "UI must be on for REST metrics"
+    os.makedirs(SCRATCH, exist_ok=True)
+    # warm: IO + python worker pool so factor-1 cells don't eat the session tax
+    spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet")).count()
+    spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").collect()
+
+    dirs = {f: stage_scaled_inputs(spark, f) for f in FACTORS}
+    rows = {
+        f: spark.read.parquet(os.path.join(dirs[f], "documents")).count()
+        for f in FACTORS
+    }
+    vrows = {
+        f: spark.read.parquet(os.path.join(dirs[f], "embeddings")).count()
+        for f in FACTORS
+    }
+
+    results: dict[str, dict[int, dict]] = {}
+    for name, fn, _ in FAMILIES:
+        results[name] = {}
+        for f in FACTORS:
+            walls, reads, writes, shuffles = [], [], [], []
+            for _ in range(RUNS):
+                spark.catalog.clearCache()
+                with MetricWindow(spark) as mw:
+                    fn(spark, dirs[f])
+                walls.append(mw.wall)
+                reads.append(mw.shuffle_read)
+                writes.append(mw.shuffle_write)
+                shuffles.append(mw.n_shuffles)
+            results[name][f] = {
+                "wall": statistics.median(walls),
+                "read": statistics.median(reads),
+                "write": statistics.median(writes),
+                "n_shuffles": min(shuffles),  # AQE retries can only add
+            }
+            print(
+                f"{name} x{f}: {results[name][f]['wall']:.2f}s "
+                f"read={results[name][f]['read'] / 1e6:.1f}MB "
+                f"write={results[name][f]['write'] / 1e6:.1f}MB "
+                f"shuffles={results[name][f]['n_shuffles']}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    f0, fN = FACTORS[0], FACTORS[-1]
+    span = fN // f0
+    lines = [
+        "# SCALE_MEASURED — synthetic-scale curves for the 5 heaviest families",
+        "",
+        "Generated by `scripts/scale_measure.py` (r6 verdict item 4).",
+        f"Inputs: sf0.1 corpus replicated x{FACTORS} with token-salted copies",
+        "(constant duplicate density — see the script docstring), documents "
+        f"{rows[f0]:,} → {rows[fN]:,} rows, embeddings {vrows[f0]:,} → "
+        f"{vrows[fN]:,}.  Median of "
+        f"{RUNS} warm runs; shuffle bytes and stage counts from the Spark UI",
+        "REST metrics (`/api/v1/.../stages`), delta per run.",
+        "",
+        "Reading it: `gN` = value(16x)/value(1x).  Near-linear wall/bytes",
+        f"growth ≈ {span}x confirms the SCALE.md plan-shape claims; the",
+        "shuffle COUNT staying flat is the 100-TB property (a plan whose",
+        "number of shuffles grows with data is dead at scale regardless of",
+        "per-shuffle cost).  Wall gN below the data ratio = fixed per-stage",
+        "overhead still amortizing — fine; wall gN >> data ratio would flag",
+        "a quadratic term.",
+        "",
+    ]
+    for name, _, claim in FAMILIES:
+        lines += [f"## {name} — {claim}", ""]
+        lines.append(
+            "| factor | docs rows | wall s | shuffle read MB | shuffle write MB | shuffle stages |"
+        )
+        lines.append("|---|---|---|---|---|---|")
+        for f in FACTORS:
+            r = results[name][f]
+            lines.append(
+                f"| {f}x | {rows[f]:,} | {r['wall']:.2f} | "
+                f"{r['read'] / 1e6:.1f} | {r['write'] / 1e6:.1f} | {r['n_shuffles']} |"
+            )
+        a, b = results[name][f0], results[name][fN]
+        gw = b["wall"] / a["wall"] if a["wall"] else float("inf")
+        gb = (
+            (b["read"] + b["write"]) / (a["read"] + a["write"])
+            if (a["read"] + a["write"])
+            else float("inf")
+        )
+        flat = "FLAT" if b["n_shuffles"] <= a["n_shuffles"] + 1 else "GREW!"
+        lines += [
+            "",
+            f"g{span}: wall {gw:.1f}x, shuffle bytes {gb:.1f}x over a {span}x "
+            f"data step; shuffle-stage count {a['n_shuffles']} → "
+            f"{b['n_shuffles']} ({flat}).",
+            "",
+        ]
+    with open(out_md, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
