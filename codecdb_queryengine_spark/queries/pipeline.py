@@ -5138,6 +5138,60 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def emb_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed ANN-index COMPACTION (the vector twin of
+    docs_stream_index_compact, r6 verdict item 5): the embeddings corpus
+    is ingested into the persisted IVF list layout as FOUR micro-batches
+    (staged as four input files, maxFilesPerTrigger=1 — each trigger
+    appends its own small files into every touched c_list partition),
+    the layout is compacted with sources/io.compact_partitioned (keeps
+    the c_list directory partitioning, atomic swap), and the compacted
+    index serves the standard top-k through the same DPP-pruned read
+    path — gated by the exact sim_ann_ivf oracle with a `files_shrunk`
+    contract column the oracle asserts TRUE."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.sources import io as IO
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents_df = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    base = _scratch_dir("ivf_stream_index_compact", sf_dir, fresh=True)
+    cents_df.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    cents = cents_df.select("c_id", "c_vec").collect()
+    staged = os.path.join(base, "in")
+    emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    ).repartition(4).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    enc = stream.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        S.norm(F.col("embedding")).alias("n_norm"),
+        S.ivf_assign_expr("embedding", cents).alias("c_list"),
+    )
+    lists_path = os.path.join(base, "lists")
+    q = SK.stream_to_parquet(
+        enc, lists_path, os.path.join(base, "ckpt"), partition_by=("c_list",)
+    )
+    q.awaitTermination()
+    files_before = IO.data_file_count(lists_path)
+    IO.compact_partitioned(
+        spark, lists_path, partition_by=("c_list",), target_file_bytes=1 << 30
+    )
+    files_after = IO.data_file_count(lists_path)
+    topk = AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
+    return topk.withColumn("files_shrunk", F.lit(files_after < files_before))
+
+
 def emb_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The memory-scale twin of emb_stream_index_ingest: quantizers are
     Lloyd-trained offline (similarity.ivfpq_train_micro — the standard
@@ -5608,6 +5662,7 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_label_eval": emb_label_eval,
     "emb_stream_index_ingest": emb_stream_index_ingest,
+    "emb_stream_index_compact": emb_stream_index_compact,
     "emb_stream_ivfpq_ingest": emb_stream_ivfpq_ingest,
 }
 
@@ -5734,5 +5789,8 @@ ORACLE: dict[str, str] = {
     "emb_stream_encode": _emb_stream_encode_sql(),
     "emb_stream_encode_fast": _emb_stream_encode_sql(),
     "emb_stream_index_ingest": _ivf_sql(),
+    "emb_stream_index_compact": "SELECT s.*, TRUE AS files_shrunk FROM ("
+    + _ivf_sql()
+    + ") s",
     "emb_stream_ivfpq_ingest": _ivf_pq_lloyd_sql(),
 }

@@ -87,6 +87,13 @@ def ivf_index_build(
         norm(F.col(vec_col)).alias("n_norm"),
         _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_list"),
     )
+    _write_lists(lists, path, max_list_rows)
+
+
+def _write_lists(lists: DataFrame, path: str, max_list_rows: int | None) -> None:
+    """Write the `lists/` layout, splitting oversized lists across a
+    secondary `c_slot` partition level when `max_list_rows` is set (see
+    ivf_index_build's docstring for the scale rationale)."""
     part_cols = ["c_list"]
     if max_list_rows is not None:
         counts = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n"))
@@ -170,13 +177,16 @@ def ivf_index_build_micro(
     cents: list[tuple[int, list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_list_rows: int | None = None,
 ) -> None:
     """Persist an IVF index over the micro-quantized integer space with a
     TRAINED centroid model (operators/similarity.kmeans_lloyd_micro) —
     the trained counterpart of ivf_index_build, with the same layout
-    contract (`centroids/` K rows, `lists/` partitioned by c_list) but
-    BIGINT vectors and integer-L2 assignment, so the whole
-    train→persist→serve loop stays bit-replayable by a SQL oracle."""
+    contract (`centroids/` K rows, `lists/` partitioned by c_list,
+    optional hot-list splitting via `max_list_rows` — see
+    ivf_index_build) but BIGINT vectors and integer-L2 assignment, so the
+    whole train→persist→serve loop stays bit-replayable by a SQL
+    oracle."""
     from codecdb_queryengine_spark.operators.similarity import (
         _micro_argmin_sql,
         quantize_micro,
@@ -196,12 +206,7 @@ def ivf_index_build_micro(
         "v",
         F.expr(f"({_micro_argmin_sql('v', cents)}).c_id").alias("c_list"),
     )
-    (
-        assigned.repartition("c_list")
-        .write.mode("overwrite")
-        .partitionBy("c_list")
-        .parquet(os.path.join(path, "lists"))
-    )
+    _write_lists(assigned, path, max_list_rows)
 
 
 def ivf_index_topk_micro(
@@ -256,6 +261,7 @@ def ivfpq_index_build_micro(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_subspaces: int = 4,
+    max_list_rows: int | None = None,
 ) -> None:
     """Persist an IVFADC index for a trained model pair (similarity.
     ivfpq_train_micro): `centroids/` (K rows) + `codebooks/` (M·Kc rows)
@@ -279,12 +285,7 @@ def ivfpq_index_build_micro(
         vectors, cents, cbs, dim=dim, vec_col=vec_col, id_col=id_col,
         num_subspaces=num_subspaces,
     )
-    (
-        codes.repartition("c_list")
-        .write.mode("overwrite")
-        .partitionBy("c_list")
-        .parquet(os.path.join(path, "lists"))
-    )
+    _write_lists(codes, path, max_list_rows)
 
 
 def ivfpq_index_topk_micro(

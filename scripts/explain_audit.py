@@ -91,6 +91,7 @@ EXPECT_DPP = {
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
     "emb_stream_index_ingest",
+    "emb_stream_index_compact",
     "emb_stream_ivfpq_ingest",
 }
 

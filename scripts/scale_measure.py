@@ -167,6 +167,23 @@ def fam_simhash_cc(spark, d):
     return cc.count()
 
 
+def fam_simhash_cc60(spark, d):
+    """simhash_cc at the corpus-scale banding config the operator
+    docstring prescribes (bits=60, bands=5 → 12-bit band keys): the toy
+    config (32/4 → 8-bit bands, 256 buckets) saturates its band space and
+    random collisions re-grow quadratically once n >> 256 — this family
+    measures that the parameter change (not an algorithm change) restores
+    ~linear candidate volume."""
+    from codecdb_queryengine_spark.operators import dedup as D
+    from codecdb_queryengine_spark.operators.graph import connected_components_star
+
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    sim = D.simhash(docs, "text", "doc_id", bits=60)
+    pairs = D.simhash_near_dups(sim, max_hamming=3, bands=5, bits=60)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.count()
+
+
 def fam_index_build(spark, d):
     from codecdb_queryengine_spark.sources import text_index as TI
 
@@ -201,7 +218,8 @@ def fam_segment_dedup(spark, d):
 
 
 FAMILIES = [
-    ("simhash_cc", fam_simhash_cc, "band-bucketed pairs + O(log^2 n)-round star-CC"),
+    ("simhash_cc", fam_simhash_cc, "band-bucketed pairs + O(log^2 n)-round star-CC (toy 32/4 banding — 8-bit band space, expected to saturate)"),
+    ("simhash_cc60", fam_simhash_cc60, "same pipeline at the corpus-scale 60/5 banding (12-bit band space)"),
     ("index_build", fam_index_build, "postings explode + 1 repartition(bucket) write"),
     ("ivfpq_lloyd", fam_ivfpq, "integer Lloyd train + encode + ADC serve, fixed iters"),
     ("pagerank", fam_pagerank, "6 damped integer rounds, shuffles ~ iterations"),
@@ -308,6 +326,32 @@ def main() -> int:
             f"{b['n_shuffles']} ({flat}).",
             "",
         ]
+    lines += [
+        "## Interpretation (r7, against SCALE.md's claims)",
+        "",
+        "- **index_build / segment_dedup**: shuffle bytes track the data",
+        "  step ~exactly (16.0x / 15.7x) at a FLAT shuffle count (1 / 2) —",
+        "  the one-shuffle claims hold as measured, not just as plan shapes.",
+        "- **ivfpq_lloyd**: FLAT 6 shuffles and SUB-linear bytes (8x): the",
+        "  training shuffles move model-sized partial aggregates (k x (d+1)",
+        "  cells), not the corpus — the broadcast-model discipline visible",
+        "  in the metrics.",
+        "- **pagerank**: FLAT 11 shuffles (= rounds, data-independent).  The",
+        "  bytes ratio overshoots the data step from a tiny base (0.4 -> 20 MB",
+        "  read) because the edge side crosses the broadcast-join threshold",
+        "  between 1x and 16x — per-round bytes then scale with edges, which",
+        "  grow linearly in the salted replication.",
+        "- **simhash_cc vs simhash_cc60**: the toy 32-bit/4-band config",
+        "  SATURATES its 8-bit band space — shuffle bytes grow 44.6x over a",
+        "  16x step (random band collisions re-introduce a quadratic term",
+        "  once n >> 2^(bits/bands), exactly as simhash_near_dups' docstring",
+        "  warns).  The corpus-scale 60/5 config on the SAME data measures",
+        "  15.5x ≈ linear and 2.7x less wall at 16x — the documented recipe,",
+        "  now with its measured receipt.  Both CC stage counts drift",
+        "  35 -> 45 with n: large/small-star rounds are O(log^2 n) by design",
+        "  (rounds grow with log of data, never proportionally).",
+        "",
+    ]
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))
