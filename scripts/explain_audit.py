@@ -39,7 +39,9 @@ EXPECT_NESTED = {
     "sim_ann_ivf",
     "sim_ann_ivf_trained",
     "sim_ann_ivf_indexed",
+    "sim_ann_ivf_indexed_split",
     "emb_stream_index_ingest",
+    "emb_stream_index_compact",
     # media retrieval composition ends in the brute-force exact top-k
     "mm_ann",
     # N (1-row count) is joined to every profile row by construction
