@@ -764,11 +764,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, centroid_mod=29, nprobe=2)
 
 
-def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2, dim: int = 64) -> str:
+def _ivf_sql(
+    centroid_mod: int = 29, nprobe: int = 2, dim: int = 64, cand_where: str = ""
+) -> str:
     """Mirrors operators/similarity.ivf_topk expression-for-expression:
     assignment/probe rank dot(v,c)/sqrt(dot(c,c)) and the in-list score is
     dot/(q_nrm*n_nrm) — all unrolled left-assoc double folds (DuckDB's
-    list_cosine_similarity is FLOAT32; see _SIM_TOPK_SQL)."""
+    list_cosine_similarity is FLOAT32; see _SIM_TOPK_SQL).  `cand_where`
+    (e.g. "WHERE v.label = 1") restricts the CANDIDATE set — the filtered
+    vector-search mirror: per-vector assignment commutes with the filter,
+    so filtering the assign CTE equals serving over a meta-filtered lists
+    scan (sim_ann_ivf_filtered)."""
     return f"""
         WITH cents AS (
             SELECT vec_id AS c_id, embedding AS c_vec,
@@ -781,7 +787,7 @@ def _ivf_sql(centroid_mod: int = 29, nprobe: int = 2, dim: int = 64) -> str:
                 FROM (
                     SELECT v.vec_id AS n_id, c.c_id,
                            ({_sql_dot('v.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
-                    FROM embeddings v, cents c)) WHERE r = 1),
+                    FROM embeddings v, cents c {cand_where})) WHERE r = 1),
         probe AS (
             SELECT q_id, c_id FROM (
                 SELECT q_id, c_id, row_number() OVER (
@@ -847,6 +853,56 @@ def sim_ann_ivf_indexed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir("ivf_index_split", sf_dir)
     AI.ivf_index_build(emb, path, centroid_mod=29, max_list_rows=16)
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
+def sim_ann_ivf_indexed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (sources/ann_index.ivf_index_append):
+    the index is built over only the even vec_ids, the odd half is then
+    APPENDED — assignment of just the new batch against the layout's own
+    persisted centroid model, new files landing only in the touched list
+    partitions (O(batch) maintenance, no rebuild) — and the merged index
+    serves the standard top-k.  Results must be identical to a
+    from-scratch build over the full corpus, so the verbatim sim_ann_ivf
+    oracle gates the append path end to end."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_append", sf_dir, fresh=True)
+    # centroids from the FULL corpus (same mod-29 contract as sim_ann_ivf):
+    # a production build fixes the quantizer before ingest begins
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents)
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
+def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search as one scan: the index is built with the
+    `label` metadata column riding in the lists layout
+    (ivf_index_build(meta_cols=("label",))), and serving restricts
+    candidates with a predicate that lands in the parquet PushedFilters
+    of the probed partitions — row-group pruning UNDER the dynamic
+    partition prune, never a post-search join back to the corpus.  The
+    oracle applies the same predicate to its assignment CTE (per-vector
+    assignment commutes with a candidate filter), so the filtered top-k
+    hashes bit-exact."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_meta", sf_dir)
+    AI.ivf_index_build(emb, path, centroid_mod=29, meta_cols=("label",))
+    return AI.ivf_index_topk(
+        spark,
+        path,
+        _query_vectors(emb),
+        k=_TOP_K,
+        nprobe=2,
+        candidate_filter="label = 1",
+    )
 
 
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3712,6 +3768,109 @@ def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style corpus maintenance under the value gate (sources/io.
+    upsert_partitioned): the documents table is persisted partitioned by
+    lang (version 0), then one update batch — revisions of the en docs
+    with doc_id % 7 == 0 plus brand-new en docs minted above max(doc_id)
+    from the % 13 slice, all version 1 — is upserted latest-wins.  ONLY
+    the touched partition (en) is read and rewritten; the other four lang
+    partitions must come through byte-identical, pinned by the
+    `untouched_intact` contract column (file inventory compared
+    before/after) next to `parts_rewritten` = 1.  The oracle rebuilds the
+    merged corpus directly from the documents table, so the per-lang
+    counts, version sums, id range and the post-merge text signature all
+    hash bit-exact — a lost update, a double-applied revision, or an
+    upsert that leaked into an untouched partition each flip a column."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("docs_upsert", sf_dir, fresh=True)
+    path = os.path.join(base, "docs")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs.select(*cols).withColumn("version", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+
+    def _inventory(lang_dirs: list[str]) -> dict[str, list[str]]:
+        return {
+            d: sorted(os.listdir(os.path.join(path, d))) for d in lang_dirs
+        }
+
+    untouched_dirs = [
+        d
+        for d in sorted(os.listdir(path))
+        if d.startswith("lang=") and d != "lang=en"
+    ]
+    inv_before = _inventory(untouched_dirs)
+    max_plus_1 = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    en = docs.filter(F.col("lang") == "en")
+    revisions = en.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(1).cast("long").alias("version"),
+    )
+    inserts = en.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(max_plus_1)).alias("doc_id"),
+        F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(1).cast("long").alias("version"),
+    )
+    n_rewritten = IO.upsert_partitioned(
+        spark,
+        path,
+        revisions.unionByName(inserts),
+        key_cols=("doc_id",),
+        partition_col="lang",
+        order_col="version",
+    )
+    intact = _inventory(untouched_dirs) == inv_before
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("version").alias("n_v1"),
+            F.sum(T.md5_slice32("up|", F.col("text"))).alias("text_sig"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("untouched_intact", F.lit(intact))
+        .withColumn("parts_rewritten", F.lit(n_rewritten).cast("long"))
+    )
+
+
+_DOCS_UPSERT_SQL = """
+    WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    merged AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' AND doc_id % 7 = 0
+                    THEN 'UPD ' || text ELSE text END AS text,
+               lang,
+               CASE WHEN lang = 'en' AND doc_id % 7 = 0
+                    THEN 1 ELSE 0 END AS version
+        FROM documents
+        UNION ALL
+        SELECT doc_id + m AS doc_id, 'NEW ' || text AS text, lang, 1 AS version
+        FROM documents, mx WHERE lang = 'en' AND doc_id % 13 = 0)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(version) AS BIGINT) AS n_v1,
+           CAST(sum(('0x' || substring(md5('up|' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS text_sig,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           TRUE AS untouched_intact,
+           CAST(1 AS BIGINT) AS parts_rewritten
+    FROM merged GROUP BY lang
+"""
+
+
 def docs_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-index COMPACTION under the value gate (r6 verdict item 5):
     the exactly-once micro-batch ingest of docs_stream_index_ingest
@@ -5563,6 +5722,7 @@ QUERIES = {
     "docs_search_ranked": docs_search_ranked,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
+    "docs_upsert_partitioned": docs_upsert_partitioned,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
     "graph_cc_chain_ckpt": graph_cc_chain_ckpt,
@@ -5621,6 +5781,8 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
     "sim_ann_ivf_indexed_split": sim_ann_ivf_indexed_split,
+    "sim_ann_ivf_indexed_append": sim_ann_ivf_indexed_append,
+    "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_pq_trained": sim_ann_pq_trained,
@@ -5687,6 +5849,7 @@ ORACLE: dict[str, str] = {
     "docs_search_phrase": _search_phrase_sql(),
     "docs_search_ranked": _search_ranked_sql(),
     "docs_stream_index_ingest": _search_index_sql(),
+    "docs_upsert_partitioned": _DOCS_UPSERT_SQL,
     "docs_stream_index_compact": "SELECT s.*, TRUE AS files_shrunk FROM ("
     + _search_index_sql()
     + ") s",
@@ -5751,6 +5914,8 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf": _ivf_sql(),
     "sim_ann_ivf_indexed": _ivf_sql(),
     "sim_ann_ivf_indexed_split": _ivf_sql(),
+    "sim_ann_ivf_indexed_append": _ivf_sql(),
+    "sim_ann_ivf_filtered": _ivf_sql(cand_where="WHERE v.label = 1"),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),

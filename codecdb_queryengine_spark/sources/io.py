@@ -163,6 +163,93 @@ def compact(
     return n_files
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    order_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """MERGE-style latest-wins upsert into a partitioned layout that
+    rewrites ONLY the partitions the update batch touches (r7): the
+    distinct partition values of `updates` are collected (a batch touches
+    few partitions however big the table is), just those partitions are
+    read back, unioned with the updates, reduced to one row per key by
+    `order_col` (highest wins — give updates a higher version/timestamp),
+    and swapped in per partition directory — untouched partitions are
+    never read, never rewritten, byte-identical after the pass.  This is
+    the plain-parquet form of what a transactional table format does with
+    a metadata commit; at 100 TB the O(touched-partitions) cost profile
+    is the difference between an upsert and a table rewrite.
+
+    Concurrent readers see each partition either old or new (per-directory
+    atomic swap); cross-partition atomicity needs a real table format and
+    is out of scope by design.  Returns the number of partitions
+    rewritten.  (key, order) pairs must be unique per key for a
+    deterministic winner — duplicate orders raise."""
+    import shutil
+    from pyspark.sql import Window
+
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.format(fmt).load(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = existing.unionByName(updates)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(order_col).desc()
+    )
+    guard = F.assert_true(
+        F.col("_n_order") == 1,
+        F.lit(
+            "upsert_partitioned: duplicate (key, order) — no deterministic winner"
+        ),
+    )
+    dedup = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n_order",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*[F.col(c) for c in key_cols], F.col(order_col))
+            ),
+        )
+        # assert_true returns NULL for passing rows; filtering on isNull
+        # keeps every row while forcing the guard's evaluation (a bare
+        # unused column would be pruned away by Catalyst)
+        .filter(guard.isNull())
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_n_order")
+    )
+    # Rewrite into a temp layout, then swap each touched partition dir:
+    # reading and overwriting the same path in one plan is unsafe, and the
+    # per-directory move keeps every partition either old or new.
+    tmp = path.rstrip("/") + ".upserting"
+    (
+        dedup.repartition(max(1, len(touched)), F.col(partition_col))
+        .write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(partition_col)
+        .save(tmp)
+    )
+    n = 0
+    for entry in sorted(os.listdir(tmp)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        target = os.path.join(path, entry)
+        old = target + ".old"
+        if os.path.exists(target):
+            shutil.move(target, old)
+        shutil.move(os.path.join(tmp, entry), target)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        n += 1
+    shutil.rmtree(tmp)
+    return n
+
+
 def data_file_count(path: str) -> int:
     """Data files under a table directory — excludes the streaming sink's
     `_spark_metadata` commit log and marker files, so a before/after pair

@@ -40,6 +40,8 @@ EXPECT_NESTED = {
     "sim_ann_ivf_trained",
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_indexed_split",
+    "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_filtered",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
     # media retrieval composition ends in the brute-force exact top-k
@@ -90,6 +92,8 @@ EXPECT_NESTED = {
 EXPECT_DPP = {
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_indexed_split",
+    "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_filtered",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
     "emb_stream_index_ingest",

@@ -83,6 +83,53 @@ def test_hot_list_split_rebalances_and_preserves_results(spark, sf_dir):
     assert "dynamicpruning" in b_df._jdf.queryExecution().executedPlan().toString().lower()
 
 
+def test_index_append_matches_full_build(spark, sf_dir):
+    """ivf_index_append (r7): build on the even half, append the odd half
+    against the layout's own persisted centroids — the served top-k must
+    be bit-identical to a from-scratch build over the full corpus, and
+    the appended files must land only under existing c_list dirs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    full_p = tempfile.mkdtemp(prefix="ivf_idx_full_")
+    incr_p = tempfile.mkdtemp(prefix="ivf_idx_incr_")
+    AI.ivf_index_build(emb, full_p, centroids=cents)
+    AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), incr_p, centroids=cents)
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), incr_p)
+    a = AI.ivf_index_topk(spark, full_p, _queries(emb), k=5, nprobe=2).collect()
+    b = AI.ivf_index_topk(spark, incr_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_filtered_search_restricts_candidates_and_pushes_predicate(spark, sf_dir):
+    """candidate_filter (r7): every returned neighbor satisfies the
+    predicate, and the predicate reaches the lists scan's PushedFilters
+    (filtered vector search as one scan, not a post-search join)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="ivf_idx_meta_")
+    AI.ivf_index_build(emb, path, centroid_mod=29, meta_cols=("label",))
+    df = AI.ivf_index_topk(spark, path, _queries(emb), k=5, nprobe=2,
+                           candidate_filter="label = 1")
+    rows = df.collect()
+    assert rows
+    labels = {
+        r.label
+        for r in df.join(
+            emb.select(F.col("vec_id").alias("n_id"), "label"), "n_id"
+        ).collect()
+    }
+    assert labels == {1}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p for p in pushed), pushed
+
+
 def test_index_rebuild_overwrites_cleanly(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     path = tempfile.mkdtemp(prefix="ivf_idx_rebuild_")

@@ -189,3 +189,66 @@ def test_compact_partitioned_keeps_layout_and_content(spark, tmp_path):
     # partition pruning still fires on the kept layout
     pruned = back.filter(F.col("b") == 1)
     assert pruned.count() == 12_500
+
+
+def test_upsert_partitioned_latest_wins_touches_only_named_partitions(spark, tmp_path):
+    """upsert_partitioned (r7): latest-wins by order column, inserts land,
+    and partitions absent from the batch are never rewritten (same file
+    inventory, same bytes)."""
+    import os
+    import pathlib
+
+    path = str(tmp_path / "ups")
+    base = spark.createDataFrame(
+        [(i, f"t{i}", "a" if i % 2 else "b", 0) for i in range(100)],
+        "k long, payload string, part string, version long",
+    )
+    base.write.partitionBy("part").parquet(path)
+    before = {
+        str(f): f.stat().st_mtime_ns
+        for f in pathlib.Path(os.path.join(path, "part=b")).rglob("*")
+        if f.is_file()
+    }
+    updates = spark.createDataFrame(
+        [(1, "rev1", "a", 1), (3, "rev3", "a", 1), (1000, "new", "a", 1)],
+        "k long, payload string, part string, version long",
+    )
+    n = io.upsert_partitioned(
+        spark, path, updates, key_cols=("k",), partition_col="part",
+        order_col="version",
+    )
+    assert n == 1
+    after = {
+        str(f): f.stat().st_mtime_ns
+        for f in pathlib.Path(os.path.join(path, "part=b")).rglob("*")
+        if f.is_file()
+    }
+    assert after == before  # untouched partition: same files, same mtimes
+    back = spark.read.parquet(path)
+    assert back.count() == 101
+    got = {r.k: (r.payload, r.version) for r in back.filter("k in (1, 3, 1000, 5)").collect()}
+    assert got == {
+        1: ("rev1", 1),
+        3: ("rev3", 1),
+        1000: ("new", 1),
+        5: ("t5", 0),
+    }
+
+
+def test_upsert_partitioned_refuses_ambiguous_winner(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    path = str(tmp_path / "ups_dup")
+    spark.createDataFrame(
+        [(1, "x", "a", 0)], "k long, payload string, part string, version long"
+    ).write.partitionBy("part").parquet(path)
+    dup = spark.createDataFrame(
+        [(1, "u1", "a", 1), (1, "u2", "a", 1)],
+        "k long, payload string, part string, version long",
+    )
+    with pytest.raises(SparkRuntimeException, match="no deterministic winner"):
+        io.upsert_partitioned(
+            spark, path, dup, key_cols=("k",), partition_col="part",
+            order_col="version",
+        )
