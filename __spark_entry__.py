@@ -74,19 +74,23 @@ DRIVER_FIRST = [
     "q18_bucketed_sql",
     "ssb_q4_2_sql",
     "ssb_q4_3_sql",
+    # the four r7 capabilities added after the rotation was drafted — in
+    # the window so no registered name is ever left never-driver-gated
+    "emb_stream_index_compact",
+    "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_filtered",
+    "docs_upsert_partitioned",
     # part 2: cross-family re-rotation — relational core, bucketed
     # layout, dedup tiers, graph, ANN tiers, PCA/classifier training,
     # text index + analysis, temporal + streaming, stats, multimodal.
     "q1",
     "q6",
-    "q9",
     "q13",
     "q17",
     "q19",
     "q21",
     "q22",
     "ssb_q1_1",
-    "ssb_q2_1",
     "ssb_q4_1",
     "q3_bucketed",
     "dedup_minhash_verified",
@@ -106,10 +110,8 @@ DRIVER_FIRST = [
     "text_heavy_hitters",
     "docs_decontaminate_lsh",
     "events_rolling",
-    "events_sessionize",
     "events_stream_rollup",
     "ext_stats_approx",
-    "ext_window_funcs",
     "mm_phash_dedup",
 ]
 
