@@ -231,7 +231,7 @@ def _simhash_sql(bits: int = 32) -> str:
     return f"""
         WITH tok AS (
             SELECT doc_id AS sh_id,
-                   ('0x' || substring(md5(t.tok), 1, 8))::BIGINT AS h
+                   ('0x' || substring(md5(t.tok), 1, {bits // 4}))::BIGINT AS h
             FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)),
         votes AS (SELECT sh_id, {votes} FROM tok GROUP BY sh_id)
         SELECT sh_id, CAST({fold} AS BIGINT) AS simhash FROM votes
@@ -239,12 +239,18 @@ def _simhash_sql(bits: int = 32) -> str:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming ≤ 3) via 4-band pigeonhole
-    blocking — candidates share ≥1 exact 8-bit band, verified with
-    bit_count(xor); never the all-pairs join."""
+    """SimHash near-duplicate pairs (hamming ≤ 3) via pigeonhole band
+    blocking — candidates share ≥1 exact band, verified with
+    bit_count(xor); never the all-pairs join.  Runs the CORPUS-SCALE
+    banding (bits=60, bands=5 → 12-bit band keys) since r7:
+    SCALE_MEASURED.md measured the toy 32/4 config's 8-bit band space
+    saturating at 16× data (44.6× shuffle bytes, random band collisions
+    re-growing a quadratic term) while 60/5 stays ~linear on the same
+    corpora — the gated surface now runs the configuration that
+    survives 100 TB."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sim = D.simhash(docs, "text", "doc_id")
-    return D.simhash_near_dups(sim, max_hamming=3, bands=4)
+    sim = D.simhash(docs, "text", "doc_id", bits=60)
+    return D.simhash_near_dups(sim, max_hamming=3, bands=5, bits=60)
 
 
 def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4, bits: int = 32) -> str:
@@ -2674,8 +2680,9 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.operators.graph import connected_components_star
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sim = D.simhash(docs, "text", "doc_id")
-    pairs = D.simhash_near_dups(sim, max_hamming=3, bands=4)
+    # corpus-scale banding (60/5) since r7 — see dedup_simhash_pairs
+    sim = D.simhash(docs, "text", "doc_id", bits=60)
+    pairs = D.simhash_near_dups(sim, max_hamming=3, bands=5, bits=60)
     cc = connected_components_star(pairs, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -2684,7 +2691,9 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_clusters_sql() -> str:
     return f"""
-        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_simhash_pairs_sql()}) v),
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b
+            FROM ({_simhash_pairs_sql(max_hamming=3, bands=5, bits=60)}) v),
         und AS (SELECT id_a AS n, id_b AS m FROM pairs
                 UNION SELECT id_b AS n, id_a AS m FROM pairs),
         reach AS (
@@ -5837,7 +5846,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
-    "dedup_simhash_pairs": _simhash_pairs_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(max_hamming=3, bands=5, bits=60),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_fuzzy": _DEDUP_FUZZY_SQL,
