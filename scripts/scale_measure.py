@@ -184,6 +184,40 @@ def fam_simhash_cc60(spark, d):
     return cc.count()
 
 
+def _factor_of(d: str) -> int:
+    return int(os.path.basename(d.rstrip("/")).lstrip("f"))
+
+
+def fam_embdup_fixed(spark, d):
+    """Embedding near-dup at the gated 4-band × 4-plane config: 16 buckets
+    per band, so in-bucket pair expansion grows quadratically once
+    n >> 16·sqrt(budget) — the hyperplane analog of the simhash toy
+    banding, expected to saturate."""
+    from codecdb_queryengine_spark.operators import dedup as D
+
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    return D.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, bands=4,
+        planes_per_band=4,
+    ).count()
+
+
+def fam_embdup_scaled(spark, d):
+    """Same pipeline with planes_per_band grown one per corpus doubling
+    (4/6/8 at 1x/4x/16x): band-key space 16 -> 64 -> 256 keeps the
+    per-bucket population (and so the in-bucket quadratic term) constant
+    — the log-of-corpus dial SCALE.md prescribes, measured."""
+    from codecdb_queryengine_spark.operators import dedup as D
+
+    f = _factor_of(d)
+    ppb = {1: 4, 4: 6, 16: 8}.get(f, 4 + max(0, f.bit_length() - 1) // 2)
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    return D.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, bands=4,
+        planes_per_band=ppb,
+    ).count()
+
+
 def fam_index_build(spark, d):
     from codecdb_queryengine_spark.sources import text_index as TI
 
@@ -220,6 +254,8 @@ def fam_segment_dedup(spark, d):
 FAMILIES = [
     ("simhash_cc", fam_simhash_cc, "band-bucketed pairs + O(log^2 n)-round star-CC (toy 32/4 banding — 8-bit band space, expected to saturate)"),
     ("simhash_cc60", fam_simhash_cc60, "same pipeline at the corpus-scale 60/5 banding (12-bit band space)"),
+    ("embdup_fixed", fam_embdup_fixed, "hyperplane-LSH embedding near-dup at the fixed 4x4-plane config (16 buckets/band — expected to saturate)"),
+    ("embdup_scaled", fam_embdup_scaled, "same with planes/band grown 4/6/8 across 1x/4x/16x (constant per-bucket population)"),
     ("index_build", fam_index_build, "postings explode + 1 repartition(bucket) write"),
     ("ivfpq_lloyd", fam_ivfpq, "integer Lloyd train + encode + ADC serve, fixed iters"),
     ("pagerank", fam_pagerank, "6 damped integer rounds, shuffles ~ iterations"),
@@ -326,30 +362,52 @@ def main() -> int:
             f"{b['n_shuffles']} ({flat}).",
             "",
         ]
+    def _g(name, field):
+        a, b = results[name][f0], results[name][fN]
+        if field == "bytes":
+            denom = a["read"] + a["write"]
+            return (b["read"] + b["write"]) / denom if denom else float("inf")
+        return b[field] / a[field] if a[field] else float("inf")
+
     lines += [
         "## Interpretation (r7, against SCALE.md's claims)",
         "",
         "- **index_build / segment_dedup**: shuffle bytes track the data",
-        "  step ~exactly (16.0x / 15.7x) at a FLAT shuffle count (1 / 2) —",
-        "  the one-shuffle claims hold as measured, not just as plan shapes.",
-        "- **ivfpq_lloyd**: FLAT 6 shuffles and SUB-linear bytes (8x): the",
+        f"  step ~exactly ({_g('index_build', 'bytes'):.1f}x /"
+        f" {_g('segment_dedup', 'bytes'):.1f}x over {span}x) at a FLAT",
+        "  shuffle count — the one-shuffle claims hold as measured, not",
+        "  just as plan shapes.",
+        f"- **ivfpq_lloyd**: FLAT shuffle count and SUB-linear bytes"
+        f" ({_g('ivfpq_lloyd', 'bytes'):.1f}x): the",
         "  training shuffles move model-sized partial aggregates (k x (d+1)",
         "  cells), not the corpus — the broadcast-model discipline visible",
         "  in the metrics.",
-        "- **pagerank**: FLAT 11 shuffles (= rounds, data-independent).  The",
-        "  bytes ratio overshoots the data step from a tiny base (0.4 -> 20 MB",
-        "  read) because the edge side crosses the broadcast-join threshold",
-        "  between 1x and 16x — per-round bytes then scale with edges, which",
-        "  grow linearly in the salted replication.",
+        "- **pagerank**: FLAT shuffle count (= rounds, data-independent).",
+        f"  The bytes ratio ({_g('pagerank', 'bytes'):.1f}x) overshoots the",
+        "  data step from a tiny absolute base because the edge side",
+        "  crosses the broadcast-join threshold between 1x and 16x —",
+        "  per-round bytes then scale with edges, which grow linearly in",
+        "  the salted replication.",
         "- **simhash_cc vs simhash_cc60**: the toy 32-bit/4-band config",
-        "  SATURATES its 8-bit band space — shuffle bytes grow 44.6x over a",
-        "  16x step (random band collisions re-introduce a quadratic term",
-        "  once n >> 2^(bits/bands), exactly as simhash_near_dups' docstring",
-        "  warns).  The corpus-scale 60/5 config on the SAME data measures",
-        "  15.5x ≈ linear and 2.7x less wall at 16x — the documented recipe,",
-        "  now with its measured receipt.  Both CC stage counts drift",
-        "  35 -> 45 with n: large/small-star rounds are O(log^2 n) by design",
-        "  (rounds grow with log of data, never proportionally).",
+        f"  SATURATES its 8-bit band space — shuffle bytes grow"
+        f" {_g('simhash_cc', 'bytes'):.1f}x over a",
+        f"  {span}x step (random band collisions re-introduce a quadratic",
+        "  term once n >> 2^(bits/bands), exactly as simhash_near_dups'",
+        "  docstring warns).  The corpus-scale 60/5 config on the SAME data",
+        f"  measures {_g('simhash_cc60', 'bytes'):.1f}x ≈ linear and"
+        f" {results['simhash_cc'][fN]['wall'] / results['simhash_cc60'][fN]['wall']:.1f}x"
+        f" less wall at {span}x — the gated",
+        "  entries run 60/5 since r7.  Both CC stage counts drift up with",
+        "  n: large/small-star rounds are O(log^2 n) by design (rounds grow",
+        "  with log of data, never proportionally).",
+        "- **embdup_fixed vs embdup_scaled**: the hyperplane twin of the",
+        f"  same law — fixed 4-plane bands (16 buckets) grow"
+        f" {_g('embdup_fixed', 'bytes'):.1f}x bytes /"
+        f" {_g('embdup_fixed', 'wall'):.1f}x wall over {span}x as buckets",
+        "  crowd, while growing planes/band one per corpus doubling",
+        f"  (4/6/8) holds the per-bucket population constant:"
+        f" {_g('embdup_scaled', 'bytes'):.1f}x bytes /"
+        f" {_g('embdup_scaled', 'wall'):.1f}x wall.",
         "",
     ]
     with open(out_md, "w") as fh:
