@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Empirical scale evidence for the 5 heaviest operator families
+"""Empirical scale evidence for the heaviest operator families
 (r6 verdict item 4): synthetic corpora at 1x / 4x / 16x of sf0.1, wall
 time AND shuffle read/write bytes per run pulled from the Spark UI REST
 metrics, plus a shuffle-COUNT check — the claims in SCALE.md are plan
@@ -316,7 +316,7 @@ def main() -> int:
     f0, fN = FACTORS[0], FACTORS[-1]
     span = fN // f0
     lines = [
-        "# SCALE_MEASURED — synthetic-scale curves for the 5 heaviest families",
+        "# SCALE_MEASURED — synthetic-scale curves for the heaviest operator families",
         "",
         "Generated by `scripts/scale_measure.py` (r6 verdict item 4).",
         f"Inputs: sf0.1 corpus replicated x{FACTORS} with token-salted copies",
