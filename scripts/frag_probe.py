@@ -38,10 +38,18 @@ def main() -> int:
     )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # filtered runs report over the FILTERED set (same discipline as
+    # check_correctness.select_queries, r6 verdict item 3 — a 3-name run
+    # must not print "231/231 passed")
+    from check_correctness import select_queries
+
+    try:
+        queries = select_queries(queries, names)
+    except KeyError as e:
+        print(e.args[0])
+        return 2
     failed = []
     for name, fn in queries.items():
-        if names and name not in names:
-            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
