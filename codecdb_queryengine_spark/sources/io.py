@@ -130,6 +130,162 @@ def show(df: DataFrame, n: int = 20) -> None:
     df.show(n, truncate=False)
 
 
+# --- crash-safe layout swaps (r7 verdict item 3) -----------------------------
+#
+# Every maintenance pass in this module (compaction, upsert, index mutation)
+# ends by replacing directories of a live layout with a freshly written
+# generation.  The swap is journaled: the new generation is FULLY written to a
+# sibling tmp dir first, then a manifest records the in-flight swap, then the
+# moves run.  A crash at ANY point is recoverable by `recover_swap(path)`,
+# which rolls FORWARD to the staged generation — correctness rests on the
+# manifest being written only after tmp is complete, so "forward" is always a
+# whole consistent generation.  Stale artifacts from an unrecovered crash
+# (manifest, `.old` asides) FAIL FAST instead of being silently nested or
+# deleted (r7 ADVICE: a stale `.old` under the old code made shutil.move nest
+# the live layout inside it and the rmtree then destroyed current data).
+
+_SWAP_MANIFEST_SUFFIX = ".swap_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    # sibling file: survives replacement of `path` itself and never appears
+    # in a reader's listing of the table directory
+    return path.rstrip("/") + _SWAP_MANIFEST_SUFFIX
+
+
+def _fail_if_inflight(path: str) -> None:
+    m = _manifest_path(path)
+    if os.path.exists(m):
+        raise RuntimeError(
+            f"interrupted layout swap at {path} (manifest {m} present) — "
+            "call io.recover_swap(path) to roll it forward before writing"
+        )
+
+
+def swap_partition_dirs(
+    path: str,
+    tmp: str,
+    promote: Iterable[str],
+    drop: Iterable[str] = (),
+) -> None:
+    """Two-phase, manifest-journaled promotion of partition directories from
+    a fully written `tmp` layout into the live layout at `path`.
+
+    `promote` entries (relative dir paths, e.g. ``c_list=3`` or nested
+    ``c_list=3/c_slot=1``) exist under tmp and replace (or newly create) the
+    same entry under path; `drop` entries are REMOVED from path with no
+    replacement (e.g. a partition whose every row was deleted).  Protocol:
+    phase A moves every existing target aside to ``<entry>.old``, phase B
+    renames staged entries into place, phase C deletes the asides, tmp and
+    the manifest.  `tmp` must be a same-filesystem sibling of `path` (the
+    callers in this module create it as ``<path>.<verb>ing``) so every move
+    is an atomic rename."""
+    import json
+
+    _fail_if_inflight(path)
+    promote, drop = sorted(promote), sorted(drop)
+    for e in promote + drop:
+        old = os.path.join(path, e) + ".old"
+        if os.path.exists(old):
+            raise RuntimeError(
+                f"stale aside {old} from an unrecovered swap — run "
+                "io.recover_swap(path) first"
+            )
+    manifest = _manifest_path(path)
+    with open(manifest, "w") as f:
+        json.dump({"tmp": tmp, "promote": promote, "drop": drop}, f)
+    for e in promote + drop:  # phase A: move the old generation aside
+        t = os.path.join(path, e)
+        if os.path.exists(t):
+            os.rename(t, t + ".old")
+    for e in promote:  # phase B: promote the staged generation
+        dst = os.path.join(path, e)
+        parent = os.path.dirname(dst)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        os.rename(os.path.join(tmp, e), dst)
+    import shutil
+
+    for e in promote + drop:  # phase C: cleanup
+        shutil.rmtree(os.path.join(path, e) + ".old", ignore_errors=True)
+    os.remove(manifest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def swap_layout(path: str, tmp: str) -> None:
+    """Whole-layout counterpart of swap_partition_dirs: replace the entire
+    directory at `path` with the fully written generation at `tmp` (a
+    same-filesystem sibling), journaled by the same sibling manifest so
+    recover_swap can roll an interruption forward."""
+    import json
+    import shutil
+
+    _fail_if_inflight(path)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"stale {old} from an unrecovered swap — run io.recover_swap(path)"
+        )
+    manifest = _manifest_path(path)
+    with open(manifest, "w") as f:
+        json.dump({"tmp": tmp, "whole": True}, f)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    os.remove(manifest)
+
+
+def recover_swap(path: str) -> bool:
+    """Mechanically recover an interrupted swap at `path` by rolling FORWARD
+    to the staged generation recorded in the sibling manifest (safe because
+    the manifest is only ever written after tmp is complete).  Idempotent;
+    returns True if a manifest was found and recovered, False if there was
+    nothing to do — so a scheduler can call it unconditionally before any
+    maintenance pass."""
+    import json
+    import shutil
+
+    manifest = _manifest_path(path)
+    if not os.path.exists(manifest):
+        return False
+    with open(manifest) as f:
+        m = json.load(f)
+    tmp = m["tmp"]
+    if m.get("whole"):
+        old = path.rstrip("/") + ".old"
+        if os.path.exists(tmp):
+            # not yet promoted: anything at `path` is the OLD generation
+            # (crash before the aside rename) — the staged layout wins
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(tmp, path)
+        elif not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)  # defensive: unreachable under protocol
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        for e in m["promote"]:
+            dst = os.path.join(path, e)
+            src = os.path.join(tmp, e)
+            old = dst + ".old"
+            if os.path.exists(src):
+                # src surviving in tmp == this entry was never promoted, so
+                # any dst present is the OLD generation (phase A hadn't
+                # reached it) — the staged generation wins
+                shutil.rmtree(dst, ignore_errors=True)
+                parent = os.path.dirname(dst)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                os.rename(src, dst)
+            elif not os.path.exists(dst) and os.path.exists(old):
+                os.rename(old, dst)  # defensive: unreachable
+            shutil.rmtree(old, ignore_errors=True)
+        for e in m["drop"]:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+            shutil.rmtree(os.path.join(path, e) + ".old", ignore_errors=True)
+    os.remove(manifest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -142,13 +298,14 @@ def compact(
     Long-running ingestion (micro-batch sinks, per-trigger appends) leaves
     thousands of small files whose open/footer costs dominate scans at
     100 TB; periodic compaction keeps one file ≈ one row group ≈ one task.
-    Rewrites into a temp dir then swaps, so a concurrent reader sees either
-    the old or the new layout, never a partial mix.
+    Rewrites into a temp dir then swaps via the journaled swap_layout, so a
+    concurrent reader sees either the old or the new layout, never a partial
+    mix, and a crash mid-swap is rolled forward by recover_swap.
     """
     import math
     import pathlib
-    import shutil
 
+    _fail_if_inflight(path)
     df = read(spark, path, fmt=fmt)
     total_bytes = sum(
         f.stat().st_size for f in pathlib.Path(path).rglob("*") if f.is_file()
@@ -156,10 +313,7 @@ def compact(
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = path.rstrip("/") + ".compacting"
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
-    old = path.rstrip("/") + ".old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    swap_layout(path, tmp)
     return n_files
 
 
@@ -188,13 +342,24 @@ def upsert_partitioned(
     atomic swap); cross-partition atomicity needs a real table format and
     is out of scope by design.  Returns the number of partitions
     rewritten.  (key, order) pairs must be unique per key for a
-    deterministic winner — duplicate orders raise."""
-    import shutil
+    deterministic winner — duplicate orders raise.  NULL partition values in
+    the update batch raise: `isin(touched)` can never match NULL
+    (three-valued logic), so existing rows of the NULL partition
+    (__HIVE_DEFAULT_PARTITION__) would be excluded from the merge while the
+    swap still replaced that directory with update-only contents — silent
+    data loss (r7 ADVICE).  Map NULLs to a sentinel value before upserting."""
     from pyspark.sql import Window
 
+    _fail_if_inflight(path)
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+    if any(v is None for v in touched):
+        raise ValueError(
+            f"upsert_partitioned: NULL in {partition_col!r} of the update "
+            "batch — the NULL (__HIVE_DEFAULT_PARTITION__) partition cannot "
+            "be merged safely; map NULLs to a sentinel value first"
+        )
     existing = spark.read.format(fmt).load(path).filter(
         F.col(partition_col).isin(touched)
     )
@@ -223,9 +388,11 @@ def upsert_partitioned(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_n_order")
     )
-    # Rewrite into a temp layout, then swap each touched partition dir:
-    # reading and overwriting the same path in one plan is unsafe, and the
-    # per-directory move keeps every partition either old or new.
+    # Rewrite into a temp layout, then promote the touched partition dirs
+    # through the journaled two-phase swap: reading and overwriting the same
+    # path in one plan is unsafe, the per-directory rename keeps every
+    # partition either old or new, and a crash anywhere in the swap is
+    # rolled forward by recover_swap (r7 verdict item 3).
     tmp = path.rstrip("/") + ".upserting"
     (
         dedup.repartition(max(1, len(touched)), F.col(partition_col))
@@ -234,20 +401,11 @@ def upsert_partitioned(
         .partitionBy(partition_col)
         .save(tmp)
     )
-    n = 0
-    for entry in sorted(os.listdir(tmp)):
-        if not entry.startswith(f"{partition_col}="):
-            continue
-        target = os.path.join(path, entry)
-        old = target + ".old"
-        if os.path.exists(target):
-            shutil.move(target, old)
-        shutil.move(os.path.join(tmp, entry), target)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        n += 1
-    shutil.rmtree(tmp)
-    return n
+    entries = [
+        e for e in sorted(os.listdir(tmp)) if e.startswith(f"{partition_col}=")
+    ]
+    swap_partition_dirs(path, tmp, promote=entries)
+    return len(entries)
 
 
 def data_file_count(path: str) -> int:
@@ -293,8 +451,8 @@ def compact_partitioned(
     """
     import math
     import pathlib
-    import shutil
 
+    _fail_if_inflight(path)
     df = spark.read.format(fmt).load(path)
     total_bytes = sum(
         f.stat().st_size
@@ -310,8 +468,98 @@ def compact_partitioned(
         .partitionBy(*partition_by)
         .save(tmp)
     )
-    old = path.rstrip("/") + ".old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    swap_layout(path, tmp)
     return n_files
+
+
+def _leaf_partition_dirs(path: str, depth: int) -> list[str]:
+    """Relative paths of the hive-style leaf partition directories exactly
+    `depth` levels under `path` (e.g. ``c_list=3/c_slot=1`` for depth 2).
+    Non-partition entries (`_spark_metadata`, dotfiles, `.old` asides) are
+    skipped — a partition dir always contains ``=``."""
+    out: list[str] = []
+
+    def walk(d: str, rel: str, k: int) -> None:
+        if k == 0:
+            out.append(rel)
+            return
+        for name in sorted(os.listdir(d)):
+            sub = os.path.join(d, name)
+            if "=" in name and not name.endswith(".old") and os.path.isdir(sub):
+                walk(sub, os.path.join(rel, name) if rel else name, k - 1)
+
+    walk(path, "", depth)
+    return out
+
+
+def compact_partitioned_selective(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...],
+    min_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> list[str]:
+    """Compact ONLY the partition directories whose small-file population
+    breaches `min_files` (r7 verdict item 2) — the O(touched) form of
+    compact_partitioned.  A streaming ingest fragments the few partitions it
+    lands in; rewriting the whole layout every maintenance pass is O(corpus)
+    and at 100 TB dwarfs the ingest itself.  This pass:
+
+    - walks the leaf partition dirs and selects those with more than
+      `min_files` data files,
+    - reads ONLY those leaves (explicit subdirectory load under a basePath,
+      so bytes-read is proportional to the fragmented partitions — the
+      serving-side scale contract measured in SCALE_MEASURED.md),
+    - rewrites them at ~target size keeping the directory partitioning, and
+    - promotes just those leaf dirs through the journaled two-phase swap:
+      untouched partition directories are never read, never written,
+      byte-identical after the pass.
+
+    Like compact_partitioned, the result is a plain batch table: a file-sink
+    `_spark_metadata` commit log (whose file list would no longer match) is
+    removed after the swap, and further streaming appends need a fresh
+    checkpoint.  Returns the relative paths of the compacted leaf dirs."""
+    import math
+    import shutil
+
+    _fail_if_inflight(path)
+    leaves = _leaf_partition_dirs(path, len(partition_by))
+    breaching = []
+    total_bytes = 0
+    for leaf in leaves:
+        d = os.path.join(path, leaf)
+        files = [
+            e
+            for e in os.listdir(d)
+            if os.path.isfile(os.path.join(d, e)) and not e.startswith((".", "_"))
+        ]
+        if len(files) > min_files:
+            breaching.append(leaf)
+            total_bytes += sum(os.path.getsize(os.path.join(d, e)) for e in files)
+    if not breaching:
+        return []
+    df = (
+        spark.read.format(fmt)
+        .option("basePath", path)
+        .load([os.path.join(path, leaf) for leaf in breaching])
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    (
+        df.repartition(n_files, *[F.col(c) for c in partition_by])
+        .write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(*partition_by)
+        .save(tmp)
+    )
+    staged = set(_leaf_partition_dirs(tmp, len(partition_by)))
+    assert staged == set(breaching), (
+        f"selective compaction staged {sorted(staged)} != selected "
+        f"{sorted(breaching)}"
+    )
+    swap_partition_dirs(path, tmp, promote=breaching)
+    meta = os.path.join(path, "_spark_metadata")
+    if os.path.exists(meta):
+        shutil.rmtree(meta)
+    return breaching
