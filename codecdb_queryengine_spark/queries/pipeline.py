@@ -771,7 +771,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sql(
-    centroid_mod: int = 29, nprobe: int = 2, dim: int = 64, cand_where: str = ""
+    centroid_mod: int = 29,
+    nprobe: int = 2,
+    dim: int = 64,
+    cand_where: str = "",
+    corpus: str = "embeddings",
+    pre_cte: str = "",
 ) -> str:
     """Mirrors operators/similarity.ivf_topk expression-for-expression:
     assignment/probe rank dot(v,c)/sqrt(dot(c,c)) and the in-list score is
@@ -780,9 +785,13 @@ def _ivf_sql(
     (e.g. "WHERE v.label = 1") restricts the CANDIDATE set — the filtered
     vector-search mirror: per-vector assignment commutes with the filter,
     so filtering the assign CTE equals serving over a meta-filtered lists
-    scan (sim_ann_ivf_filtered)."""
+    scan (sim_ann_ivf_filtered).  `corpus` (+ `pre_cte` defining it)
+    swaps the INDEXED side — assignment and neighbor vectors — to a
+    derived table while centroids and query vectors stay on the original
+    embeddings (the quantizer is fixed at build time and queries are
+    external): the mutated-corpus mirror for sim_ann_ivf_upserted."""
     return f"""
-        WITH cents AS (
+        WITH {pre_cte} cents AS (
             SELECT vec_id AS c_id, embedding AS c_vec,
                    sqrt({_sql_dot('embedding', 'embedding', dim)}) AS c_norm
             FROM embeddings WHERE vec_id % {centroid_mod} = 0),
@@ -793,7 +802,7 @@ def _ivf_sql(
                 FROM (
                     SELECT v.vec_id AS n_id, c.c_id,
                            ({_sql_dot('v.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
-                    FROM embeddings v, cents c {cand_where})) WHERE r = 1),
+                    FROM {corpus} v, cents c {cand_where})) WHERE r = 1),
         probe AS (
             SELECT q_id, c_id FROM (
                 SELECT q_id, c_id, row_number() OVER (
@@ -806,7 +815,7 @@ def _ivf_sql(
         nv AS (
             SELECT vec_id, embedding,
                    sqrt({_sql_dot('embedding', 'embedding', dim)}) AS nrm
-            FROM embeddings),
+            FROM {corpus}),
         scored AS (
             SELECT p.q_id, a.n_id,
                    ({_sql_dot('q.embedding', 'n.embedding', dim)}) / (q.nrm * n.nrm)
@@ -909,6 +918,87 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         candidate_filter="label = 1",
     )
+
+
+def sim_ann_ivf_appended_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOT-AWARE append (r7 verdict item 1a): the index is built over
+    the even vec_ids WITH hot-list splitting (max_list_rows=16, secondary
+    c_slot partition level), then the odd half is APPENDED — the append
+    reads the layout's own persisted cap back from `lists_meta`, routes
+    new rows into existing slots, and RE-SHARDS every list the batch
+    pushes past its cap through the journaled two-phase swap (only those
+    lists are read back; untouched lists keep their files).  The merged
+    split index then serves the standard top-k: results must be identical
+    to a from-scratch build over the full corpus, so the verbatim
+    sim_ann_ivf oracle gates slot routing, cap re-application and the
+    swap end to end (a row lost in the re-shard, a mixed-depth directory,
+    or a double-appended slot each flip the hash).  The physical-layout
+    contract (appended == from-scratch slot dirs) is pinned in
+    tests/test_ann_index.py."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_app_split", sf_dir, fresh=True)
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents,
+        max_list_rows=16,
+    )
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
+# Mutation slice for sim_ann_ivf_upserted: never a centroid (the quantizer
+# is fixed at build time), never a query vector (queries are external).
+_UPS_GUARD = f"(vec_id % 29 <> 0 AND vec_id >= {_N_QUERIES})"
+_UPS_DEL = f"(vec_id % 17 = 3 AND {_UPS_GUARD})"
+_UPS_UPD = f"(vec_id % 17 = 5 AND {_UPS_GUARD})"
+
+
+def sim_ann_ivf_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector DELETE + UPDATE through the persisted index (r7 verdict
+    item 1b — the last lifecycle gap): the split index is built over the
+    full corpus, then one mutation batch deletes the %17==3 slice and
+    updates the %17==5 slice to REVERSED vectors (a pure element
+    permutation — no float arithmetic, so both engines mutate bit-
+    identically).  ann_index.ivf_index_upsert locates the mutated ids via
+    a column-pruned (n_id, c_list) projection, re-assigns the updated
+    vectors against the layout's own centroids (an update may migrate
+    between lists), rewrites ONLY the touched lists with the persisted
+    cap re-applied, and drops any list emptied by the deletes — all
+    through the journaled swap.  Serving must equal a from-scratch build
+    over the mutated corpus, so the oracle is sim_ann_ivf over a
+    mutated-corpus CTE: a resurrected deleted vector, a stale pre-update
+    vector, or a missed migration each flip the hash."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_upsert", sf_dir, fresh=True)
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(emb, path, centroids=cents, max_list_rows=16)
+    AI.ivf_index_upsert(
+        path,
+        updates=emb.filter(F.expr(_UPS_UPD)).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        delete_ids=emb.filter(F.expr(_UPS_DEL)).select("vec_id"),
+    )
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
+_UPSERTED_PRE_CTE = f"""mutated AS (
+            SELECT vec_id,
+                   CASE WHEN {_UPS_UPD} THEN list_reverse(embedding)
+                        ELSE embedding END AS embedding
+            FROM embeddings WHERE NOT {_UPS_DEL}),"""
 
 
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3933,6 +4023,103 @@ def docs_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stream_compact_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SELECTIVE compaction (r7 verdict item 2): a streaming
+    ingest fragments only the partitions it lands in, and rewriting the
+    whole layout every maintenance pass is O(corpus) — at 100 TB the
+    compactor must be O(touched).  The corpus is staged so the en docs
+    arrive as FOUR micro-batches and every other language as one
+    (maxFilesPerTrigger=1 through the exactly-once file sink, partitioned
+    by lang): only lang=en accumulates a small-file pile.
+    io.compact_partitioned_selective(min_files=3) must then select and
+    rewrite ONLY that directory — reads proportional to the fragmented
+    partition, journaled two-phase swap — while every other partition
+    comes through byte-identical (file inventory compared before/after,
+    `untouched_intact`), the en file count actually drops
+    (`files_shrunk`), and the selection is exactly lang=en
+    (`only_en_compacted`).  The oracle restates the per-lang corpus
+    aggregates from the documents table, so a row lost or duplicated by
+    the selective rewrite flips the hash alongside the contract
+    columns."""
+    from codecdb_queryengine_spark.sources import io as IO
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("docs_sel_compact", sf_dir, fresh=True)
+    staged = os.path.join(base, "in")
+    cols = ["doc_id", "text", "lang"]
+    docs.filter(F.col("lang") == "en").select(*cols).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    docs.filter(F.col("lang") != "en").select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = os.path.join(base, "docs")
+    q = SK.stream_to_parquet(
+        stream, sink, os.path.join(base, "ckpt"), partition_by=("lang",)
+    )
+    q.awaitTermination()
+
+    def _inventory(skip: str) -> dict[str, list[tuple[str, int]]]:
+        out = {}
+        for d in sorted(os.listdir(sink)):
+            if d.startswith("lang=") and d != skip:
+                full = os.path.join(sink, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if not f.startswith((".", "_"))
+                )
+        return out
+
+    def _en_files() -> int:
+        d = os.path.join(sink, "lang=en")
+        return sum(1 for f in os.listdir(d) if not f.startswith((".", "_")))
+
+    inv_before = _inventory("lang=en")
+    en_before = _en_files()
+    done = IO.compact_partitioned_selective(
+        spark, sink, partition_by=("lang",), min_files=3,
+        target_file_bytes=1 << 30,
+    )
+    only_en = done == ["lang=en"]
+    intact = _inventory("lang=en") == inv_before
+    shrunk = _en_files() < en_before
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.md5_slice32("sc|", F.col("text"))).alias("text_sig"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("only_en_compacted", F.lit(only_en))
+        .withColumn("untouched_intact", F.lit(intact))
+        .withColumn("files_shrunk", F.lit(shrunk))
+    )
+
+
+_DOCS_SEL_COMPACT_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(('0x' || substring(md5('sc|' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS text_sig,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           TRUE AS only_en_compacted,
+           TRUE AS untouched_intact,
+           TRUE AS files_shrunk
+    FROM documents GROUP BY lang
+"""
+
+
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payloads through the VARIANT type (Spark 4's
     open-ended JSON column): parse_json materializes the payload as a
@@ -5731,6 +5918,7 @@ QUERIES = {
     "docs_search_ranked": docs_search_ranked,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
+    "docs_stream_compact_selective": docs_stream_compact_selective,
     "docs_upsert_partitioned": docs_upsert_partitioned,
     "dedup_clusters": dedup_clusters,
     "graph_cc_chain": graph_cc_chain,
@@ -5791,6 +5979,8 @@ QUERIES = {
     "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
     "sim_ann_ivf_indexed_split": sim_ann_ivf_indexed_split,
     "sim_ann_ivf_indexed_append": sim_ann_ivf_indexed_append,
+    "sim_ann_ivf_appended_split": sim_ann_ivf_appended_split,
+    "sim_ann_ivf_upserted": sim_ann_ivf_upserted,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
@@ -5859,6 +6049,7 @@ ORACLE: dict[str, str] = {
     "docs_search_ranked": _search_ranked_sql(),
     "docs_stream_index_ingest": _search_index_sql(),
     "docs_upsert_partitioned": _DOCS_UPSERT_SQL,
+    "docs_stream_compact_selective": _DOCS_SEL_COMPACT_SQL,
     "docs_stream_index_compact": "SELECT s.*, TRUE AS files_shrunk FROM ("
     + _search_index_sql()
     + ") s",
@@ -5924,6 +6115,8 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_indexed": _ivf_sql(),
     "sim_ann_ivf_indexed_split": _ivf_sql(),
     "sim_ann_ivf_indexed_append": _ivf_sql(),
+    "sim_ann_ivf_appended_split": _ivf_sql(),
+    "sim_ann_ivf_upserted": _ivf_sql(corpus="mutated", pre_cte=_UPSERTED_PRE_CTE),
     "sim_ann_ivf_filtered": _ivf_sql(cand_where="WHERE v.label = 1"),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),

@@ -84,19 +84,49 @@ def ivf_index_build(
             norm(F.col(vec_col)).alias("c_norm"),
         )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    # 1-row broadcast model + per-row order-free argmax fold (the ivf_topk
-    # r5 plan shape): one shuffle-free projection replaces the old
-    # crossJoin-expand + groupBy(n_id) + re-join, so the only exchange
-    # left in the build is the repartition(c_list) the layout wants.
+    lists = _assign(vectors, centroids, vec_col, id_col, meta_cols)
+    _write_lists(lists, path, max_list_rows)
+
+
+def _assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    meta_cols: tuple[str, ...],
+) -> DataFrame:
+    """Nearest-centroid assignment projection shared by build, append and
+    upsert: 1-row broadcast model + per-row order-free argmax fold (the
+    ivf_topk r5 plan shape) — one shuffle-free projection instead of a
+    crossJoin-expand + groupBy(n_id) + re-join, so the only exchange left
+    before the layout write is the repartition the layout wants."""
     cmodel = F.broadcast(_model_1row(centroids, "c_id", "c_vec", "c_norm"))
-    lists = _spread(vectors).crossJoin(cmodel).select(
+    return _spread(vectors).crossJoin(cmodel).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         norm(F.col(vec_col)).alias("n_norm"),
         _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_list"),
         *[F.col(c) for c in meta_cols],
     )
-    _write_lists(lists, path, max_list_rows)
+
+
+def _check_append_schema(assigned: DataFrame, existing: DataFrame) -> None:
+    """Fail fast when an append/upsert batch does not carry exactly the
+    layout's own data columns (r7 ADVICE): appending without the layout's
+    metadata columns writes NULL-metadata rows that silently vanish from
+    candidate_filter searches, and extra columns would fork the schema."""
+    new_cols = sorted(c for c in assigned.columns if c != "c_list")
+    old_cols = sorted(c for c in existing.columns if c not in ("c_list", "c_slot"))
+    if new_cols != old_cols:
+        raise ValueError(
+            f"index batch columns {new_cols} do not match the layout's data "
+            f"columns {old_cols} — pass the layout's own meta_cols so "
+            "filtered search keeps working on appended/updated rows"
+        )
+
+
+def _list_dir(values) -> list[str]:
+    return [f"c_list={int(v)}" for v in sorted(values)]
 
 
 def ivf_index_append(
@@ -109,48 +139,256 @@ def ivf_index_append(
     """Incrementally add vectors to an EXISTING persisted index without a
     rebuild: read the layout's own centroid model back (never the
     caller's guess — the index-layout discipline), assign only the new
-    batch with the same fold expressions, and append into the partitioned
-    `lists/` — new files land only in the touched c_list directories, so
-    the maintenance cost is O(batch), not O(corpus).  Pair with
-    io.compact_partitioned when accumulated appends fragment the lists
-    (the streamed-ingest twins gate that pass).  Serving needs no change:
-    partition discovery picks up the new files and results are identical
-    to a from-scratch build over the union (gated by
-    sim_ann_ivf_indexed_append under the verbatim sim_ann_ivf oracle)."""
+    batch with the same fold expressions, and land new files only in the
+    touched c_list directories — maintenance cost O(batch + touched
+    lists), not O(corpus).
+
+    SLOT-AWARE (r8): for a layout built with `max_list_rows` (secondary
+    `c_slot` partitioning) the append reads the persisted cap back from
+    `lists_meta` and RE-APPLIES it — new rows route into the list's
+    existing slots via the same pmod(n_id, n_slots) rule when the list
+    still fits, and a list the batch pushes past cap·slots is re-sharded
+    across ceil(total/cap) slots (only that list is read back and
+    rewritten, through the journaled two-phase swap).  Appending into a
+    split layout without the meta artifact raises instead of silently
+    writing mixed-depth directories, and a batch whose columns don't
+    match the layout's data columns (e.g. missing meta_cols) raises
+    instead of planting NULL-metadata rows (r7 ADVICE).  Serving needs no
+    change: partition discovery picks up the new files and results are
+    identical to a from-scratch build over the union (gated by
+    sim_ann_ivf_indexed_append / sim_ann_ivf_appended_split under the
+    verbatim sim_ann_ivf oracle)."""
+    from codecdb_queryengine_spark.sources import io as IO
+
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    cmodel = F.broadcast(_model_1row(centroids, "c_id", "c_vec", "c_norm"))
-    lists = _spread(new_vectors).crossJoin(cmodel).select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_norm"),
-        _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_list"),
-        *[F.col(c) for c in meta_cols],
+    assigned = _assign(new_vectors, centroids, vec_col, id_col, meta_cols)
+    lists_path = os.path.join(path, "lists")
+    existing = spark.read.parquet(lists_path)
+    _check_append_schema(assigned, existing)
+    if "c_slot" not in existing.columns:
+        (
+            assigned.repartition("c_list")
+            .write.mode("append")
+            .partitionBy("c_list")
+            .parquet(lists_path)
+        )
+        return
+    cap = _read_layout_meta(spark, path)
+    if cap is None:
+        raise ValueError(
+            f"{path}: lists are c_slot-split but the layout has no "
+            "lists_meta artifact (pre-r8 build?) — appending blind would "
+            "regrow hot lists past their cap; rebuild the index once with "
+            "the current ivf_index_build to persist max_list_rows"
+        )
+    # Per-list routing plan: both aggregates are K'-rows-sized however big
+    # the corpus or the batch (and the existing-side count scans only the
+    # touched lists' partitions).
+    new_counts = {
+        int(r["c_list"]): int(r["_n"])
+        for r in assigned.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    touched = sorted(new_counts)
+    old_stats = {
+        int(r["c_list"]): (int(r["_n"]), int(r["_slots"]))
+        for r in (
+            existing.filter(F.col("c_list").isin(touched))
+            .groupBy("c_list")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                (F.max("c_slot") + 1).alias("_slots"),
+            )
+            .collect()
+        )
+    }
+    stay: dict[int, int] = {}
+    grow: list[int] = []
+    for c_list in touched:
+        old_n, cur_slots = old_stats.get(c_list, (0, 0))
+        need = -(-(old_n + new_counts[c_list]) // cap)
+        if 0 < cur_slots >= need:
+            stay[c_list] = cur_slots
+        else:
+            grow.append(c_list)
+    if stay:
+        slots_df = spark.createDataFrame(
+            sorted(stay.items()), "c_list long, _slots long"
+        )
+        (
+            assigned.filter(F.col("c_list").isin(sorted(stay)))
+            .join(F.broadcast(slots_df), "c_list")
+            .withColumn("c_slot", F.pmod(F.col("n_id"), F.col("_slots")))
+            .drop("_slots")
+            .repartition("c_list", "c_slot")
+            .write.mode("append")
+            .partitionBy("c_list", "c_slot")
+            .parquet(lists_path)
+        )
+    if grow:
+        old_rows = existing.filter(F.col("c_list").isin(grow)).select(
+            *[
+                F.col(c).cast("long") if c == "c_list" else F.col(c)
+                for c in assigned.columns
+            ]
+        )
+        merged = old_rows.unionByName(assigned.filter(F.col("c_list").isin(grow)))
+        tmp = lists_path.rstrip("/") + ".growing"
+        (
+            _with_slots(merged, cap)
+            .repartition("c_list", "c_slot")
+            .write.mode("overwrite")
+            .partitionBy("c_list", "c_slot")
+            .parquet(tmp)
+        )
+        IO.swap_partition_dirs(lists_path, tmp, promote=_list_dir(grow))
+
+
+def ivf_index_upsert(
+    path: str,
+    updates: DataFrame | None = None,
+    delete_ids: DataFrame | list[int] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_cols: tuple[str, ...] = (),
+    spark: SparkSession | None = None,
+) -> int:
+    """Vector UPDATE + DELETE against the persisted index (r7 verdict
+    item 1b) — the missing lifecycle piece between append and full
+    rebuild.  A 100-TB corpus mutates; this pass applies a mutation batch
+    by rewriting ONLY the touched inverted lists:
+
+    - mutated ids (updated ∪ deleted) are located via a column-pruned
+      (n_id, c_list) projection of the lists — bytes read proportional to
+      two thin columns, not the vectors;
+    - update vectors are re-assigned against the layout's OWN persisted
+      centroids (the quantizer is fixed at build time — same contract as
+      append), so an update may migrate a vector between lists;
+    - touched lists = old residences ∪ new assignments; their surviving
+      rows (minus every mutated id) union the re-assigned updates, the
+      persisted `max_list_rows` cap is RE-APPLIED for split layouts, and
+      just those c_list directories are promoted through the journaled
+      two-phase swap (a list whose every row was deleted is dropped).
+
+    Untouched lists are never rewritten; serving stays identical to a
+    from-scratch build over the mutated corpus with the same centroids
+    (gated by sim_ann_ivf_upserted under the sim_ann_ivf oracle over a
+    mutated-corpus CTE).  Returns the number of touched lists."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    if updates is None and delete_ids is None:
+        raise ValueError("ivf_index_upsert: nothing to do — no updates, no deletes")
+    spark = spark or (updates.sparkSession if updates is not None else None)
+    if spark is None:
+        raise ValueError("ivf_index_upsert: pass spark= when updates is None")
+    lists_path = os.path.join(path, "lists")
+    existing = spark.read.parquet(lists_path)
+    split = "c_slot" in existing.columns
+    cap = _read_layout_meta(spark, path)
+    if split and cap is None:
+        raise ValueError(
+            f"{path}: c_slot-split lists without a lists_meta artifact — "
+            "rebuild once with the current ivf_index_build"
+        )
+    if delete_ids is None:
+        del_df = spark.createDataFrame([], "n_id long")
+    elif isinstance(delete_ids, DataFrame):
+        del_df = delete_ids.select(F.col(delete_ids.columns[0]).alias("n_id"))
+    else:
+        del_df = spark.createDataFrame([(int(i),) for i in delete_ids], "n_id long")
+    if updates is not None:
+        centroids = spark.read.parquet(os.path.join(path, "centroids"))
+        assigned = _assign(updates, centroids, vec_col, id_col, meta_cols)
+        _check_append_schema(assigned, existing)
+        upd_ids = assigned.select("n_id")
+    else:
+        assigned = None
+        upd_ids = spark.createDataFrame([], "n_id long")
+    mutated = del_df.unionByName(upd_ids).distinct()
+    located = (
+        existing.select("n_id", "c_list")
+        .join(F.broadcast(mutated), "n_id")
+        .select("c_list")
+        .distinct()
+        .collect()
     )
+    touched = {int(r["c_list"]) for r in located}
+    if assigned is not None:
+        touched |= {
+            int(r["c_list"]) for r in assigned.select("c_list").distinct().collect()
+        }
+    if not touched:
+        return 0
+    data_cols = [c for c in existing.columns if c != "c_slot"]
+    survivors = (
+        existing.filter(F.col("c_list").isin(sorted(touched)))
+        .join(F.broadcast(mutated), "n_id", "left_anti")
+        .select(
+            *[
+                F.col(c).cast("long") if c == "c_list" else F.col(c)
+                for c in data_cols
+            ]
+        )
+    )
+    merged = (
+        survivors.unionByName(assigned.select(*data_cols))
+        if assigned is not None
+        else survivors
+    )
+    part_cols = ["c_list"]
+    if split:
+        merged = _with_slots(merged, cap)
+        part_cols = ["c_list", "c_slot"]
+    tmp = lists_path.rstrip("/") + ".upserting"
     (
-        lists.repartition("c_list")
-        .write.mode("append")
-        .partitionBy("c_list")
-        .parquet(os.path.join(path, "lists"))
+        merged.repartition(*part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    staged = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tmp)
+        if e.startswith("c_list=")
+    }
+    IO.swap_partition_dirs(
+        lists_path,
+        tmp,
+        promote=_list_dir(staged),
+        drop=_list_dir(touched - staged),
+    )
+    return len(touched)
+
+
+def _with_slots(lists: DataFrame, cap: int) -> DataFrame:
+    """Add the secondary `c_slot` partition column: each list spreads its
+    rows over ceil(n/cap) slots via pmod(n_id, n_slots) — no per-list
+    window, so a hot list never funnels through one task.  The per-list
+    count aggregate is K'-rows-sized however big the corpus."""
+    counts = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n"))
+    n_slots = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_n") / F.lit(cap)).cast("long"),
+    )
+    return (
+        lists.join(F.broadcast(counts), "c_list")
+        .withColumn("c_slot", F.pmod(F.col("n_id"), n_slots))
+        .drop("_n")
     )
 
 
 def _write_lists(lists: DataFrame, path: str, max_list_rows: int | None) -> None:
     """Write the `lists/` layout, splitting oversized lists across a
     secondary `c_slot` partition level when `max_list_rows` is set (see
-    ivf_index_build's docstring for the scale rationale)."""
+    ivf_index_build's docstring for the scale rationale).  The cap is
+    persisted IN the layout (`lists_meta`, 1 row) so maintenance passes
+    re-apply the layout's own setting instead of a caller's guess — the
+    index-layout discipline that keeps append/upsert from silently
+    regrowing hot lists."""
+    spark = lists.sparkSession
     part_cols = ["c_list"]
     if max_list_rows is not None:
-        counts = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n"))
-        n_slots = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.col("_n") / F.lit(max_list_rows)).cast("long"),
-        )
-        lists = (
-            lists.join(F.broadcast(counts), "c_list")
-            .withColumn("c_slot", F.pmod(F.col("n_id"), n_slots))
-            .drop("_n")
-        )
+        lists = _with_slots(lists, max_list_rows)
         part_cols = ["c_list", "c_slot"]
     (
         lists.repartition(*part_cols)
@@ -158,6 +396,21 @@ def _write_lists(lists: DataFrame, path: str, max_list_rows: int | None) -> None
         .partitionBy(*part_cols)
         .parquet(os.path.join(path, "lists"))
     )
+    cap = None if max_list_rows is None else int(max_list_rows)
+    spark.createDataFrame([(cap,)], "max_list_rows long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "lists_meta"))
+
+
+def _read_layout_meta(spark: SparkSession, path: str) -> int | None:
+    """The layout's persisted max_list_rows cap, or None when the layout
+    predates the meta artifact or was built uncapped."""
+    meta = os.path.join(path, "lists_meta")
+    if not os.path.exists(meta):
+        return None
+    rows = spark.read.parquet(meta).collect()
+    v = rows[0]["max_list_rows"] if rows else None
+    return None if v is None else int(v)
 
 
 def ivf_index_topk(

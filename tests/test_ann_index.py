@@ -104,6 +104,150 @@ def test_index_append_matches_full_build(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def _slot_layout(path):
+    """{c_list dir -> sorted c_slot dirs} of a split lists layout."""
+    out = {}
+    ld = os.path.join(path, "lists")
+    for d in os.listdir(ld):
+        if d.startswith("c_list="):
+            out[d] = sorted(
+                e
+                for e in os.listdir(os.path.join(ld, d))
+                if e.startswith("c_slot=")
+            )
+    return out
+
+
+def test_append_into_split_layout_reapplies_cap(spark, sf_dir):
+    """Slot-aware append (r7 verdict item 1a): appending into a layout
+    built with max_list_rows must route into the existing slots and
+    RE-SHARD any list the batch pushes past its cap — the final physical
+    slot layout and the served results must both equal a from-scratch
+    split build over the full corpus."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    full_p = tempfile.mkdtemp(prefix="ivf_split_full_")
+    incr_p = tempfile.mkdtemp(prefix="ivf_split_incr_")
+    AI.ivf_index_build(emb, full_p, centroids=cents, max_list_rows=16)
+    AI.ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), incr_p, centroids=cents,
+        max_list_rows=16,
+    )
+    before = _slot_layout(incr_p)
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), incr_p)
+    after = _slot_layout(incr_p)
+    assert after == _slot_layout(full_p)  # cap re-applied, slots re-sharded
+    assert any(len(after[d]) > len(before.get(d, [])) for d in after), (
+        "fixture never exercised the grow path"
+    )
+    a = AI.ivf_index_topk(spark, full_p, _queries(emb), k=5, nprobe=2).collect()
+    b = AI.ivf_index_topk(spark, incr_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_append_guards_schema_and_missing_meta(spark, sf_dir):
+    """r7 ADVICE: a batch without the layout's meta columns must raise
+    (NULL-metadata rows silently vanish from filtered search), and a
+    c_slot-split layout without its lists_meta artifact must refuse a
+    blind append instead of writing mixed-depth directories."""
+    import shutil
+
+    import pytest
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    meta_p = tempfile.mkdtemp(prefix="ivf_guard_meta_")
+    AI.ivf_index_build(emb, meta_p, centroid_mod=29, meta_cols=("label",))
+    with pytest.raises(ValueError, match="meta_cols"):
+        AI.ivf_index_append(emb.limit(10), meta_p)  # missing label column
+    split_p = tempfile.mkdtemp(prefix="ivf_guard_split_")
+    AI.ivf_index_build(emb, split_p, centroid_mod=29, max_list_rows=16)
+    shutil.rmtree(os.path.join(split_p, "lists_meta"))
+    with pytest.raises(ValueError, match="lists_meta"):
+        AI.ivf_index_append(emb.limit(10), split_p)
+
+
+def test_upsert_matches_fresh_build_over_mutated_corpus(spark, sf_dir):
+    """Vector delete/update (r7 verdict item 1b): after deleting one slice
+    and updating another (reversed vectors — a pure permutation), the
+    upserted index must serve EXACTLY what a from-scratch build over the
+    mutated corpus serves (same fixed centroids), on a SPLIT layout so
+    the cap re-application path is exercised too."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    mut_pred = (F.col("vec_id") % 29 != 0) & (F.col("vec_id") >= 5)
+    del_pred = (F.col("vec_id") % 17 == 3) & mut_pred
+    upd_pred = (F.col("vec_id") % 17 == 5) & mut_pred
+    up_p = tempfile.mkdtemp(prefix="ivf_upsert_")
+    AI.ivf_index_build(emb, up_p, centroids=cents, max_list_rows=16)
+    dels = [int(r[0]) for r in emb.filter(del_pred).select("vec_id").collect()]
+    upds = emb.filter(upd_pred).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    n = AI.ivf_index_upsert(up_p, updates=upds, delete_ids=dels)
+    assert n > 0
+    mutated = emb.filter(~del_pred).select(
+        "vec_id",
+        F.when(upd_pred, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    fresh_p = tempfile.mkdtemp(prefix="ivf_fresh_mut_")
+    AI.ivf_index_build(mutated, fresh_p, centroids=cents, max_list_rows=16)
+    a = AI.ivf_index_topk(spark, up_p, _queries(emb), k=5, nprobe=2).collect()
+    b = AI.ivf_index_topk(spark, fresh_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # deleted ids really are gone from the layout
+    left = {
+        r.n_id
+        for r in spark.read.parquet(os.path.join(up_p, "lists"))
+        .select("n_id")
+        .collect()
+    }
+    assert not (left & set(dels))
+
+
+def test_upsert_rewrites_only_touched_lists_and_drops_emptied(spark, sf_dir):
+    """O(touched) contract: lists untouched by the mutation batch stay
+    byte-identical, and a list whose every member is deleted disappears
+    from the layout."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="ivf_upsert_touch_")
+    AI.ivf_index_build(emb, path, centroid_mod=29)
+    lists_dir = os.path.join(path, "lists")
+    members: dict[int, list[int]] = {}
+    for r in spark.read.parquet(lists_dir).select("c_list", "n_id").collect():
+        members.setdefault(int(r.c_list), []).append(int(r.n_id))
+    # wipe one whole list; leave every other list untouched
+    victim = min(members)
+    dels = members[victim]
+
+    def _snap(skip):
+        out = {}
+        for d in os.listdir(lists_dir):
+            if d.startswith("c_list=") and d != f"c_list={skip}":
+                full = os.path.join(lists_dir, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if not f.startswith((".", "_"))
+                )
+        return out
+
+    before = _snap(victim)
+    n = AI.ivf_index_upsert(path, delete_ids=dels, spark=spark)
+    assert n == 1
+    assert not os.path.exists(os.path.join(lists_dir, f"c_list={victim}"))
+    assert _snap(victim) == before
+
+
 def test_filtered_search_restricts_candidates_and_pushes_predicate(spark, sf_dir):
     """candidate_filter (r7): every returned neighbor satisfies the
     predicate, and the predicate reaches the lists scan's PushedFilters
