@@ -280,9 +280,17 @@ def ivf_topk(
     centroid_mod: int = 29,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    keep_vecs: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other classic ANN scale
     path next to LSH bucketing.
+
+    `keep_vecs=True` additionally returns the (q_vec, n_vec) pair each
+    result was scored from: the scored frame carries them anyway, so a
+    consumer that needs to RE-DERIVE something from the matched vectors
+    (the trained-quantizer invariant gates) gets them as a pure projection
+    of the shared scoring subplan instead of two corpus join-backs
+    (r7 verdict item 5 — one subplan, two projections).
 
     Coarse quantizer: by default centroids are the vectors whose id ≡ 0 mod
     `centroid_mod` — a deterministic, training-free stand-in the DuckDB
@@ -332,10 +340,11 @@ def ivf_topk(
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    extra = ["q_vec", "n_vec"] if keep_vecs else []
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"), *extra)
     )
 
 
@@ -600,8 +609,16 @@ def pq_topk(
     num_codewords: int = 8,
     code_stride: int = 37,
     codebooks: DataFrame | None = None,
+    keep_vecs: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN — the memory-scale path next to LSH/IVF:
+
+    `keep_vecs=True` additionally returns each result's (q_vec, n_vec)
+    pair, carried through the scoring subplan so an invariant consumer
+    re-derives its checks as a projection instead of two corpus join-backs
+    (r7 verdict item 5; see ivf_topk).  NOTE this widens the pre-window
+    candidate stream by the full vectors — leave it off for plain serving,
+    where the codes-only stream is the point of PQ.
     each vector is compressed to `num_subspaces` small codes; query scoring
     is asymmetric-distance computation (ADC) — per neighbor just
     num_subspaces integer table lookups + adds, never a d-dim float dot.
@@ -661,6 +678,7 @@ def pq_topk(
     codes_wide = _spread(vectors).crossJoin(cb1).select(
         F.col(id_col).alias("n_id"),
         F.map_from_entries(F.array(*code_entries)).alias("cmap"),
+        *([F.col(vec_col).alias("n_vec")] if keep_vecs else []),
     )
 
     # The ADC map key is m·K + c_id; a codebook row with c_id >= K would
@@ -696,6 +714,7 @@ def pq_topk(
     adc_wide = queries.crossJoin(cb1).select(
         "q_id",
         F.map_from_entries(F.transform(F.col("model"), _adc_entry)).alias("amap"),
+        *(["q_vec"] if keep_vecs else []),
     )
     adc_sum: Column | None = None
     for m in range(num_subspaces):
@@ -710,10 +729,11 @@ def pq_topk(
         .withColumn("adc_micro", adc_sum)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
+    extra = ["q_vec", "n_vec"] if keep_vecs else []
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "adc_micro", F.col("rk").cast("long").alias("rk"))
+        .select("q_id", "n_id", "adc_micro", F.col("rk").cast("long").alias("rk"), *extra)
     )
 
 

@@ -1080,8 +1080,17 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured), and at scale a production quantizer trains once offline —
     # the per-query fit here exists to gate the train->encode plumbing
     cbs = S.pq_codebooks_kmeans(emb, dim=64, max_iter=5)
-    topk = S.pq_topk(emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs)
-    return _pq_trained_invariants(emb, topk, cbs)
+    # keep_vecs: the invariant surface re-encodes each returned neighbor
+    # from the (q_vec, n_vec) pair the scoring subplan already carries —
+    # a projection of the shared subplan instead of two corpus join-backs
+    # (r7 verdict item 5).  The re-encode still bypasses pq_topk's
+    # map-lookup ADC machinery (broadcast-join argmin + re-sum), so a
+    # key-aliasing or lookup bug there still flips n_score_exact.
+    topk = S.pq_topk(
+        emb, _query_vectors(emb), dim=64, k=_TOP_K, codebooks=cbs,
+        keep_vecs=True,
+    )
+    return _pq_trained_invariants(topk, cbs)
 
 
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1206,20 +1215,25 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained tier is sim_ann_ivf_lloyd."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = S.kmeans_centroids(emb, k=16, seed=13)
-    topk = S.ivf_topk(emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents)
-    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
-    re = (
-        topk.join(_query_vectors(emb), "q_id")
-        .join(nv, "n_id")
-        .withColumn(
-            "re_score",
-            S.cosine_pre(
-                F.col("q_vec"),
-                F.col("n_vec"),
-                S.norm(F.col("q_vec")),
-                S.norm(F.col("n_vec")),
-            ),
-        )
+    # keep_vecs: the scoring subplan already carries each result's
+    # (q_vec, n_vec) — re-deriving the score from the carried pair is a
+    # pure projection of the SHARED subplan instead of two corpus
+    # join-backs (r7 verdict item 5; the join-back form re-ran ~0.3 s of
+    # scan+join stages per bench run for the same check).  The norms are
+    # still recomputed from the vectors, so a rank/window/aliasing bug in
+    # the serving plan that pairs a score with the wrong vectors flips
+    # n_score_exact exactly as before.
+    re = S.ivf_topk(
+        emb, _query_vectors(emb), k=_TOP_K, nprobe=2, centroids=cents,
+        keep_vecs=True,
+    ).withColumn(
+        "re_score",
+        S.cosine_pre(
+            F.col("q_vec"),
+            F.col("n_vec"),
+            S.norm(F.col("q_vec")),
+            S.norm(F.col("n_vec")),
+        ),
     )
     return _gate_invariants(re, "cosine", asc=False)
 
@@ -1266,19 +1280,20 @@ def _gate_invariants_sql(k: int = _TOP_K) -> str:
     """
 
 
-def _pq_trained_invariants(emb: DataFrame, topk: DataFrame, cbs: DataFrame) -> DataFrame:
+def _pq_trained_invariants(topk: DataFrame, cbs: DataFrame) -> DataFrame:
     """Invariant surface for the KMeans-trained PQ top-k (see
     sim_ann_pq_trained).  The score check re-encodes each RETURNED neighbor
     directly — slice, argmin over the SAME broadcast codebooks the top-k
     ran with (ties to the smaller codeword id), micro-quantized ADC re-sum
     — without pq_topk's map-lookup machinery, so a key-aliasing or lookup
-    bug there would show up as n_score_exact < k here."""
+    bug there would show up as n_score_exact < k here.  `topk` must carry
+    the scored (q_vec, n_vec) pair (pq_topk(keep_vecs=True)): the
+    re-encode is then a projection of the shared scoring subplan, not a
+    pair of corpus join-backs (r7 verdict item 5)."""
     sub = 64 // 4
     ms = F.explode(F.array(*[F.lit(m).cast("long") for m in range(4)])).alias("m")
-    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
     slices = (
-        topk.join(_query_vectors(emb), "q_id")
-        .join(nv, "n_id")
+        topk.withColumnRenamed("n_vec", "nv")
         .select("q_id", "n_id", "adc_micro", "rk", ms, "q_vec", "nv")
         .select(
             "q_id",
