@@ -24,6 +24,40 @@ from codecdb_queryengine_spark.session import get_spark
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _current_round() -> tuple[int, str]:
+    """Which build round this bench belongs to (r7 verdict item 6).
+
+    SPARK_GRAFT_ROUND wins when the harness provides it.  Otherwise infer
+    from the driver's artifact sequence: the driver writes
+    CORRECTNESS_r{N}.json and then benches IMMEDIATELY (its round-N bench
+    runs minutes after the artifact), while the builder benches mid-round
+    N+1, long after round N closed — so a freshly written newest artifact
+    (< 30 min) means this IS the driver's round-N close bench, and a stale
+    one means the builder is already inside round N+1.  The chosen round
+    and its basis are embedded in the payload so artifact diffs never have
+    to re-derive the attribution."""
+    import glob
+    import re
+    import time as _time
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env), "env"
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    }
+    if not arts:
+        return 1, "no_artifacts"
+    newest = max(arts)
+    age = _time.time() - os.path.getmtime(arts[newest])
+    if age < 1800:
+        return newest, f"newest_correctness_fresh_{int(age)}s"
+    return newest + 1, f"newest_correctness_stale_{int(age)}s"
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -69,12 +103,15 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)
+    rnd, basis = _current_round()
     payload = {
         "metric": "query_suite_total_median_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "round": rnd,
+        "round_basis": basis,
     }
     # The driver's artifact keeps only a truncated tail of this output, so
     # the early entries of the ~150-query map were lost from BENCH_r*.json
@@ -85,18 +122,8 @@ def main() -> None:
         with open(os.path.join(here, "BENCH_full.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         # Round-keyed copy so r-over-r per-query deltas never depend on the
-        # driver's truncated BENCH_r{N}.json tail (r6 verdict item 7).  The
-        # current round = one past the newest driver correctness artifact.
-        import glob
-        import re
-
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-        ]
-        rnd = os.environ.get("SPARK_GRAFT_ROUND") or (max(rounds, default=0) + 1)
-        with open(os.path.join(here, f"BENCH_full_r{int(rnd):02d}.json"), "w") as f:
+        # driver's truncated BENCH_r{N}.json tail (r6 verdict item 7).
+        with open(os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout: the stdout line still ships
         print(f"BENCH_full.json not written: {e}", file=sys.stderr)

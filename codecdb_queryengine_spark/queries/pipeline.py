@@ -5615,7 +5615,17 @@ def emb_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts (total, mismatches) — mismatches can only arise
     from numpy pairwise- vs fold left-summation on near-tied centroids,
     and on this corpus there are none, which the oracle now asserts per
-    gate run instead of per test run."""
+    gate run instead of per test run.
+
+    The tie-margin assumption is itself a CHECKED precondition (r7
+    ADVICE): `n_margin_tight` counts vectors whose best-vs-runner-up
+    centroid-similarity margin is below 1e-9 — five orders of magnitude
+    above the ~1e-14 divergence float64 summation order can introduce,
+    yet far below any real margin on this corpus.  The oracle states 0,
+    so if a future corpus DOES carry a near-tie, this column goes red
+    alongside (or instead of) n_mismatch and the failure attributes
+    straight to the float-order artifact rather than reading as an
+    assignment-logic regression in emb_stream_encode_fast."""
     emb = load_tables(spark, sf_dir)["embeddings"].filter(
         F.col("embedding").isNotNull()
     )
@@ -5625,20 +5635,30 @@ def emb_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.norm(F.col("embedding")).alias("c_norm"),
     )
     cents = cents_df.select("c_id", "c_vec").collect()
-    fold = emb.select(
+    cmodel = F.broadcast(S._model_1row(cents_df, "c_id", "c_vec", "c_norm"))
+    sims = F.array_sort(
+        F.transform(
+            F.col("model"),
+            lambda c: S.dot(F.col("embedding"), c["c_vec"]) / c["c_norm"],
+        )
+    )
+    fold = emb.crossJoin(cmodel).select(
         F.col("vec_id").alias("n_id"),
         S.ivf_assign_expr("embedding", cents).alias("c_fold"),
+        (F.element_at(sims, -1) - F.element_at(sims, -2)).alias("margin"),
     )
     arrow = S.ivf_assign_arrow(emb, centroids=cents_df)
     return fold.join(arrow, "n_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum((F.col("c_fold") != F.col("c_list")).cast("long")).alias("n_mismatch"),
+        F.sum((F.col("margin") < F.lit(1e-9)).cast("long")).alias("n_margin_tight"),
     )
 
 
 _EMB_ENCODE_PARITY_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(0 AS BIGINT) AS n_mismatch
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_margin_tight
     FROM embeddings WHERE embedding IS NOT NULL
 """
 
