@@ -40,79 +40,72 @@ BENCH_SKIP |= {
 }
 
 # The driver's correctness gate truncates at the first 50 queries() entries
-# (observed: CORRECTNESS_r01/r02 cover exactly entries 1-50).  Round-7
-# rotation policy: EVERY registered name now has a value oracle — the
-# rows-only category was retired this round (r6 verdict item 2) by
-# re-registering engine-specific outputs as their engine-independent
-# invariant surfaces — so any name may occupy a window slot.  This window
-# leads with the 16 names never value-green across the r1-r6 windows
-# (completing the rotation: after r7 every name in the registry has a
-# green driver row at least once) and fills the rest with a cross-family
-# re-rotation.  Everything rotated out stays covered by
-# scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
-# for the bit-exact standard).
+# (observed: CORRECTNESS_r01/r02 cover exactly entries 1-50).  Round-8
+# rotation policy (r7 verdict item 8): with every registered name green at
+# least once across r1-r7, the window is now STALENESS-KEYED — the new r8
+# gates lead (a new entry is always windowed the round it lands), then the
+# stalest names by last-green driver round, tie-broken alphabetically, fill
+# the remaining slots.  This window drains ALL 20 names last green in r2
+# and 27 of the 36 last green in r3; the stalest name left outside is
+# r3-green (5 rounds), and repeating this policy keeps the bound at
+# ceil((surface - new) / 47) ≈ 5 rounds as the surface grows.  Everything
+# rotated out stays covered by scripts/check_correctness.py over the full
+# surface (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
-    # r7 window, part 1: every name never value-green in a driver
-    # window across r1-r6 (r6 verdict item 1) — the four retired
-    # rows-only entries now emitting their invariant surfaces, the two
-    # new r7 gates (streamed-index compaction, hot-list-split serving),
-    # the late-r6 additions, and the three plan-identical SQL twins.
-    # After this window every registered name has a green driver row.
-    "sim_ann_ivf_trained",
-    "sim_ann_pq_trained",
-    "text_bpe_trained",
-    "emb_stream_encode_fast",
-    "docs_stream_index_compact",
-    "sim_ann_ivf_indexed_split",
-    "graph_pagerank_ckpt",
-    "emb_pca_served",
-    "events_variant_props",
-    "events_hll_rollup",
-    "docs_train_classifier",
-    "ext_recursive_cte",
-    "ext_lateral_topk",
-    "q18_bucketed_sql",
-    "ssb_q4_2_sql",
-    "ssb_q4_3_sql",
-    # the four r7 capabilities added after the rotation was drafted — in
-    # the window so no registered name is ever left never-driver-gated
-    "emb_stream_index_compact",
-    "sim_ann_ivf_indexed_append",
-    "sim_ann_ivf_filtered",
-    "docs_upsert_partitioned",
-    # part 2: cross-family re-rotation — relational core, bucketed
-    # layout, dedup tiers, graph, ANN tiers, PCA/classifier training,
-    # text index + analysis, temporal + streaming, stats, multimodal.
-    "q1",
-    "q6",
-    "q13",
-    "q17",
-    "q19",
-    "q21",
-    "q22",
-    "ssb_q1_1",
-    "ssb_q4_1",
-    "q3_bucketed",
-    "dedup_minhash_verified",
-    "dedup_semantic",
-    "dedup_simhash_clusters",
-    "docs_dedup_segments",
-    "graph_cc_chain",
-    "graph_triangles",
-    "sim_topk",
-    "sim_ann_ivfpq_lloyd",
-    "sim_ann_sq8",
-    "emb_pca_power",
-    "emb_label_eval",
-    "emb_stream_index_ingest",
-    "docs_search_ranked",
-    "docs_novelty",
-    "text_heavy_hitters",
-    "docs_decontaminate_lsh",
-    "events_rolling",
-    "events_stream_rollup",
-    "ext_stats_approx",
-    "mm_phash_dedup",
+    # part 1: the three r8 gates — mutable-ANN-index lifecycle (slot-aware
+    # append into a split layout, vector delete/update via touched-list
+    # rewrite) and partition-selective compaction
+    "docs_stream_compact_selective",
+    "sim_ann_ivf_appended_split",
+    "sim_ann_ivf_upserted",
+    # part 2: the 47 stalest names (last green r2, then r3, alphabetical)
+    "dedup_ngram_jaccard",
+    "docs_topterms",
+    "docs_train_split",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_1",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_1",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_2",
+    "ssb_q4_3",
+    "text_bpe_stats",
+    "text_countmin",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_fuzzy",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "docs_stream_ingest",
+    "events_asof",
+    "events_range_join",
+    "events_stream_dedup",
+    "events_stream_join",
+    "events_stream_sessions",
+    "events_stream_totals",
+    "events_stream_window",
+    "ext_rollup",
+    "ext_salted_agg",
+    "ext_setops",
+    "ext_window_funcs",
+    "ext_zorder",
+    "q10",
+    "q11",
+    "q12",
+    "q14",
+    "q15",
+    "q16",
 ]
 
 
