@@ -34,9 +34,9 @@ from codecdb_queryengine_spark.operators.similarity import (
     _centroid_sims,
     _fold_argmax_sim,
     _model_1row,
+    _probe_centroids,
     _spread,
     cosine_pre,
-    dot,
     norm,
 )
 
@@ -440,27 +440,26 @@ def ivf_index_topk(
     # cast can stop dynamic partition pruning from firing (r4 ADVICE), which
     # would silently void the "read only nprobe partitions" contract.  The
     # probe side casts to whatever type partition discovery inferred instead;
-    # scripts/explain_audit.py pins the dynamicpruning subquery on this scan.
+    # scripts/explain_audit.py pins the LIVE dynamicpruning subquery on this
+    # scan.
     lists = spark.read.parquet(os.path.join(path, "lists"))
     if candidate_filter is not None:
         lists = lists.filter(candidate_filter)
     part_type = dict(lists.dtypes)["c_list"]
-    probes = queries.crossJoin(F.broadcast(cents)).select(
+    # Probe selection is the WINDOW-FREE fold (similarity._probe_centroids,
+    # same order as the old rank window — r8 DPP fix): a window function on
+    # the probe side makes Spark's PlanDynamicPruningFilters fail its
+    # broadcast-reuse check and silently degrade the partition filter to
+    # `dynamicpruningexpression(true)` — the scan then opens EVERY list
+    # file (measured at 16x: 1104 partition files / the whole index read
+    # vs ~nprobe·queries files after this fix).  The fold keeps the probe
+    # side reusable, so DPP actually prunes the unprobed partitions.
+    cmodel = F.broadcast(_model_1row(cents, "c_id", "c_vec", "c_norm"))
+    probe_lists = _probe_centroids(queries, cmodel, nprobe).select(
         "q_id",
         "q_vec",
-        "c_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / F.col("c_norm")).alias("sim"),
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    probe_lists = (
-        probes.withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= nprobe)
-        .select(
-            "q_id",
-            "q_vec",
-            F.col("c_id").cast(part_type).alias("c_list"),
-            norm(F.col("q_vec")).alias("q_norm"),
-        )
+        F.col("p")["c_id"].cast(part_type).alias("c_list"),
+        norm(F.col("q_vec")).alias("q_norm"),
     )
     scored = (
         F.broadcast(probe_lists)
@@ -528,24 +527,34 @@ def ivf_index_topk_micro(
     nprobe: int = 2,
 ) -> DataFrame:
     """Top-k over the persisted integer index: same partition-pruned plan
-    shape as ivf_index_topk (broadcast centroids, nprobe lists per query,
-    DPP on the c_list equi-join — scan-side partition column untouched),
-    every distance BIGINT.  Output matches operators/similarity.
-    ivf_topk_micro exactly, so one oracle gates both forms."""
-    from codecdb_queryengine_spark.operators.similarity import l2_micro, quantize_micro
+    shape as ivf_index_topk (literal-model probe selection, nprobe lists
+    per query, DPP on the c_list equi-join — scan-side partition column
+    untouched), every distance BIGINT.  Output matches operators/
+    similarity.ivf_topk_micro exactly, so one oracle gates both forms.
+    Probe selection is the window-free array_sort/slice form (the
+    ivf_topk_micro serve shape — exactly the old rank window's ascending
+    (d, c_id) order): a window on the probe side silently degrades DPP to
+    `dynamicpruningexpression(true)` (see ivf_index_topk, r8)."""
+    from codecdb_queryengine_spark.operators.similarity import (
+        _sql_dist_arr,
+        l2_micro,
+        quantize_micro,
+    )
 
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = sorted(
+        (int(r["c_id"]), [int(x) for x in r["c"]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    if not cents:
+        raise ValueError(f"ivf_index_topk_micro: empty centroid artifact at {path}")
     lists = spark.read.parquet(os.path.join(path, "lists"))
     part_type = dict(lists.dtypes)["c_list"]
     qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-    wp = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
-    probes = (
-        qm.crossJoin(F.broadcast(cents))
-        .select("q_id", "qv", "c_id", l2_micro(F.col("qv"), F.col("c")).alias("d"))
-        .withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "qv", F.col("c_id").cast(part_type).alias("c_list"))
-    )
+    probes = qm.selectExpr(
+        "q_id",
+        "qv",
+        f"explode(slice(array_sort({_sql_dist_arr('qv', cents)}), 1, {nprobe})) AS p",
+    ).select("q_id", "qv", F.col("p.c_id").cast(part_type).alias("c_list"))
     scored = (
         F.broadcast(probes)
         .join(lists, "c_list")

@@ -118,8 +118,21 @@ def audit(name: str, plan: str) -> tuple[bool, str]:
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     notes.append(f"pushed={pushed}")
     if name in EXPECT_DPP:
-        if "dynamicpruningexpression" in plan:
+        # The expression must be LIVE (`c_list IN dynamicpruning#N`), not
+        # the degraded `dynamicpruningexpression(true)` Spark leaves behind
+        # when PlanDynamicPruningFilters fails its broadcast-reuse check —
+        # the r8 finding: a window function on the probe side silently
+        # degraded every persisted-index serve to a full-layout scan while
+        # this audit's plain substring check still read "dpp".  A plan may
+        # legitimately print BOTH forms (AQE initial + final subplans), so
+        # the live form must be present and a (true) occurrence alone fails.
+        live = re.search(r"dynamicpruningexpression\([^)]+#\d+\b", plan)
+        degraded = "dynamicpruningexpression(true)" in plan
+        if live and not degraded:
             notes.append("dpp")
+        elif degraded:
+            notes.append("DPP-DEGRADED(true)!")
+            ok = False
         else:
             notes.append("NO-DPP!")
             ok = False

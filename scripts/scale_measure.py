@@ -66,13 +66,15 @@ def _stages(spark, app: str):
         out[(s["stageId"], s["attemptId"])] = (
             s.get("shuffleReadBytes", 0),
             s.get("shuffleWriteBytes", 0),
+            s.get("inputBytes", 0),
         )
     return out
 
 
 class MetricWindow:
-    """Shuffle bytes + shuffle-stage count for the jobs run inside the
-    `with` block (delta of the UI's completed-stage metrics)."""
+    """Shuffle bytes, INPUT bytes (source scans — the serving-side pruning
+    evidence) and shuffle-stage count for the jobs run inside the `with`
+    block (delta of the UI's completed-stage metrics)."""
 
     def __init__(self, spark):
         self.spark = spark
@@ -87,10 +89,11 @@ class MetricWindow:
         self.wall = time.perf_counter() - self.t0
         after = _stages(self.spark, self.app)
         new = {k: v for k, v in after.items() if k not in self.before}
-        self.shuffle_read = sum(r for r, _ in new.values())
-        self.shuffle_write = sum(w for _, w in new.values())
+        self.shuffle_read = sum(r for r, _, _ in new.values())
+        self.shuffle_write = sum(w for _, w, _ in new.values())
+        self.input_bytes = sum(i for _, _, i in new.values())
         # one map-side shuffle write boundary == one shuffle
-        self.n_shuffles = sum(1 for _, w in new.values() if w > 0)
+        self.n_shuffles = sum(1 for _, w, _ in new.values() if w > 0)
         self.n_stages = len(new)
 
 
@@ -103,7 +106,7 @@ def stage_scaled_inputs(spark, factor: int) -> str:
     offsets ids, so intra-copy structure — dup clusters, co-occurrence
     graph, segment repeats — replicates instead of cross-linking."""
     out = os.path.join(SCRATCH, f"f{factor}")
-    done = os.path.join(out, "_STAGED")
+    done = os.path.join(out, "_STAGED2")  # v2: embeddings carry label (r8)
     if os.path.exists(done):
         return out
     docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
@@ -114,7 +117,7 @@ def stage_scaled_inputs(spark, factor: int) -> str:
     for i in range(factor):
         if i == 0:
             d_parts.append(docs.select("doc_id", "text"))
-            e_parts.append(emb.select("vec_id", "embedding"))
+            e_parts.append(emb.select("vec_id", "embedding", "label"))
             continue
         salt = f"_{i}"
         d_parts.append(
@@ -135,6 +138,7 @@ def stage_scaled_inputs(spark, factor: int) -> str:
                 F.transform(
                     F.col("embedding"), lambda x: x + F.lit(float(i) * 0.0017)
                 ).alias("embedding"),
+                "label",
             )
         )
     d = d_parts[0]
@@ -151,6 +155,138 @@ def stage_scaled_inputs(spark, factor: int) -> str:
     )
     open(done, "w").close()
     return out
+
+
+# --- serving layouts (built once per factor; queries measured alone) --------
+
+
+def stage_serving_layouts(spark, d: str) -> None:
+    """Persist the SERVE-side layouts for a staged corpus (r7 verdict
+    item 4): three IVF index variants, the inverted text index, and an
+    ingest-shaped partitioned docs layout for the compaction families.
+    Build cost is paid once per factor and excluded from every serve
+    measurement — serving scale is the question here, build scale is
+    already covered by index_build/ivfpq_lloyd above."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    done = os.path.join(d, "_SERVE_STAGED")
+    if os.path.exists(done):
+        return
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    docs = spark.read.parquet(os.path.join(d, "documents"))
+    # mod-29 quantizer: K grows with the corpus, list size stays ~29 rows —
+    # the "probe cost independent of corpus" regime
+    AI.ivf_index_build(emb, os.path.join(d, "ivf_plain"), centroid_mod=29)
+    AI.ivf_index_build(
+        emb, os.path.join(d, "ivf_meta"), centroid_mod=29, meta_cols=("label",)
+    )
+    # FIXED quantizer (base-corpus centroids at every factor): K constant,
+    # lists grow with the corpus — the regime where hot-list splitting is
+    # what keeps a probed partition from becoming one giant serving task
+    from codecdb_queryengine_spark.operators.similarity import norm
+
+    base_emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    n_base_emb = base_emb.count()
+    fixed = emb.filter(
+        (F.col("vec_id") < n_base_emb) & (F.col("vec_id") % 29 == 0)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(
+        emb, os.path.join(d, "ivf_split"), centroids=fixed, max_list_rows=64
+    )
+    TI.text_index_build(docs, os.path.join(d, "text_index"))
+    # ingest-shaped docs layout: constant-size partitions whose COUNT grows
+    # with the corpus (date-partition shape) — doc_ids are dense per copy,
+    # so floor(doc_id / (base/8)) yields 8·factor equal chunks
+    n_base_docs = spark.read.parquet(
+        os.path.join(BASE_SF_DIR, "documents.parquet")
+    ).count()
+    chunk = max(1, n_base_docs // 8)
+    docs.select(
+        "doc_id", "text", F.floor(F.col("doc_id") / chunk).alias("p")
+    ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        os.path.join(d, "docs_parts")
+    )
+    open(done, "w").close()
+
+
+def _serve_queries(spark, d):
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def fam_ivf_serve(spark, d):
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    return AI.ivf_index_topk(
+        spark, os.path.join(d, "ivf_plain"), _serve_queries(spark, d), k=5, nprobe=2
+    ).count()
+
+
+def fam_ivf_serve_split(spark, d):
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    return AI.ivf_index_topk(
+        spark, os.path.join(d, "ivf_split"), _serve_queries(spark, d), k=5, nprobe=2
+    ).count()
+
+
+def fam_ivf_serve_filtered(spark, d):
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    return AI.ivf_index_topk(
+        spark,
+        os.path.join(d, "ivf_meta"),
+        _serve_queries(spark, d),
+        k=5,
+        nprobe=2,
+        candidate_filter="label = 1",
+    ).count()
+
+
+def fam_text_serve(spark, d):
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    return TI.text_index_search_all(
+        spark, os.path.join(d, "text_index"), ("data", "model", "spark")
+    ).count()
+
+
+def _fragment_docs_parts(spark, d):
+    """Per-run prep for the compaction families: pile 12 small files into
+    partition p=0 (a constant-size ingest burst, whatever the corpus
+    factor) — run OUTSIDE the metric window."""
+    docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
+    frag = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", "text", F.lit(0).cast("bigint").alias("p")
+    )
+    frag.repartition(12).write.mode("append").partitionBy("p").parquet(
+        os.path.join(d, "docs_parts")
+    )
+
+
+def fam_compact_selective(spark, d):
+    from codecdb_queryengine_spark.sources import io as IO
+
+    return len(
+        IO.compact_partitioned_selective(
+            spark, os.path.join(d, "docs_parts"), partition_by=("p",), min_files=8
+        )
+    )
+
+
+def fam_compact_full(spark, d):
+    from codecdb_queryengine_spark.sources import io as IO
+
+    return IO.compact_partitioned(
+        spark, os.path.join(d, "docs_parts"), partition_by=("p",)
+    )
 
 
 # --- the five families -------------------------------------------------------
@@ -260,7 +396,22 @@ FAMILIES = [
     ("ivfpq_lloyd", fam_ivfpq, "integer Lloyd train + encode + ADC serve, fixed iters"),
     ("pagerank", fam_pagerank, "6 damped integer rounds, shuffles ~ iterations"),
     ("segment_dedup", fam_segment_dedup, "segment hash-groupBy keep-first + rebuild"),
+    # --- serve-side families (r7 verdict item 4): prebuilt layouts, the
+    # measured work is the QUERY alone — input bytes are the DPP/bucket
+    # pruning evidence
+    ("ivf_serve", fam_ivf_serve, "top-k over the persisted IVF index, mod-29 quantizer (K grows with corpus, lists stay ~29 rows: probed bytes ~FLAT)"),
+    ("ivf_serve_split", fam_ivf_serve_split, "top-k over the FIXED-quantizer split index (K=69 at every factor, lists grow, cap 64 shards them: probed bytes ~ corpus·nprobe/K, parallel slots)"),
+    ("ivf_serve_filtered", fam_ivf_serve_filtered, "filtered top-k (label=1 in PushedFilters UNDER the DPP prune) over the meta index"),
+    ("text_serve", fam_text_serve, "3-term bucket-pruned search over the persisted text index (reads only the terms' buckets)"),
+    ("compact_selective", fam_compact_selective, "selective compaction of ONE fragmented constant-size partition out of 8·factor (O(touched): ~FLAT)"),
+    ("compact_full", fam_compact_full, "full-layout compaction of the same state (O(corpus): ~linear — the contrast)"),
 ]
+
+# per-run preparation excluded from the metric window
+PREPARE = {
+    "compact_selective": _fragment_docs_parts,
+    "compact_full": _fragment_docs_parts,
+}
 
 
 def main() -> int:
@@ -276,6 +427,8 @@ def main() -> int:
     spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").collect()
 
     dirs = {f: stage_scaled_inputs(spark, f) for f in FACTORS}
+    for f in FACTORS:
+        stage_serving_layouts(spark, dirs[f])
     rows = {
         f: spark.read.parquet(os.path.join(dirs[f], "documents")).count()
         for f in FACTORS
@@ -289,25 +442,31 @@ def main() -> int:
     for name, fn, _ in FAMILIES:
         results[name] = {}
         for f in FACTORS:
-            walls, reads, writes, shuffles = [], [], [], []
+            walls, reads, writes, inputs, shuffles = [], [], [], [], []
             for _ in range(RUNS):
+                prep = PREPARE.get(name)
+                if prep is not None:
+                    prep(spark, dirs[f])
                 spark.catalog.clearCache()
                 with MetricWindow(spark) as mw:
                     fn(spark, dirs[f])
                 walls.append(mw.wall)
                 reads.append(mw.shuffle_read)
                 writes.append(mw.shuffle_write)
+                inputs.append(mw.input_bytes)
                 shuffles.append(mw.n_shuffles)
             results[name][f] = {
                 "wall": statistics.median(walls),
                 "read": statistics.median(reads),
                 "write": statistics.median(writes),
+                "input": statistics.median(inputs),
                 "n_shuffles": min(shuffles),  # AQE retries can only add
             }
             print(
                 f"{name} x{f}: {results[name][f]['wall']:.2f}s "
                 f"read={results[name][f]['read'] / 1e6:.1f}MB "
                 f"write={results[name][f]['write'] / 1e6:.1f}MB "
+                f"input={results[name][f]['input'] / 1e6:.1f}MB "
                 f"shuffles={results[name][f]['n_shuffles']}",
                 file=sys.stderr,
                 flush=True,
@@ -338,14 +497,15 @@ def main() -> int:
     for name, _, claim in FAMILIES:
         lines += [f"## {name} — {claim}", ""]
         lines.append(
-            "| factor | docs rows | wall s | shuffle read MB | shuffle write MB | shuffle stages |"
+            "| factor | docs rows | wall s | shuffle read MB | shuffle write MB | input MB | shuffle stages |"
         )
-        lines.append("|---|---|---|---|---|---|")
+        lines.append("|---|---|---|---|---|---|---|")
         for f in FACTORS:
             r = results[name][f]
             lines.append(
                 f"| {f}x | {rows[f]:,} | {r['wall']:.2f} | "
-                f"{r['read'] / 1e6:.1f} | {r['write'] / 1e6:.1f} | {r['n_shuffles']} |"
+                f"{r['read'] / 1e6:.1f} | {r['write'] / 1e6:.1f} | "
+                f"{r['input'] / 1e6:.1f} | {r['n_shuffles']} |"
             )
         a, b = results[name][f0], results[name][fN]
         gw = b["wall"] / a["wall"] if a["wall"] else float("inf")
@@ -354,12 +514,13 @@ def main() -> int:
             if (a["read"] + a["write"])
             else float("inf")
         )
+        gi = b["input"] / a["input"] if a["input"] else float("inf")
         flat = "FLAT" if b["n_shuffles"] <= a["n_shuffles"] + 1 else "GREW!"
         lines += [
             "",
-            f"g{span}: wall {gw:.1f}x, shuffle bytes {gb:.1f}x over a {span}x "
-            f"data step; shuffle-stage count {a['n_shuffles']} → "
-            f"{b['n_shuffles']} ({flat}).",
+            f"g{span}: wall {gw:.1f}x, shuffle bytes {gb:.1f}x, input bytes "
+            f"{gi:.1f}x over a {span}x data step; shuffle-stage count "
+            f"{a['n_shuffles']} → {b['n_shuffles']} ({flat}).",
             "",
         ]
     def _g(name, field):
@@ -408,6 +569,38 @@ def main() -> int:
         f"  (4/6/8) holds the per-bucket population constant:"
         f" {_g('embdup_scaled', 'bytes'):.1f}x bytes /"
         f" {_g('embdup_scaled', 'wall'):.1f}x wall.",
+        "",
+        "## Interpretation — serving paths (r8, r7 verdict item 4)",
+        "",
+        "Serve families run against PREBUILT layouts; input bytes are the",
+        "bytes the query's scans actually pulled, so pruning shows up as the",
+        f"gap between input-bytes growth and the {span}x corpus step:",
+        "",
+        f"- **ivf_serve**: wall {_g('ivf_serve', 'wall'):.1f}x, input"
+        f" {_g('ivf_serve', 'input'):.1f}x over {span}x data — with the",
+        "  corpus-proportional quantizer (constant list size) the probed",
+        "  partitions are constant-sized and DPP skips the rest; the",
+        "  residual input growth is the (tiny) centroid table, which grows",
+        "  with K.",
+        f"- **ivf_serve_split**: input {_g('ivf_serve_split', 'input'):.1f}x"
+        f" — fixed K means the two probed lists DO grow with the corpus",
+        "  (nprobe/K of it); the cap turns each probed hot list into",
+        "  parallel slot tasks instead of one straggler, which is why wall",
+        f"  grows only {_g('ivf_serve_split', 'wall'):.1f}x.",
+        f"- **ivf_serve_filtered**: input {_g('ivf_serve_filtered', 'input'):.1f}x,"
+        f" wall {_g('ivf_serve_filtered', 'wall'):.1f}x — the metadata",
+        "  predicate rides in PushedFilters under the same DPP prune;",
+        "  filtered search costs what unfiltered search costs.",
+        f"- **text_serve**: input {_g('text_serve', 'input'):.1f}x — bucket",
+        "  pruning reads only the 3 searched terms' buckets; their postings",
+        "  grow with term frequency (~corpus), but the read stays a fixed",
+        "  fraction of the index however big it gets.",
+        f"- **compact_selective vs compact_full**: the maintenance-pass",
+        f"  contrast — selective wall {_g('compact_selective', 'wall'):.1f}x /"
+        f" input {_g('compact_selective', 'input'):.1f}x (O(touched): one",
+        "  constant-size fragmented partition out of 8·factor) against the",
+        f"  full rewrite's {_g('compact_full', 'wall'):.1f}x wall /"
+        f" {_g('compact_full', 'input'):.1f}x input (O(corpus)).",
         "",
     ]
     with open(out_md, "w") as fh:
