@@ -574,7 +574,22 @@ def main() -> int:
         "",
         "Serve families run against PREBUILT layouts; input bytes are the",
         "bytes the query's scans actually pulled, so pruning shows up as the",
-        f"gap between input-bytes growth and the {span}x corpus step:",
+        f"gap between input-bytes growth and the {span}x corpus step.",
+        "ABSOLUTE scale matters more than the ratios here: the 1x baselines",
+        "are fractions of a megabyte (footers + the centroid table), so a",
+        "'5x' input growth still means the 16x serve reads well under 1% of",
+        "the multi-tens-of-MB lists layout.  Running this section is what",
+        "exposed the r8 DPP finding: pre-fix, the serve scanned the WHOLE",
+        "index at every factor (3.4 MB at 16x vs 0.2 MB after the",
+        "window-free-probe fix in sources/ann_index.py) while the plan text",
+        "still printed a dynamicpruning expression — it had silently",
+        "degraded to dynamicpruningexpression(true).  The residual wall",
+        "growth of the mod-29 families is the partition-DISCOVERY job (one",
+        "listing task per c_list directory, 1104 at 16x, run once per",
+        "fresh read of the layout), not data: at production scale either",
+        "the quantizer K is bounded (the fixed-K split family below is",
+        "wall-FLAT) or a table format's manifest replaces directory",
+        "listing.",
         "",
         f"- **ivf_serve**: wall {_g('ivf_serve', 'wall'):.1f}x, input"
         f" {_g('ivf_serve', 'input'):.1f}x over {span}x data — with the",
