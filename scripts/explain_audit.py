@@ -41,6 +41,8 @@ EXPECT_NESTED = {
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_indexed_split",
     "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_appended_split",
+    "sim_ann_ivf_upserted",
     "sim_ann_ivf_filtered",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
@@ -52,6 +54,10 @@ EXPECT_NESTED = {
     # the corpus token total (text_lm_score) join every probe row by design
     "dedup_incremental",
     "text_lm_score",
+    # the r8 tie-margin precondition folds the 1-row centroid model into
+    # every corpus row — the same all-vectors × broadcast(model) shape as
+    # the IVF assignment it checks
+    "emb_encode_parity",
     # ranked retrieval joins the 1-row (N, Σdl) corpus-stats aggregate to
     # every pruned posting row (the BM25 normalization constants)
     "docs_search_ranked",
@@ -93,6 +99,8 @@ EXPECT_DPP = {
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_indexed_split",
     "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_appended_split",
+    "sim_ann_ivf_upserted",
     "sim_ann_ivf_filtered",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
