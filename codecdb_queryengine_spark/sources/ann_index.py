@@ -41,6 +41,42 @@ from codecdb_queryengine_spark.operators.similarity import (
 )
 
 
+# Serving-side scan cache (OPT-IN via the serve functions' cached=True):
+# partition discovery over a many-list layout is a full directory listing
+# (one listing task per partition dir — the measured serve residual in
+# SCALE_MEASURED.md: 1104 listing tasks at 16x dominate the query wall), and
+# a serving process answers MANY queries against the same immutable layout
+# generation.  Caching the DataFrame HANDLE per (session, layout dir) reuses
+# its resolved file index, so only the first query after a layout generation
+# pays the listing.  Every maintenance pass in this module (build / append /
+# upsert) invalidates its layout; an OUT-OF-BAND mutation (e.g.
+# io.compact_partitioned directly on <path>/lists, or a streamed re-ingest)
+# must call invalidate_layout(path) — which is exactly why the cache is
+# opt-in: a stale handle fails loudly on swapped-out files rather than
+# returning silently wrong results, but correctness must not depend on every
+# caller remembering.  The gated queries serve uncached (each gate rebuilds
+# its layout per run); a long-lived serving process opts in.
+_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def invalidate_layout(path: str) -> None:
+    """Drop cached scan handles for an index layout after an out-of-band
+    mutation (the in-module maintenance passes call this themselves)."""
+    for key in [k for k in _SCAN_CACHE if k[1].startswith(path.rstrip("/"))]:
+        del _SCAN_CACHE[key]
+
+
+def _scan(spark: SparkSession, table_dir: str, cached: bool) -> DataFrame:
+    if not cached:
+        return spark.read.parquet(table_dir)
+    key = (id(spark), table_dir.rstrip("/"))
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(table_dir)
+        _SCAN_CACHE[key] = df
+    return df
+
+
 def ivf_index_build(
     vectors: DataFrame,
     path: str,
@@ -173,6 +209,7 @@ def ivf_index_append(
             .partitionBy("c_list")
             .parquet(lists_path)
         )
+        invalidate_layout(path)
         return
     cap = _read_layout_meta(spark, path)
     if cap is None:
@@ -242,6 +279,7 @@ def ivf_index_append(
             .parquet(tmp)
         )
         IO.swap_partition_dirs(lists_path, tmp, promote=_list_dir(grow))
+    invalidate_layout(path)
 
 
 def ivf_index_upsert(
@@ -357,6 +395,7 @@ def ivf_index_upsert(
         promote=_list_dir(staged),
         drop=_list_dir(touched - staged),
     )
+    invalidate_layout(path)
     return len(touched)
 
 
@@ -400,6 +439,7 @@ def _write_lists(lists: DataFrame, path: str, max_list_rows: int | None) -> None
     spark.createDataFrame([(cap,)], "max_list_rows long").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "lists_meta"))
+    invalidate_layout(path)
 
 
 def _read_layout_meta(spark: SparkSession, path: str) -> int | None:
@@ -420,6 +460,7 @@ def ivf_index_topk(
     k: int = 5,
     nprobe: int = 2,
     candidate_filter: str | None = None,
+    cached: bool = False,
 ) -> DataFrame:
     """Top-k over the persisted index: rank nprobe lists per query against
     the (broadcast) centroid table, then score ONLY the probed partitions
@@ -435,14 +476,14 @@ def ivf_index_topk(
     filtering, so results equal brute-force-over-the-filtered-subset
     restricted to the probed lists — the same probe semantics as the
     unfiltered path."""
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = _scan(spark, os.path.join(path, "centroids"), cached)
     # The scan-side partition column stays UNTOUCHED: rewriting it with a
     # cast can stop dynamic partition pruning from firing (r4 ADVICE), which
     # would silently void the "read only nprobe partitions" contract.  The
     # probe side casts to whatever type partition discovery inferred instead;
     # scripts/explain_audit.py pins the LIVE dynamicpruning subquery on this
     # scan.
-    lists = spark.read.parquet(os.path.join(path, "lists"))
+    lists = _scan(spark, os.path.join(path, "lists"), cached)
     if candidate_filter is not None:
         lists = lists.filter(candidate_filter)
     part_type = dict(lists.dtypes)["c_list"]
@@ -525,6 +566,7 @@ def ivf_index_topk_micro(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    cached: bool = False,
 ) -> DataFrame:
     """Top-k over the persisted integer index: same partition-pruned plan
     shape as ivf_index_topk (literal-model probe selection, nprobe lists
@@ -547,7 +589,7 @@ def ivf_index_topk_micro(
     )
     if not cents:
         raise ValueError(f"ivf_index_topk_micro: empty centroid artifact at {path}")
-    lists = spark.read.parquet(os.path.join(path, "lists"))
+    lists = _scan(spark, os.path.join(path, "lists"), cached)
     part_type = dict(lists.dtypes)["c_list"]
     qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
     probes = qm.selectExpr(
@@ -614,6 +656,7 @@ def ivfpq_index_topk_micro(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    cached: bool = False,
 ) -> DataFrame:
     """ADC top-k over the persisted IVFADC index: the tiny models are
     collected back into literal expressions (the similarity.
@@ -644,7 +687,7 @@ def ivfpq_index_topk_micro(
     dim = len(cents[0][1])
     num_subspaces = len({m for m, _, _ in cbs})
     num_codewords = max(c_id for _, c_id, _ in cbs) + 1
-    lists = spark.read.parquet(os.path.join(path, "lists"))
+    lists = _scan(spark, os.path.join(path, "lists"), cached)
     part_type = dict(lists.dtypes)["c_list"]
     return ivfpq_rank_micro(
         lists,

@@ -229,6 +229,19 @@ def fam_ivf_serve(spark, d):
     ).count()
 
 
+def fam_ivf_serve_cached(spark, d):
+    """The long-lived-serving profile: cached=True reuses the layout's
+    resolved file index across queries, so the per-directory listing job
+    (the cold families' wall residual) is paid once per layout generation
+    instead of per query."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    return AI.ivf_index_topk(
+        spark, os.path.join(d, "ivf_plain"), _serve_queries(spark, d),
+        k=5, nprobe=2, cached=True,
+    ).count()
+
+
 def fam_ivf_serve_split(spark, d):
     from codecdb_queryengine_spark.sources import ann_index as AI
 
@@ -400,6 +413,7 @@ FAMILIES = [
     # measured work is the QUERY alone — input bytes are the DPP/bucket
     # pruning evidence
     ("ivf_serve", fam_ivf_serve, "top-k over the persisted IVF index, mod-29 quantizer (K grows with corpus, lists stay ~29 rows: probed bytes ~FLAT)"),
+    ("ivf_serve_cached", fam_ivf_serve_cached, "same query with the opt-in cached file index (the long-lived-serving profile: listing paid once per layout generation, so wall should be ~FLAT)"),
     ("ivf_serve_split", fam_ivf_serve_split, "top-k over the FIXED-quantizer split index (K=69 at every factor, lists grow, cap 64 shards them: probed bytes ~ corpus·nprobe/K, parallel slots)"),
     ("ivf_serve_filtered", fam_ivf_serve_filtered, "filtered top-k (label=1 in PushedFilters UNDER the DPP prune) over the meta index"),
     ("text_serve", fam_text_serve, "3-term bucket-pruned search over the persisted text index (reads only the terms' buckets)"),

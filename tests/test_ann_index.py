@@ -260,6 +260,41 @@ def test_upsert_rewrites_only_touched_lists_and_drops_emptied(spark, sf_dir):
     assert _snap(victim) == before
 
 
+def test_cached_serving_sees_maintenance_passes(spark, sf_dir):
+    """Opt-in scan cache (r8): repeated cached serves reuse the resolved
+    file index (no per-query re-listing), and every in-module maintenance
+    pass invalidates it — a cached serve after append/upsert must reflect
+    the mutation exactly like an uncached one."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf_idx_cache_")
+    AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents)
+    first = AI.ivf_index_topk(
+        spark, path, _queries(emb), k=5, nprobe=2, cached=True
+    ).collect()
+    # cache holds a handle now; warm serve is consistent
+    again = AI.ivf_index_topk(
+        spark, path, _queries(emb), k=5, nprobe=2, cached=True
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    # maintenance invalidates: the cached serve must see the appended half
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    after = AI.ivf_index_topk(
+        spark, path, _queries(emb), k=5, nprobe=2, cached=True
+    ).collect()
+    full_p = tempfile.mkdtemp(prefix="ivf_idx_cache_full_")
+    AI.ivf_index_build(emb, full_p, centroids=cents)
+    expected = AI.ivf_index_topk(spark, full_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, expected))
+    # out-of-band mutations have an explicit hook
+    AI.invalidate_layout(path)
+    assert all(not k[1].startswith(path) for k in AI._SCAN_CACHE)
+
+
 def test_filtered_search_restricts_candidates_and_pushes_predicate(spark, sf_dir):
     """candidate_filter (r7): every returned neighbor satisfies the
     predicate, and the predicate reaches the lists scan's PushedFilters
