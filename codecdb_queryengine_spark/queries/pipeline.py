@@ -3668,7 +3668,13 @@ def docs_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
-def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
+def _search_ranked_sql(
+    k: int = 10,
+    k1: float = 1.25,
+    b: float = 0.75,
+    src: str = "documents",
+    pre_cte: str = "",
+) -> str:
     want = sorted(set(_SEARCH_TERMS))
     terms_in = ", ".join(f"'{t}'" for t in want)
     cases = ", ".join(
@@ -3677,8 +3683,8 @@ def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
     )
     score = " + ".join(f"coalesce(p{i}, 0.0)" for i in range(len(want)))
     return f"""
-        WITH tok AS MATERIALIZED (
-            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        WITH {pre_cte}tok AS MATERIALIZED (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM {src}),
         dl AS MATERIALIZED (
             SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
         st AS MATERIALIZED (
@@ -3710,6 +3716,113 @@ def _search_ranked_sql(k: int = 10, k1: float = 1.25, b: float = 0.75) -> str:
         SELECT doc_id, {score} AS score
         FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+# Mutation slices for the text-index lifecycle gates.  Two generations:
+# gen 1 APPENDS the search terms to the %13==7 docs (every one must match
+# afterwards); gen 2 strips 'hash' from the %13==9 docs (matching docs in
+# that slice must DROP OUT — the stale-base-postings direction), deletes
+# the %13==4 slice, and deletes %26==7 — half the docs gen 1 just updated,
+# so a later generation must supersede an earlier one's delta rows.
+_TI_DEL = "(doc_id % 13 = 4 OR doc_id % 26 = 7)"
+_TI_ADD = "(doc_id % 13 = 7)"
+_TI_REPL = "(doc_id % 13 = 9)"
+_TI_ADD_TEXT = " hash scan merge"
+
+_TI_MUTATED_CTE = f"""mutated AS MATERIALIZED (
+            SELECT doc_id, lang, source,
+                   CASE WHEN {_TI_ADD} THEN text || '{_TI_ADD_TEXT}'
+                        WHEN {_TI_REPL} THEN replace(text, 'hash', 'quorum')
+                        ELSE text END AS text
+            FROM documents WHERE NOT {_TI_DEL}),"""
+
+
+def _text_index_mutate(spark: SparkSession, sf_dir: str, path: str):
+    """Build-agnostic two-generation mutation against whatever layouts are
+    persisted at `path`; returns the documents frame for the caller's
+    post-search join."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    TI.text_index_upsert(
+        path,
+        updates=docs.filter(F.expr(_TI_ADD)).select(
+            "doc_id", F.concat("text", F.lit(_TI_ADD_TEXT)).alias("text")
+        ),
+    )
+    TI.text_index_upsert(
+        path,
+        updates=docs.filter(F.expr(_TI_REPL)).select(
+            "doc_id", F.replace("text", F.lit("hash"), F.lit("quorum")).alias("text")
+        ),
+        delete_ids=docs.filter(F.expr(_TI_DEL)).select("doc_id"),
+    )
+    return docs
+
+
+def docs_search_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document UPDATE + DELETE through the persisted inverted index
+    (sources/text_index.text_index_upsert — the text analog of the ANN
+    index's r8 mutation lifecycle): the postings layout is built over the
+    full corpus, then two mutation generations run through the base+delta+
+    tombstone protocol (docstring there) — gen 1 appends the search terms
+    to one doc slice, gen 2 strips 'hash' from another, deletes a third,
+    and deletes half the docs gen 1 updated.  The conjunctive search then
+    serves through the overlay: base postings minus mutated docs plus the
+    LATEST live generation's delta rows, with bucket pruning and term
+    pushdown hitting both scans.  The oracle restates the search over a
+    mutated-corpus CTE, so a resurrected deleted doc, a stale pre-update
+    posting, a missing delta row, or an older generation leaking past a
+    newer one each flip the hash."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index_upsert", sf_dir, fresh=True)
+    TI.text_index_build(docs, path)
+    _text_index_mutate(spark, sf_dir, path)
+    hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS)
+    return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+def _search_upserted_sql() -> str:
+    conds = " AND ".join(
+        f"list_contains({_SQL_TOKENS}, '{t}')" for t in _SEARCH_TERMS
+    )
+    return f"""
+        WITH {_TI_MUTATED_CTE.rstrip(",")}
+        SELECT doc_id, lang, source FROM mutated WHERE {conds}
+    """
+
+
+def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGE folds the mutation overlay back into the base layouts (the
+    LSM major compaction — sources/text_index.text_index_purge): both the
+    boolean and the BM25 ranked layouts are built, the same two mutation
+    generations applied, then the purge rewrites every base from its own
+    overlay through the journaled whole-layout swap and drops docgen and
+    the delta directories (asserted gone).  The gate then serves the
+    RANKED top-10 over the purged layout — tf and doclens folds included —
+    against the bit-exact BM25 oracle over the mutated corpus, and pins
+    that the boolean search result is unchanged by the purge (overlay and
+    folded base must be the same relation)."""
+    import os as _os
+
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index_purge", sf_dir, fresh=True)
+    TI.text_index_build(docs, path)
+    TI.text_index_build_ranked(docs, path)
+    _text_index_mutate(spark, sf_dir, path)
+    pre = {r["doc_id"] for r in TI.text_index_search_all(spark, path, _SEARCH_TERMS).collect()}
+    folded = TI.text_index_purge(spark, path)
+    assert sorted(folded) == ["postings", "postings_tf"], folded
+    assert not _os.path.exists(TI._docgen_path(path)), "docgen survived purge"
+    assert not _os.path.exists(TI._delta_root(path, "postings")), "delta survived"
+    assert not _os.path.exists(TI._delta_root(path, "doclens")), "doclens delta survived"
+    post = {r["doc_id"] for r in TI.text_index_search_all(spark, path, _SEARCH_TERMS).collect()}
+    assert post == pre, "purge changed the boolean search result"
+    return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
 def docs_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5951,6 +6064,8 @@ QUERIES = {
     "docs_search_index": docs_search_index,
     "docs_search_phrase": docs_search_phrase,
     "docs_search_ranked": docs_search_ranked,
+    "docs_search_upserted": docs_search_upserted,
+    "docs_search_purged": docs_search_purged,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
     "docs_stream_compact_selective": docs_stream_compact_selective,
@@ -6082,6 +6197,10 @@ ORACLE: dict[str, str] = {
     "docs_search_index": _search_index_sql(),
     "docs_search_phrase": _search_phrase_sql(),
     "docs_search_ranked": _search_ranked_sql(),
+    "docs_search_upserted": _search_upserted_sql(),
+    "docs_search_purged": _search_ranked_sql(
+        src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "
+    ),
     "docs_stream_index_ingest": _search_index_sql(),
     "docs_upsert_partitioned": _DOCS_UPSERT_SQL,
     "docs_stream_compact_selective": _DOCS_SEL_COMPACT_SQL,

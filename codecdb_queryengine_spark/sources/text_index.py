@@ -144,7 +144,7 @@ def text_index_search_all(
     want = sorted(set(terms))
     num_buckets = _read_buckets(spark, path, num_buckets, layout="postings")
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    postings = _live_postings(spark, path, "postings")
     hits = postings.filter(
         F.col("t_bucket").isin(buckets) & F.col("term").isin(want)
     )
@@ -211,7 +211,7 @@ def text_index_search_phrase(
     assert phrase, "empty phrase"
     num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_pos")
     buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
-    postings = spark.read.parquet(os.path.join(path, "postings_pos"))
+    postings = _live_postings(spark, path, "postings_pos")
     hits = postings.filter(
         F.col("t_bucket").isin(buckets) & F.col("term").isin(sorted(set(phrase)))
     ).select("doc_id", "pos", "term")
@@ -229,6 +229,21 @@ def text_index_search_phrase(
 # --- ranked retrieval (BM25-shaped) -----------------------------------------
 
 
+def tf_postings_of(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, term, tf, t_bucket): per-document term frequencies — the
+    ranked layout's row shape.  Shared by the batch build and the upsert
+    delta writer so the two paths can never tokenize differently."""
+    pos = positional_postings_of(docs, text_col, id_col, num_buckets)
+    return pos.groupBy("doc_id", "term", "t_bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def text_index_build_ranked(
     docs: DataFrame,
     path: str,
@@ -240,10 +255,7 @@ def text_index_build_ranked(
     (doc_id, term, tf) bucket-partitioned like the other layouts, plus
     `<path>/doclens` (doc_id, dl) — the per-document statistics BM25-style
     scoring needs."""
-    pos = positional_postings_of(docs, text_col, id_col, num_buckets)
-    tf = pos.groupBy("doc_id", "term", "t_bucket").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = tf_postings_of(docs, text_col, id_col, num_buckets)
     (
         tf.repartition("t_bucket")
         .write.mode("overwrite")
@@ -294,11 +306,11 @@ def text_index_search_ranked(
     num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_tf")
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     tfp = (
-        spark.read.parquet(os.path.join(path, "postings_tf"))
+        _live_postings(spark, path, "postings_tf")
         .filter(F.col("t_bucket").isin(buckets) & F.col("term").isin(want))
         .select("doc_id", "term", "tf")
     )
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    doclens = _live_doclens(spark, path)
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -331,3 +343,263 @@ def text_index_search_ranked(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# --- mutation lifecycle: upsert / delete / purge ------------------------------
+#
+# A 100-TB corpus mutates, and a document's terms hash across ~every bucket,
+# so "rewrite the touched partitions" (the ANN index's upsert shape,
+# sources/ann_index.ivf_index_upsert) degenerates to a full rewrite here.
+# The standard answer — Lucene's liveDocs, Delta Lake's deletion vectors,
+# every LSM store — is base + delta + tombstones:
+#
+# - `<path>/docgen` (doc_id, gen, deleted): ONE row per document ever
+#   mutated, carrying the latest generation.  Small (the mutation set
+#   between purges, not the corpus), broadcast at serve time, and the
+#   COMMIT POINT: an upsert is visible exactly when its docgen swap lands.
+# - `<path>/<layout>_delta/gen=N/t_bucket=M/`: the re-tokenized postings of
+#   generation N's updated documents, written BEFORE the docgen swap with
+#   per-generation directory overwrite — a crashed upsert leaves orphan
+#   delta rows that no docgen row references (invisible to serving) and a
+#   retry overwrites them in place, so replay cannot double-post.
+# - serving overlays: base postings minus every mutated doc (broadcast
+#   anti-join), plus delta rows whose (doc_id, gen) matches a live docgen
+#   row.  Bucket pruning and term pushdown hit BOTH scans — the delta is
+#   partitioned gen/t_bucket, so the same static bucket literals prune it.
+# - `text_index_purge` folds the overlay back into each base layout
+#   (journaled whole-layout swaps — io.swap_layout), then drops docgen and
+#   the deltas.  O(corpus) by nature, like any LSM major compaction; run it
+#   on the merge policy's schedule, not per mutation.
+#
+# Crash ordering is safe at every point: purge swaps bases first (the
+# overlay of a folded base re-derives the same rows: base minus mutated
+# docs plus their delta rows == base), drops docgen second (serving
+# becomes base-only, which is now correct), deltas last (orphaned delta
+# generations are unreferenced, and a post-purge upsert re-numbers from
+# gen=1 OVERWRITING each gen directory before any docgen row can point
+# at it again).
+
+_LAYOUTS: dict[str, object] = {
+    "postings": postings_of,
+    "postings_pos": positional_postings_of,
+    "postings_tf": tf_postings_of,
+}
+
+
+def _docgen_path(path: str) -> str:
+    return os.path.join(path, "docgen")
+
+
+def _delta_root(path: str, layout: str) -> str:
+    return os.path.join(path, f"{layout}_delta")
+
+
+def _read_docgen(spark: SparkSession, path: str) -> DataFrame | None:
+    """The mutation registry, or None for a never-mutated layout.  Rolls
+    an interrupted docgen swap forward first, so a reader after a crash
+    sees the committed generation (the manifest is written only after the
+    staged table is complete — io.recover_swap's contract)."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    dg = _docgen_path(path)
+    IO.recover_swap(dg)
+    if not _fs_exists(spark, dg):
+        return None
+    return spark.read.parquet(dg)
+
+
+def _live_postings(spark: SparkSession, path: str, layout: str) -> DataFrame:
+    """The layout's CURRENT postings: base rows of never-mutated documents
+    plus the latest-generation delta rows of live mutated ones.  Everything
+    docgen-shaped is broadcast (the mutation set between purges, not the
+    corpus); a bucket/term filter applied by the caller pushes into both
+    parquet scans, so serving keeps the static-prune scale shape."""
+    base = spark.read.parquet(os.path.join(path, layout))
+    dg = _read_docgen(spark, path)
+    if dg is None:
+        return base
+    live = base.join(F.broadcast(dg.select("doc_id")), "doc_id", "left_anti")
+    delta_dir = _delta_root(path, layout)
+    if _fs_exists(spark, delta_dir):
+        keep = dg.filter(~F.col("deleted")).select(
+            "doc_id", F.col("gen").cast("int").alias("gen")
+        )
+        cur = (
+            spark.read.parquet(delta_dir)
+            .join(F.broadcast(keep), ["doc_id", "gen"])
+            .select(*base.columns)
+        )
+        live = live.unionByName(cur)
+    return live
+
+
+def _live_doclens(spark: SparkSession, path: str) -> DataFrame:
+    """doclens under the same overlay as the postings layouts."""
+    base = spark.read.parquet(os.path.join(path, "doclens"))
+    dg = _read_docgen(spark, path)
+    if dg is None:
+        return base
+    live = base.join(F.broadcast(dg.select("doc_id")), "doc_id", "left_anti")
+    delta_dir = _delta_root(path, "doclens")
+    if _fs_exists(spark, delta_dir):
+        keep = dg.filter(~F.col("deleted")).select(
+            "doc_id", F.col("gen").cast("int").alias("gen")
+        )
+        cur = (
+            spark.read.parquet(delta_dir)
+            .join(F.broadcast(keep), ["doc_id", "gen"])
+            .select(*base.columns)
+        )
+        live = live.unionByName(cur)
+    return live
+
+
+def _commit_docgen(spark: SparkSession, path: str, new_dg: DataFrame) -> None:
+    """Replace the docgen table atomically: stage the full new generation,
+    then promote it via the journaled swap (or a bare rename when no docgen
+    exists yet — the rename itself is the atomic commit)."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    dg = _docgen_path(path)
+    staging = dg + ".staging"
+    new_dg.coalesce(1).write.mode("overwrite").parquet(staging)
+    if _fs_exists(spark, dg):
+        IO.swap_layout(dg, staging)
+    else:
+        os.rename(staging, dg)
+
+
+def text_index_upsert(
+    path: str,
+    updates: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    *,
+    spark: SparkSession | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Document UPDATE + DELETE against every layout persisted at `path`,
+    O(mutation batch) — no base file is read or rewritten.  `updates` is
+    (id, new_text); `delete_ids` a one-column id frame.  Protocol (see the
+    section comment): re-tokenized delta postings land first under
+    `<layout>_delta/gen=N` (directory overwrite — a replayed batch cannot
+    double-post), then the docgen swap commits the generation.  Returns
+    the committed generation number.
+
+    A document may be updated and deleted across calls in any order; within
+    ONE call a doc_id in both frames raises (ambiguous latest state), as do
+    duplicate ids in `updates` and NULL ids (an anti-join can never match
+    NULL — the silent-loss class upsert_partitioned guards against)."""
+    if updates is None and delete_ids is None:
+        raise ValueError("text_index_upsert: nothing to do — no updates, no deletes")
+    if spark is None:
+        spark = (updates if updates is not None else delete_ids).sparkSession
+
+    batch = None
+    if updates is not None:
+        batch = updates.select(F.col(id_col).alias("doc_id")).withColumn(
+            "deleted", F.lit(False)
+        )
+    if delete_ids is not None:
+        del_ids = delete_ids.select(
+            F.col(delete_ids.columns[0]).alias("doc_id")
+        ).distinct().withColumn("deleted", F.lit(True))
+        batch = del_ids if batch is None else batch.unionByName(del_ids)
+    # one aggregate pass for the happy path; the precise diagnosis below
+    # only runs once a guard has already tripped
+    g = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_null"),
+    ).first()
+    if g["n_null"]:
+        raise ValueError("text_index_upsert: NULL doc_id in the mutation batch")
+    if g["n"] != g["nd"]:
+        if updates is not None:
+            upd_ids = updates.select(F.col(id_col).alias("doc_id"))
+            if upd_ids.count() != upd_ids.distinct().count():
+                raise ValueError("text_index_upsert: duplicate doc_id in updates")
+        raise ValueError(
+            "text_index_upsert: doc_id in both updates and delete_ids — "
+            "ambiguous latest state; split into two calls"
+        )
+
+    old_dg = _read_docgen(spark, path)
+    new_gen = (
+        1 if old_dg is None else old_dg.agg(F.max("gen")).first()[0] + 1
+    )
+
+    layouts = [l for l in _LAYOUTS if _fs_exists(spark, os.path.join(path, l))]
+    if not layouts:
+        raise ValueError(f"text_index_upsert: no index layouts at {path}")
+    if updates is not None:
+        for layout in layouts:
+            nb = _read_buckets(spark, path, 32, layout=layout)
+            delta = _LAYOUTS[layout](updates, text_col, id_col, nb)
+            (
+                delta.repartition("t_bucket")
+                .write.mode("overwrite")
+                .partitionBy("t_bucket")
+                .parquet(os.path.join(_delta_root(path, layout), f"gen={new_gen}"))
+            )
+        if "postings_tf" in layouts:
+            (
+                updates.select(
+                    F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(_delta_root(path, "doclens"), f"gen={new_gen}"))
+            )
+
+    batch = batch.withColumn("gen", F.lit(new_gen).cast("int"))
+    if old_dg is None:
+        new_dg = batch
+    else:
+        survivors = old_dg.join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
+        )
+        new_dg = survivors.select("doc_id", "gen", "deleted").unionByName(
+            batch.select("doc_id", "gen", "deleted")
+        )
+    _commit_docgen(spark, path, new_dg)
+    return new_gen
+
+
+def text_index_purge(spark: SparkSession, path: str) -> list[str]:
+    """Fold the delta overlay back into each base layout — the LSM major
+    compaction.  O(corpus) by nature; run on the merge policy's schedule.
+    Each base is rewritten from its own overlay and promoted through the
+    journaled whole-layout swap, then docgen is dropped (the serve flips to
+    base-only, now complete), then the orphaned delta directories.  Crash-
+    safe at every boundary — the section comment walks the orderings.
+    Returns the layout names folded; no-op (empty list) when never mutated."""
+    import shutil
+
+    from codecdb_queryengine_spark.sources import io as IO
+
+    if _read_docgen(spark, path) is None:
+        return []
+    layouts = [l for l in _LAYOUTS if _fs_exists(spark, os.path.join(path, l))]
+    for layout in layouts:
+        base_path = os.path.join(path, layout)
+        IO.recover_swap(base_path)
+        live = _live_postings(spark, path, layout)
+        tmp = base_path + ".purging"
+        (
+            live.repartition("t_bucket")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        IO.swap_layout(base_path, tmp)
+    if "postings_tf" in layouts:
+        dl_path = os.path.join(path, "doclens")
+        IO.recover_swap(dl_path)
+        tmp = dl_path + ".purging"
+        _live_doclens(spark, path).write.mode("overwrite").parquet(tmp)
+        IO.swap_layout(dl_path, tmp)
+    shutil.rmtree(_docgen_path(path))
+    for layout in [*layouts, "doclens"]:
+        shutil.rmtree(_delta_root(path, layout), ignore_errors=True)
+    return layouts

@@ -271,6 +271,65 @@ def fam_text_serve(spark, d):
     ).count()
 
 
+def _reset_text_mutations(spark, d):
+    """Restore the staged text index to its pristine build: the mutation
+    protocol never touches base files (base + delta + tombstones), so
+    dropping docgen and the delta directories IS a full reset.  Run
+    OUTSIDE the metric window, and also before text_serve so a prior
+    invocation's mutated state can't change what that family measures."""
+    import shutil
+
+    ti = os.path.join(d, "text_index")
+    shutil.rmtree(os.path.join(ti, "docgen"), ignore_errors=True)
+    for sub in os.listdir(ti):
+        if sub.endswith("_delta"):
+            shutil.rmtree(os.path.join(ti, sub), ignore_errors=True)
+
+
+def _text_mutation_batch(spark, d):
+    """Constant-size mutation batch at every factor: 200 re-texted docs +
+    100 deletes, drawn from the base copy's dense id range."""
+    docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
+    upd = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.concat("text", F.lit(" upsmarker data model spark")).alias("text")
+    )
+    dels = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)).select(
+        "doc_id"
+    )
+    return upd, dels
+
+
+def fam_text_upsert(spark, d):
+    """One mutation generation against the persisted text index: the
+    100-TB claim is O(batch) — no base file read or rewritten — so wall
+    and bytes should be ~FLAT in the corpus factor."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    upd, dels = _text_mutation_batch(spark, d)
+    return TI.text_index_upsert(
+        os.path.join(d, "text_index"), updates=upd, delete_ids=dels
+    )
+
+
+def _prepare_text_serve_upserted(spark, d):
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    _reset_text_mutations(spark, d)
+    upd, dels = _text_mutation_batch(spark, d)
+    TI.text_index_upsert(os.path.join(d, "text_index"), updates=upd, delete_ids=dels)
+
+
+def fam_text_serve_upserted(spark, d):
+    """text_serve through a constant-size mutation overlay: base-minus-
+    tombstones plus the delta generation's postings, both bucket-pruned —
+    the serve cost should track text_serve plus a constant delta term."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    return TI.text_index_search_all(
+        spark, os.path.join(d, "text_index"), ("data", "model", "spark")
+    ).count()
+
+
 def _fragment_docs_parts(spark, d):
     """Per-run prep for the compaction families: pile 12 small files into
     partition p=0 (a constant-size ingest burst, whatever the corpus
@@ -417,6 +476,8 @@ FAMILIES = [
     ("ivf_serve_split", fam_ivf_serve_split, "top-k over the FIXED-quantizer split index (K=69 at every factor, lists grow, cap 64 shards them: probed bytes ~ corpus·nprobe/K, parallel slots)"),
     ("ivf_serve_filtered", fam_ivf_serve_filtered, "filtered top-k (label=1 in PushedFilters UNDER the DPP prune) over the meta index"),
     ("text_serve", fam_text_serve, "3-term bucket-pruned search over the persisted text index (reads only the terms' buckets)"),
+    ("text_upsert", fam_text_upsert, "one constant-size mutation generation (200 updates + 100 deletes) into the text index — O(batch), no base file touched: ~FLAT"),
+    ("text_serve_upserted", fam_text_serve_upserted, "the same 3-term search through the mutation overlay (base minus tombstones + delta postings, both bucket-pruned): text_serve plus a constant delta term"),
     ("compact_selective", fam_compact_selective, "selective compaction of ONE fragmented constant-size partition out of 8·factor (O(touched): ~FLAT)"),
     ("compact_full", fam_compact_full, "full-layout compaction of the same state (O(corpus): ~linear — the contrast)"),
 ]
@@ -425,6 +486,9 @@ FAMILIES = [
 PREPARE = {
     "compact_selective": _fragment_docs_parts,
     "compact_full": _fragment_docs_parts,
+    "text_serve": _reset_text_mutations,
+    "text_upsert": _reset_text_mutations,
+    "text_serve_upserted": _prepare_text_serve_upserted,
 }
 
 

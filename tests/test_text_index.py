@@ -197,3 +197,163 @@ def test_read_buckets_propagates_corrupt_meta(spark, tmp_path):
         f.write_bytes(b"this is not a parquet file")
     with pytest.raises(Exception):
         TI._read_buckets(spark, path, 8, layout="postings")
+
+
+# --- mutation lifecycle: upsert / delete / purge ------------------------------
+
+
+def _mutated_corpus(spark):
+    """The corpus after the two-generation mutation the tests apply:
+    gen 1 updates doc 1 and deletes doc 4; gen 2 deletes doc 1 (superseding
+    its gen-1 update), updates doc 2, and re-adds doc 4."""
+    rows = [
+        (0, "alpha beta gamma"),
+        (2, "epsilon zeta"),
+        (3, "alpha alpha alpha"),
+        (4, "alpha beta reborn"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _apply_mutations(spark, path):
+    gen = TI.text_index_upsert(
+        path,
+        updates=spark.createDataFrame(
+            [(1, "alpha beta updated")], "doc_id long, text string"
+        ),
+        delete_ids=spark.createDataFrame([(4,)], "doc_id long"),
+    )
+    assert gen == 1
+    gen = TI.text_index_upsert(
+        path,
+        updates=spark.createDataFrame(
+            [(2, "epsilon zeta"), (4, "alpha beta reborn")],
+            "doc_id long, text string",
+        ),
+        delete_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    assert gen == 2
+
+
+def _search_ids(spark, path, terms):
+    return {
+        r["doc_id"]
+        for r in TI.text_index_search_all(spark, path, terms, num_buckets=8).collect()
+    }
+
+
+def test_upsert_boolean_search_equals_rebuild(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    _apply_mutations(spark, path)
+    fresh = str(tmp_path / "ti_fresh")
+    TI.text_index_build(_mutated_corpus(spark), fresh, num_buckets=8)
+    for terms in (["alpha", "beta"], ["alpha"], ["epsilon"], ["updated"], ["reborn"]):
+        assert _search_ids(spark, path, terms) == _search_ids(spark, fresh, terms)
+
+
+def test_upsert_phrase_and_ranked_equal_rebuild(spark, tmp_path):
+    path = str(tmp_path / "ti")
+    TI.text_index_build_positional(_corpus(spark), path, num_buckets=8)
+    TI.text_index_build_ranked(_corpus(spark), path, num_buckets=8)
+    _apply_mutations(spark, path)
+    fresh = str(tmp_path / "ti_fresh")
+    TI.text_index_build_positional(_mutated_corpus(spark), fresh, num_buckets=8)
+    TI.text_index_build_ranked(_mutated_corpus(spark), fresh, num_buckets=8)
+    for phrase in (["alpha", "beta"], ["beta", "updated"], ["beta", "reborn"]):
+        got = {
+            r["doc_id"]
+            for r in TI.text_index_search_phrase(
+                spark, path, phrase, num_buckets=8
+            ).collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in TI.text_index_search_phrase(
+                spark, fresh, phrase, num_buckets=8
+            ).collect()
+        }
+        assert got == want, phrase
+    got = TI.text_index_search_ranked(spark, path, ["alpha", "beta"], k=10).collect()
+    want = TI.text_index_search_ranked(spark, fresh, ["alpha", "beta"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_purge_folds_overlay_and_is_idempotent(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    TI.text_index_build_ranked(_corpus(spark), path, num_buckets=8)
+    _apply_mutations(spark, path)
+    before = _search_ids(spark, path, ["alpha", "beta"])
+    ranked_before = TI.text_index_search_ranked(spark, path, ["alpha"], k=10).collect()
+    folded = TI.text_index_purge(spark, path)
+    assert sorted(folded) == ["postings", "postings_tf"]
+    assert not os.path.exists(TI._docgen_path(path))
+    assert not os.path.exists(TI._delta_root(path, "postings"))
+    assert not os.path.exists(TI._delta_root(path, "doclens"))
+    assert _search_ids(spark, path, ["alpha", "beta"]) == before
+    ranked_after = TI.text_index_search_ranked(spark, path, ["alpha"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ranked_after] == [
+        (r["doc_id"], r["score"]) for r in ranked_before
+    ]
+    assert TI.text_index_purge(spark, path) == []  # no-op on unmutated
+
+
+def test_upsert_retry_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash AFTER the delta write, BEFORE the docgen commit: the orphan
+    delta generation is invisible, and the retry's directory overwrite
+    replaces it — replay cannot double-post."""
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    real_commit = TI._commit_docgen
+    boom = {"armed": True}
+
+    def crashing(spark_, path_, new_dg):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before docgen commit")
+        real_commit(spark_, path_, new_dg)
+
+    monkeypatch.setattr(TI, "_commit_docgen", crashing)
+    upd = spark.createDataFrame([(1, "alpha omega")], "doc_id long, text string")
+    try:
+        TI.text_index_upsert(path, updates=upd)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # crashed upsert is invisible
+    assert _search_ids(spark, path, ["omega"]) == set()
+    assert _search_ids(spark, path, ["alpha", "beta"]) == {0, 1}
+    TI.text_index_upsert(path, updates=upd)  # retry commits
+    assert _search_ids(spark, path, ["omega"]) == {1}
+    assert _search_ids(spark, path, ["alpha"]) == {0, 1, 3}
+    assert _search_ids(spark, path, ["alpha", "beta"]) == {0}
+
+
+def test_upsert_guards(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    one = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="nothing to do"):
+        TI.text_index_upsert(path)
+    with pytest.raises(ValueError, match="both updates and delete_ids"):
+        TI.text_index_upsert(
+            path, updates=one, delete_ids=spark.createDataFrame([(1,)], "doc_id long")
+        )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        TI.text_index_upsert(path, updates=one.unionByName(one))
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        TI.text_index_upsert(
+            path,
+            delete_ids=spark.createDataFrame(
+                [(None,)], "doc_id long"
+            ),
+        )
+    with pytest.raises(ValueError, match="no index layouts"):
+        TI.text_index_upsert(str(tmp_path / "nowhere"), updates=one)
