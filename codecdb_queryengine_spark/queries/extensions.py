@@ -1034,6 +1034,95 @@ def _zorder_sql() -> str:
     """
 
 
+# ext_zorder_lifecycle slices: the base layout, and a deliberately z-NARROW
+# append batch (pk, sk < 16 → interleave < 2^8 → top-4-bit prefix 0) so the
+# maintenance pass has exactly one fragmented directory to find.
+_ZL_BASE = "(l_orderkey % 4 <> 0)"
+_ZL_APPEND = "(l_orderkey % 4 = 0 AND l_partkey % 256 < 16 AND l_suppkey % 64 < 16)"
+
+
+def ext_zorder_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered layout's LIFECYCLE (sources/layout — the last
+    persisted layout without one after the r8 ANN/text-index work):
+    `zorder_write_partitioned` writes the base slice z_hi-partitioned
+    (top-4 interleave bits as the directory key, full-z in-file sort),
+    `zorder_append` clusters a batch among itself and drops its files into
+    the directories it spans — O(batch), no base file read — and
+    `zorder_maintain` selectively re-sorts ONLY the breached directories
+    through the journaled swap.  The append batch is z-narrow by
+    construction, so the gate asserts maintenance touched exactly
+    ['z_hi=0'] and that every other directory's file inventory is
+    untouched (the O(fragmented) contract), then returns the coarse
+    z-cell aggregate over the maintained layout — the oracle restates it
+    over the base∪append rows, so a row lost in the append routing, the
+    re-sort, or the swap flips the hash."""
+    import glob as _glob
+    import os as _os
+
+    from codecdb_queryengine_spark.queries.pipeline import _scratch_dir
+    from codecdb_queryengine_spark.sources import layout as L
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rows = li.select(
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 64).alias("sk"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_orderkey",
+    )
+    path = _os.path.join(_scratch_dir("zorder_lifecycle", sf_dir, fresh=True), "zl")
+    L.zorder_write_partitioned(
+        rows.filter(F.expr(_ZL_BASE)), ["pk", "sk"], path, bits=8, prefix_bits=4
+    )
+    L.zorder_append(rows.filter(F.expr(_ZL_APPEND)), path)
+
+    def files_of(d):
+        return sorted(
+            f
+            for f in _glob.glob(_os.path.join(d, "*"))
+            if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+        )
+
+    inventory = {
+        d: files_of(_os.path.join(path, d))
+        for d in _os.listdir(path)
+        if d.startswith("z_hi=")
+    }
+    touched = L.zorder_maintain(spark, path, min_files=1)
+    assert touched == ["z_hi=0"], f"maintenance touched {touched}"
+    for d, files in inventory.items():
+        if d != "z_hi=0":
+            assert files_of(_os.path.join(path, d)) == files, f"{d} rewritten"
+
+    back = spark.read.parquet(path)
+    z = L.z_value([F.col("pk"), F.col("sk")], bits=8)
+    return (
+        back.withColumn("zcell", F.shiftright(z, 10))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy("zcell")
+    )
+
+
+def _zorder_lifecycle_sql() -> str:
+    from codecdb_queryengine_spark.sources.layout import z_value_sql
+
+    z = z_value_sql(["pk", "sk"], bits=8)
+    return f"""
+        WITH rows_kept AS (
+            SELECT l_partkey % 256 AS pk, l_suppkey % 64 AS sk,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS qty
+            FROM lineitem WHERE {_ZL_BASE} OR {_ZL_APPEND})
+        SELECT ({z} // 1024) AS zcell,
+               count(*) AS n_rows,
+               CAST(sum(qty) AS DOUBLE) AS sum_qty
+        FROM rows_kept
+        GROUP BY zcell ORDER BY zcell
+    """
+
+
 _PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
 _PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
 _PROFILE_TS = ["o_orderdate"]
@@ -1435,6 +1524,7 @@ _SNAPSHOT_DIFF_SQL = """
 QUERIES = {
     "ext_rollup": ext_rollup,
     "ext_zorder": ext_zorder,
+    "ext_zorder_lifecycle": ext_zorder_lifecycle,
     "ext_profile": ext_profile,
     "ext_snapshot_diff": ext_snapshot_diff,
     "ext_corr": ext_corr,
@@ -1473,6 +1563,7 @@ from codecdb_queryengine_spark.queries.tpch import ORACLE as _TPCH_ORACLE  # noq
 ORACLE: dict[str, str] = {
     "ext_rollup": _ROLLUP_SQL,
     "ext_zorder": _zorder_sql(),
+    "ext_zorder_lifecycle": _zorder_lifecycle_sql(),
     "ext_profile": _profile_sql(),
     "ext_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "ext_corr": _CORR_SQL,

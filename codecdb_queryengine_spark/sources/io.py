@@ -18,9 +18,9 @@ from __future__ import annotations
 
 import os
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 READ_FORMATS = ("parquet", "csv", "json", "orc", "xml")
@@ -499,6 +499,7 @@ def compact_partitioned_selective(
     min_files: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    sort_within_exprs: Sequence[Column] | None = None,
 ) -> list[str]:
     """Compact ONLY the partition directories whose small-file population
     breaches `min_files` (r7 verdict item 2) — the O(touched) form of
@@ -546,9 +547,21 @@ def compact_partitioned_selective(
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = path.rstrip("/") + ".compacting"
+    if sort_within_exprs is None:
+        staged_df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        # restore an in-file clustering the append path degraded (e.g. the
+        # z-order layouts): RANGE-partition on (partition cols, exprs) so a
+        # big directory splits across tasks in contiguous sorted slices —
+        # every staged file covers a disjoint sort-key range and min/max
+        # row-group stats prune again after the pass
+        staged_df = df.repartitionByRange(
+            n_files, *[F.col(c) for c in partition_by], *sort_within_exprs
+        ).sortWithinPartitions(
+            *[F.col(c) for c in partition_by], *sort_within_exprs
+        )
     (
-        df.repartition(n_files, *[F.col(c) for c in partition_by])
-        .write.format(fmt)
+        staged_df.write.format(fmt)
         .mode("overwrite")
         .partitionBy(*partition_by)
         .save(tmp)

@@ -97,3 +97,157 @@ def zorder_write(
     else:
         zdf = zdf.repartitionByRange("__z")
     zdf.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+# --- clustered-layout lifecycle: partitioned write / append / maintain --------
+#
+# `zorder_write` re-clusters the WHOLE table — correct, and O(corpus); at
+# 100 TB a layout that can only be rebuilt cannot absorb a daily append.
+# The lifecycle form splits the z-range into directories so maintenance
+# can be selective (the lakehouse OPTIMIZE-ZORDER shape):
+#
+# - `zorder_write_partitioned`: the layout is partitioned by `z_hi`, the
+#   top `prefix_bits` of the interleave (≤ 2^prefix_bits fixed dirs), and
+#   sorted by the full z within each directory — min/max row-group stats
+#   prune on every clustered column exactly as in the flat layout.
+# - `zorder_append`: cluster the BATCH among itself and append its files
+#   into the z_hi dirs it spans — O(batch).  Each appended file still
+#   covers a small z-rectangle (the batch's own sort), so pruning degrades
+#   only by the per-directory file count — clustering debt, not wrong
+#   answers.
+# - `zorder_maintain`: selective re-sort of ONLY the directories whose
+#   file count breached `min_files` — io.compact_partitioned_selective
+#   with the recomputed z as the in-file sort, journaled two-phase swap,
+#   untouched directories byte-identical.  O(fragmented), not O(corpus).
+#
+# The interleave parameters ride in `<path>/_zmeta` (an underscore dir —
+# invisible to partition discovery): an append or maintenance pass sorting
+# with DIFFERENT (cols, bits, prefix_bits) than the build would silently
+# destroy the clustering ↔ stats correlation pruning rests on, so both
+# read the layout's own meta back instead of trusting their caller.
+
+
+def _zmeta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zmeta")
+
+
+def _write_zmeta(
+    df: DataFrame, path: str, cols: Sequence[str], bits: int, prefix_bits: int
+) -> None:
+    df.sparkSession.createDataFrame(
+        [(list(cols), int(bits), int(prefix_bits))],
+        "cols array<string>, bits int, prefix_bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(_zmeta_path(path))
+
+
+def _read_zmeta(spark, path: str) -> tuple[list[str], int, int]:
+    import os
+
+    if not os.path.exists(_zmeta_path(path)):
+        raise ValueError(
+            f"{path}: no _zmeta artifact — not a zorder_write_partitioned "
+            "layout (flat zorder_write layouts have no append path; rebuild "
+            "or re-write partitioned)"
+        )
+    r = spark.read.parquet(_zmeta_path(path)).first()
+    return list(r["cols"]), int(r["bits"]), int(r["prefix_bits"])
+
+
+def _check_bounds(df: DataFrame, cols: Sequence[str], bits: int, who: str) -> None:
+    bounds = df.agg(
+        *[F.min(c).alias(f"{c}__mn") for c in cols],
+        *[F.max(c).alias(f"{c}__mx") for c in cols],
+    ).first()
+    for c in cols:
+        lo, hi = bounds[f"{c}__mn"], bounds[f"{c}__mx"]
+        if lo is not None and (lo < 0 or hi >= 2**bits):
+            raise ValueError(
+                f"{who} column {c!r} spans [{lo}, {hi}] which exceeds the "
+                f"{bits}-bit budget [0, {2**bits}); pre-bucket it or raise bits"
+            )
+
+
+def _z_hi_frame(
+    df: DataFrame, cols: Sequence[str], bits: int, prefix_bits: int
+) -> DataFrame:
+    z = z_value([F.col(c) for c in cols], bits)
+    shift = bits * len(cols) - prefix_bits
+    return df.withColumn("__z", z).withColumn(
+        "z_hi", F.shiftright(F.col("__z"), shift)
+    )
+
+
+def zorder_write_partitioned(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    bits: int = 8,
+    prefix_bits: int = 4,
+) -> None:
+    """Write `df` z-clustered into a `z_hi`-partitioned layout (top
+    `prefix_bits` of the interleave as the directory key, full-z sort
+    within) and persist the interleave parameters in `_zmeta`."""
+    if not 0 < prefix_bits <= bits * len(cols):
+        raise ValueError(f"prefix_bits {prefix_bits} out of (0, bits*n]")
+    _check_bounds(df, cols, bits, "zorder_write_partitioned")
+    zdf = _z_hi_frame(df, cols, bits, prefix_bits)
+    # range-partition on the full z, not hash on z_hi: tasks get contiguous
+    # z-slices (parallel within a big directory, since z_hi is a z prefix)
+    # and every file covers a disjoint z-rectangle
+    (
+        zdf.repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy("z_hi")
+        .parquet(path)
+    )
+    _write_zmeta(df, path, cols, bits, prefix_bits)
+
+
+def zorder_append(df: DataFrame, path: str) -> None:
+    """Append a batch into an existing partitioned z-layout, O(batch):
+    the batch is clustered among ITSELF with the layout's own persisted
+    interleave parameters and its files land in the z_hi directories it
+    spans — no base file is read or rewritten."""
+    cols, bits, prefix_bits = _read_zmeta(df.sparkSession, path)
+    _check_bounds(df, cols, bits, "zorder_append")
+    zdf = _z_hi_frame(df, cols, bits, prefix_bits)
+    # range-partition on the full z, not hash on z_hi: tasks get contiguous
+    # z-slices (parallel within a big directory, since z_hi is a z prefix)
+    # and every file covers a disjoint z-rectangle
+    (
+        zdf.repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+        .partitionBy("z_hi")
+        .parquet(path)
+    )
+
+
+def zorder_maintain(
+    spark,
+    path: str,
+    min_files: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """Selective re-cluster: re-sort ONLY the z_hi directories whose data-
+    file count breached `min_files` (appends fragment just the directories
+    they span), through io.compact_partitioned_selective's journaled swap
+    with the recomputed full z as the in-file sort.  Untouched directories
+    are never read and come through byte-identical.  Returns the relative
+    dirs rewritten."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    cols, bits, _ = _read_zmeta(spark, path)
+    return IO.compact_partitioned_selective(
+        spark,
+        path,
+        partition_by=("z_hi",),
+        min_files=min_files,
+        target_file_bytes=target_file_bytes,
+        sort_within_exprs=[z_value([F.col(c) for c in cols], bits)],
+    )

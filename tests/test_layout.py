@@ -80,3 +80,110 @@ def test_z_value_validations(spark):
         z_value([F.col("x")], bits=4)
     with pytest.raises(ValueError):
         z_value([F.col("x"), F.col("y"), F.col("w")], bits=21)
+
+
+# --- clustered-layout lifecycle -----------------------------------------------
+
+
+def _lifecycle_rows(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 64).alias("a"),
+            ((F.col("id") * 7) % 64).alias("b"),
+        )
+    )
+
+
+def test_zorder_partitioned_roundtrip_and_meta(spark, tmp_path):
+    from codecdb_queryengine_spark.sources import layout as L
+
+    path = str(tmp_path / "zl")
+    df = _lifecycle_rows(spark, 0, 2000)
+    L.zorder_write_partitioned(df, ["a", "b"], path, bits=6, prefix_bits=3)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert {r["k"] for r in back.collect()} == set(range(2000))
+    cols, bits, prefix_bits = L._read_zmeta(spark, path)
+    assert (cols, bits, prefix_bits) == (["a", "b"], 6, 3)
+    # every row sits in the directory its z prefix names
+    z = L.z_value([F.col("a"), F.col("b")], 6)
+    bad = back.filter(F.col("z_hi") != F.shiftright(z, 6 * 2 - 3)).count()
+    assert bad == 0
+
+
+def test_zorder_append_then_maintain_equals_rebuild(spark, tmp_path):
+    import glob
+
+    from codecdb_queryengine_spark.sources import layout as L
+
+    path = str(tmp_path / "zl")
+    base = _lifecycle_rows(spark, 0, 2000)
+    L.zorder_write_partitioned(base, ["a", "b"], path, bits=6, prefix_bits=3)
+    # narrow append: a,b < 8 → z < 2^6 → z_hi == 0 only
+    extra = (
+        spark.range(2000, 2400)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 8).alias("a"),
+            ((F.col("id") * 7) % 8).alias("b"),
+        )
+    )
+    L.zorder_append(extra, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2400
+    # the append fragmented ONLY z_hi=0
+    def files_of(d):
+        return [
+            f
+            for f in glob.glob(os.path.join(d, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    inventory_before = {
+        d: sorted(files_of(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("z_hi=")
+    }
+    touched = L.zorder_maintain(spark, path, min_files=1)
+    assert touched == ["z_hi=0"], touched
+    # untouched dirs byte-identical (same file inventory)
+    for d, files in inventory_before.items():
+        if d == "z_hi=0":
+            continue
+        assert sorted(files_of(os.path.join(path, d))) == files, d
+    # contents unchanged by maintenance
+    back2 = spark.read.parquet(path)
+    assert back2.count() == 2400
+    assert {r["k"] for r in back2.collect()} == set(range(2400))
+    # and z_hi=0 is back to few files, each internally z-sorted
+    z0 = files_of(os.path.join(path, "z_hi=0"))
+    assert len(z0) <= 2, z0
+    for f in z0:
+        rows = spark.read.parquet(f).collect()
+        zs = [
+            sum(((r["a"] >> bit) & 1) * 2 ** (bit * 2) for bit in range(6))
+            + sum(((r["b"] >> bit) & 1) * 2 ** (bit * 2 + 1) for bit in range(6))
+            for r in rows
+        ]
+        assert zs == sorted(zs), f
+
+
+def test_zorder_append_guards(spark, tmp_path):
+    import pytest
+
+    from codecdb_queryengine_spark.sources import layout as L
+
+    path = str(tmp_path / "zl")
+    with pytest.raises(ValueError, match="_zmeta"):
+        L.zorder_append(_lifecycle_rows(spark, 0, 10), path)
+    L.zorder_write_partitioned(
+        _lifecycle_rows(spark, 0, 100), ["a", "b"], path, bits=6, prefix_bits=3
+    )
+    # out-of-budget append values fail loudly instead of wrapping
+    wide = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("a"), F.col("id").alias("b")
+    )
+    with pytest.raises(ValueError, match="bit budget"):
+        L.zorder_append(wide, path)
