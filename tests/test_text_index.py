@@ -357,3 +357,57 @@ def test_upsert_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no index layouts"):
         TI.text_index_upsert(str(tmp_path / "nowhere"), updates=one)
+
+
+def test_purge_crash_orderings_leave_serving_correct(spark, tmp_path, monkeypatch):
+    """The purge's crash-safety argument (module section comment), pinned:
+    (a) crash AFTER the base swaps, BEFORE docgen removal — the overlay of
+    a folded base re-derives the same rows, serving unchanged; (b) crash
+    after docgen removal, BEFORE delta cleanup — serving is base-only and
+    complete, and a SUBSEQUENT upsert re-numbering from gen=1 overwrites
+    the stale generation directory before any docgen row can reference
+    it.  Re-running the purge completes in both cases."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+    _apply_mutations(spark, path)
+    want = _search_ids(spark, path, ["alpha", "beta"])
+
+    # (a) kill between the base swaps and the docgen removal
+    real_rmtree = shutil.rmtree
+    def boom(p, *a, **kw):
+        if p == TI._docgen_path(path):
+            raise RuntimeError("injected crash before docgen removal")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(TI.shutil if hasattr(TI, "shutil") else shutil, "rmtree", boom)
+    try:
+        TI.text_index_purge(spark, path)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert os.path.exists(TI._docgen_path(path))  # crashed mid-way
+    assert _search_ids(spark, path, ["alpha", "beta"]) == want  # still correct
+    assert TI.text_index_purge(spark, path) != []  # re-run completes
+    assert not os.path.exists(TI._docgen_path(path))
+    assert _search_ids(spark, path, ["alpha", "beta"]) == want
+
+    # (b) stale delta generation surviving docgen removal: simulate by
+    # planting an orphan gen=1 delta dir, then upserting — the new gen=1
+    # write must overwrite it, not merge with it
+    orphan = os.path.join(TI._delta_root(path, "postings"), "gen=1")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    postings = TI.postings_of(
+        spark.createDataFrame([(0, "zombie")], "doc_id long, text string"),
+        num_buckets=8,
+    )
+    postings.write.mode("overwrite").partitionBy("t_bucket").parquet(orphan)
+    TI.text_index_upsert(
+        path,
+        updates=spark.createDataFrame([(3, "fresh rows")], "doc_id long, text string"),
+    )
+    assert _search_ids(spark, path, ["zombie"]) == set()  # orphan overwritten
+    assert _search_ids(spark, path, ["fresh"]) == {3}
