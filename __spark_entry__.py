@@ -46,23 +46,26 @@ BENCH_SKIP |= {
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
 # the remaining slots.  This window drains ALL 20 names last green in r2
-# and 24 of the 36 last green in r3; the stalest name left outside is
+# and 22 of the 36 last green in r3; the stalest name left outside is
 # r3-green (5 rounds), and repeating this policy keeps the bound at
-# ceil((surface - new) / 44) ≈ 5 rounds as the surface grows.  Everything
+# ceil((surface - new) / 42) ≈ 5 rounds as the surface grows.  Everything
 # rotated out stays covered by scripts/check_correctness.py over the full
 # surface (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the six r8 gates — mutable-ANN-index lifecycle (slot-aware
+    # part 1: the eight r8 gates — mutable-ANN-index lifecycle (slot-aware
     # append into a split layout, vector delete/update via touched-list
     # rewrite), partition-selective compaction, the mutable TEXT index
     # (document upsert/delete via base+delta+tombstone overlay, purge fold),
-    # and the clustered-layout lifecycle (z-append + selective re-cluster)
+    # the clustered-layout lifecycle (z-append + selective re-cluster),
+    # and deterministic corpus rebalancing + mixture materialization
     "docs_stream_compact_selective",
     "sim_ann_ivf_appended_split",
     "sim_ann_ivf_upserted",
     "docs_search_upserted",
     "docs_search_purged",
     "ext_zorder_lifecycle",
+    "docs_downsample_stratified",
+    "docs_corpus_mix",
     # part 2: the 47 stalest names (last green r2, then r3, alphabetical)
     "dedup_ngram_jaccard",
     "docs_topterms",
@@ -106,8 +109,6 @@ DRIVER_FIRST = [
     "ext_window_funcs",
     "ext_zorder",
     "q10",
-    "q11",
-    "q12",
 ]
 
 

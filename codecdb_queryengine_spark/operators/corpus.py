@@ -290,3 +290,86 @@ def lm_scores(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             F.col("bits_micro").cast("double") / F.col("n_tokens") / F.lit(1e6),
         )
     )
+
+
+# --- deterministic sampling / mixture materialization -------------------------
+
+
+def sample_hash(
+    df: DataFrame,
+    key_col: str,
+    keep_per_10k: int,
+    salt: str = "sample|",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose content-stable md5
+    bucket (of the key, mod 10,000) falls under `keep_per_10k`.
+
+    The sampling operator a training pipeline actually wants is not
+    TABLESAMPLE/rand(): membership must be reproducible across runs,
+    independent of partitioning, and stable under corpus growth (a row's
+    fate never changes when neighbors arrive — the docs_train_split
+    argument).  A pure filter projection: no shuffle, no state, pushes
+    into the scan's codegen stage at any corpus size."""
+    if not 0 <= keep_per_10k <= 10_000:
+        raise ValueError(f"keep_per_10k {keep_per_10k} outside [0, 10000]")
+    b = F.pmod(T.md5_slice32(salt, F.col(key_col).cast("string")), F.lit(10_000))
+    return df.filter(b < keep_per_10k)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates_per_10k: dict[str, int],
+    default_per_10k: int = 10_000,
+    salt: str = "sample|",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing pass
+    (downsample overrepresented languages/sources to target proportions).
+    Same hash discipline as sample_hash with a per-stratum threshold
+    (unlisted strata keep `default_per_10k`); still one pure filter, no
+    shuffle, no per-stratum scans."""
+    for s, r in rates_per_10k.items():
+        if not 0 <= r <= 10_000:
+            raise ValueError(f"rate for stratum {s!r} outside [0, 10000]: {r}")
+    thresh = F.lit(default_per_10k)
+    for s, r in sorted(rates_per_10k.items()):
+        thresh = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(thresh)
+    b = F.pmod(T.md5_slice32(salt, F.col(key_col).cast("string")), F.lit(10_000))
+    return df.filter(b < thresh)
+
+
+def corpus_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, tuple[int, int]],
+    salt: str = "mix|",
+) -> DataFrame:
+    """Materialize a weighted training mixture: every row of stratum s is
+    repeated floor(num/den) times, plus one more copy for the hash-chosen
+    (num mod den)/den fraction — the epoch-weighting step that turns
+    mixture WEIGHTS (docs_mixture_weights computes those) into an actual
+    training corpus.  Weights are exact rationals, the fractional copy is
+    the same content-stable md5 draw as sample_hash, and the output
+    carries the 0-based `epoch` of each copy, so the materialization is
+    bit-reproducible and oracle-replayable.  Unlisted strata keep weight
+    1.  Plan shape: one projection + explode(sequence) — rows scale with
+    OUTPUT size (Σ w_s·n_s), never n·max_epochs; no shuffle."""
+    for s, (num, den) in weights.items():
+        if num < 0 or den <= 0:
+            raise ValueError(f"weight for stratum {s!r} must be >=0/positive: {num}/{den}")
+    base, rem, den_c = F.lit(1), F.lit(0), F.lit(1)
+    for s, (num, den) in sorted(weights.items()):
+        is_s = F.col(stratum_col) == s
+        base = F.when(is_s, F.lit(num // den)).otherwise(base)
+        rem = F.when(is_s, F.lit(num % den)).otherwise(rem)
+        den_c = F.when(is_s, F.lit(den)).otherwise(den_c)
+    draw = F.pmod(T.md5_slice32(salt, F.col(key_col).cast("string")), den_c)
+    copies = base + (draw < rem).cast("int")
+    return (
+        df.withColumn("__c", copies)
+        .filter(F.col("__c") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__c") - 1)))
+        .drop("__c")
+    )

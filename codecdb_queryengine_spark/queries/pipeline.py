@@ -4626,6 +4626,110 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-10k stratified downsampling rates / mixture epoch weights for the
+# deterministic-sampling gates (en is the overrepresented stratum at ~44%)
+_SAMPLE_RATES = {"en": 2500, "zh": 7500, "es": 9000}
+_MIX_WEIGHTS = {"en": (1, 2), "de": (3, 1), "fr": (5, 2)}
+
+
+def docs_downsample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by per-stratum DETERMINISTIC sampling
+    (operators/corpus.sample_stratified): keep each doc iff its
+    content-stable md5 bucket (mod 10,000) falls under its language's
+    rate — en downsampled to 25%, zh to 75%, es to 90%, the rest kept.
+    Membership is reproducible across runs, independent of partitioning,
+    and stable under corpus growth (TABLESAMPLE/rand() give none of
+    these); the plan is ONE pure filter projection, no shuffle.  Output
+    pins exact per-language membership signatures (count, Σdoc_id,
+    Σn_chars), so one wrongly kept or dropped row flips the hash."""
+    from codecdb_queryengine_spark.operators import corpus as C
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = C.sample_stratified(docs, "doc_id", "lang", _SAMPLE_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sig"),
+            F.sum("n_chars").alias("chars_sig"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sample_stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sig,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sig
+        FROM (SELECT lang, doc_id, n_chars,
+                     ('0x' || substring(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000 AS b
+              FROM documents)
+        WHERE b < CASE lang {cases} ELSE 10000 END
+        GROUP BY lang ORDER BY lang
+    """
+
+
+def docs_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-mixture MATERIALIZATION (operators/corpus.corpus_mix):
+    every doc of stratum s appears floor(w_s) times plus one hash-chosen
+    extra copy for the fractional part (en ×1/2, de ×3, fr ×5/2, rest
+    ×1), each copy carrying its 0-based epoch — the step that turns
+    mixture weights (docs_mixture_weights) into an actual training
+    corpus, exact-rational and bit-reproducible.  Output rows scale with
+    the mixture size, never n·max_epoch; the oracle replays the
+    repetition with unnest(range(copies)).  Per-language signatures over
+    (copy count, distinct docs, max epoch, Σ doc_id·(epoch+1)) pin both
+    membership and multiplicity."""
+    from codecdb_queryengine_spark.operators import corpus as C
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    mixed = C.corpus_mix(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").cast("long").alias("max_epoch"),
+            F.sum(F.col("doc_id") * (F.col("epoch") + 1)).alias("mult_sig"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _corpus_mix_sql() -> str:
+    base = " ".join(
+        f"WHEN '{s}' THEN {num // den}" for s, (num, den) in sorted(_MIX_WEIGHTS.items())
+    )
+    rem = " ".join(
+        f"WHEN '{s}' THEN {num % den}" for s, (num, den) in sorted(_MIX_WEIGHTS.items())
+    )
+    den = " ".join(
+        f"WHEN '{s}' THEN {d}" for s, (_, d) in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH c AS (
+            SELECT lang, doc_id,
+                   (CASE lang {base} ELSE 1 END)
+                   + CASE WHEN ('0x' || substring(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                               % (CASE lang {den} ELSE 1 END)
+                              < (CASE lang {rem} ELSE 0 END)
+                          THEN 1 ELSE 0 END AS copies
+            FROM documents),
+        m AS (
+            SELECT lang, doc_id, unnest(range(copies)) AS epoch
+            FROM c WHERE copies > 0)
+        SELECT lang, count(*) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(max(epoch) AS BIGINT) AS max_epoch,
+               CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS mult_sig
+        FROM m GROUP BY lang ORDER BY lang
+    """
+
+
 _DOCS_SPLIT_SQL = """
     SELECT split, lang, count(*) AS n_docs, avg(n_chars) AS avg_chars FROM (
         SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
@@ -6097,6 +6201,8 @@ QUERIES = {
     "docs_quality_by_source": docs_quality_by_source,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_train_split": docs_train_split,
+    "docs_downsample_stratified": docs_downsample_stratified,
+    "docs_corpus_mix": docs_corpus_mix,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_sample_weighted": docs_sample_weighted,
     "docs_decontaminate": docs_decontaminate,
@@ -6237,6 +6343,8 @@ ORACLE: dict[str, str] = {
     "docs_quality_by_source": _QUALITY_BY_SOURCE_SQL,
     "docs_shuffle_order": _DOCS_SHUFFLE_SQL,
     "docs_train_split": _DOCS_SPLIT_SQL,
+    "docs_downsample_stratified": _sample_stratified_sql(),
+    "docs_corpus_mix": _corpus_mix_sql(),
     "docs_sample_stratified": _DOCS_SAMPLE_SQL,
     "docs_sample_weighted": _DOCS_SAMPLE_WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAM_SQL,

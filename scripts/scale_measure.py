@@ -688,6 +688,15 @@ def main() -> int:
         "  pruning reads only the 3 searched terms' buckets; their postings",
         "  grow with term frequency (~corpus), but the read stays a fixed",
         "  fraction of the index however big it gets.",
+        f"- **text_upsert**: wall {_g('text_upsert', 'wall'):.1f}x /"
+        f" input {_g('text_upsert', 'input'):.1f}x — the mutation protocol",
+        "  never reads a base file (delta write + docgen swap only), so a",
+        "  constant batch costs the same against any corpus size: the",
+        "  O(batch) claim, measured.",
+        f"- **text_serve_upserted**: wall {_g('text_serve_upserted', 'wall'):.1f}x /"
+        f" input {_g('text_serve_upserted', 'input'):.1f}x — serving through",
+        "  the overlay (base anti-join tombstones + delta generation) adds a",
+        "  constant term to text_serve; both scans stay bucket-pruned.",
         f"- **compact_selective vs compact_full**: the maintenance-pass",
         f"  contrast — selective wall {_g('compact_selective', 'wall'):.1f}x /"
         f" input {_g('compact_selective', 'input'):.1f}x (O(touched): one",

@@ -41,3 +41,28 @@ def test_bench_skip_only_hides_twins():
         "emb_encode_parity",
     }
     assert all(n.endswith("_sql") or n in gate_twins for n in entry.BENCH_SKIP)
+
+
+def test_no_duplicate_registry_keys_in_module_sources():
+    """A dict literal silently keeps only the LAST entry for a duplicated
+    key, so registering two different queries under one name — or defining
+    two functions with the same name in one module — ships whichever comes
+    later with no error (this nearly happened with docs_sample_stratified).
+    Scan each query module's source for duplicate dict keys and duplicate
+    top-level def names."""
+    import re
+    from pathlib import Path
+
+    qdir = Path("codecdb_queryengine_spark/queries")
+    for mod in sorted(qdir.glob("*.py")):
+        src = mod.read_text()
+        defs = re.findall(r"^def (\w+)\(", src, re.M)
+        dupes = {d for d in defs if defs.count(d) > 1}
+        assert not dupes, f"{mod.name}: duplicate top-level defs {sorted(dupes)}"
+        for dict_name in ("QUERIES", "ORACLE"):
+            m = re.search(rf"^{dict_name}[^=]*= {{(.*?)^}}", src, re.M | re.S)
+            if not m:
+                continue
+            keys = re.findall(r'^\s{4}"([^"]+)":', m.group(1), re.M)
+            kd = {k for k in keys if keys.count(k) > 1}
+            assert not kd, f"{mod.name} {dict_name}: duplicate keys {sorted(kd)}"
