@@ -46,18 +46,19 @@ BENCH_SKIP |= {
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
 # the remaining slots.  This window drains ALL 20 names last green in r2
-# and 22 of the 36 last green in r3; the stalest name left outside is
+# and 21 of the 36 last green in r3; the stalest name left outside is
 # r3-green (5 rounds), and repeating this policy keeps the bound at
-# ceil((surface - new) / 42) ≈ 5 rounds as the surface grows.  Everything
+# ceil((surface - new) / 41) ≈ 5 rounds as the surface grows.  Everything
 # rotated out stays covered by scripts/check_correctness.py over the full
 # surface (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the eight r8 gates — mutable-ANN-index lifecycle (slot-aware
+    # part 1: the nine r8 gates — mutable-ANN-index lifecycle (slot-aware
     # append into a split layout, vector delete/update via touched-list
     # rewrite), partition-selective compaction, the mutable TEXT index
     # (document upsert/delete via base+delta+tombstone overlay, purge fold),
     # the clustered-layout lifecycle (z-append + selective re-cluster),
-    # and deterministic corpus rebalancing + mixture materialization
+    # deterministic corpus rebalancing + mixture materialization, and
+    # CDC mutation streams applied into the text index per micro-batch
     "docs_stream_compact_selective",
     "sim_ann_ivf_appended_split",
     "sim_ann_ivf_upserted",
@@ -66,6 +67,7 @@ DRIVER_FIRST = [
     "ext_zorder_lifecycle",
     "docs_downsample_stratified",
     "docs_corpus_mix",
+    "docs_stream_mutations",
     # part 2: the 47 stalest names (last green r2, then r3, alphabetical)
     "dedup_ngram_jaccard",
     "docs_topterms",
@@ -108,7 +110,6 @@ DRIVER_FIRST = [
     "ext_setops",
     "ext_window_funcs",
     "ext_zorder",
-    "q10",
 ]
 
 

@@ -3825,6 +3825,84 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
+def docs_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC into the text index (streaming/sinks.stream_apply_text_
+    mutations): the SAME two mutation generations as docs_search_upserted
+    arrive as a stream of (op, doc_id, text) events — two files, mtime-
+    ordered, one micro-batch each (maxFilesPerTrigger=1) — and a
+    foreachBatch applier turns each committed batch into one generation
+    of the base+delta+tombstone protocol, serving staying live between
+    batches with no base rewrite.  The drained index answers the
+    conjunctive search under the VERBATIM docs_search_upserted oracle, so
+    batch mis-ordering, a lost event, or a generation applied twice with
+    the wrong content flips the hash."""
+    import time as _time
+
+    from pyspark.sql import types as PT
+
+    from codecdb_queryengine_spark.sources import text_index as TI
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = _scratch_dir("text_index_cdc", sf_dir, fresh=True)
+    path = os.path.join(base, "index")
+    TI.text_index_build(docs, path)
+
+    # stage the mutation stream: one file per generation, mtimes ordered
+    # so the file source (sorted by modification time) replays gen 1
+    # before gen 2
+    src = os.path.join(base, "mutations")
+    gen1 = docs.filter(F.expr(_TI_ADD)).select(
+        F.lit("u").alias("op"),
+        "doc_id",
+        F.concat("text", F.lit(_TI_ADD_TEXT)).alias("text"),
+    )
+    gen2 = (
+        docs.filter(F.expr(_TI_REPL))
+        .select(
+            F.lit("u").alias("op"),
+            "doc_id",
+            F.replace("text", F.lit("hash"), F.lit("quorum")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.expr(_TI_DEL)).select(
+                F.lit("d").alias("op"), "doc_id", F.lit(None).cast("string").alias("text")
+            )
+        )
+    )
+    now = _time.time()
+    for i, g in enumerate((gen1, gen2)):
+        tmp = os.path.join(base, f"mut{i}")
+        g.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, f"{i:03d}_gen.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    schema = PT.StructType(
+        [
+            PT.StructField("op", PT.StringType()),
+            PT.StructField("doc_id", PT.LongType()),
+            PT.StructField("text", PT.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SK.stream_apply_text_mutations(stream, path, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    dg = TI._read_docgen(spark, path)
+    n_gens = dg.agg(F.max("gen")).first()[0]
+    assert n_gens == 2, f"expected 2 streamed generations, docgen has {n_gens}"
+    hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS)
+    return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
 def docs_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary ingestion through Spark's `binaryFile` source — the
     entry point every multimodal pipeline starts from (raw image/audio
@@ -6170,6 +6248,7 @@ QUERIES = {
     "docs_search_ranked": docs_search_ranked,
     "docs_search_upserted": docs_search_upserted,
     "docs_search_purged": docs_search_purged,
+    "docs_stream_mutations": docs_stream_mutations,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
     "docs_stream_compact_selective": docs_stream_compact_selective,
@@ -6304,6 +6383,7 @@ ORACLE: dict[str, str] = {
     "docs_search_phrase": _search_phrase_sql(),
     "docs_search_ranked": _search_ranked_sql(),
     "docs_search_upserted": _search_upserted_sql(),
+    "docs_stream_mutations": _search_upserted_sql(),
     "docs_search_purged": _search_ranked_sql(
         src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "
     ),

@@ -65,3 +65,48 @@ def materialize_rollup(
 
     rolled = windowed_counts(events, window=window, watermark=watermark)
     return stream_to_parquet(rolled, path, checkpoint)
+
+
+def stream_apply_text_mutations(
+    mutations: DataFrame,
+    index_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """CDC into the persisted text index: a stream of document mutation
+    events (`op` 'u'/'d', `doc_id`, `text`) applied per micro-batch through
+    sources/text_index.text_index_upsert via foreachBatch — each committed
+    batch becomes ONE mutation generation of the base+delta+tombstone
+    protocol, so serving stays live between batches and never rewrites a
+    base file.
+
+    Delivery is Structured Streaming's foreachBatch contract
+    (at-least-once): a batch REPLAYED after a crash bumps the generation
+    again with the same content, and the serving state converges anyway —
+    latest-wins over identical rows, with the replayed delta overwriting
+    its own generation directory.  A real CDC feed should pre-reduce each
+    batch to one terminal event per doc_id (text_index_upsert raises on a
+    doc appearing as both update and delete in one call — ambiguous
+    latest state)."""
+    from pyspark.sql import functions as F
+
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        upd = batch_df.filter(F.col("op") == "u").select("doc_id", "text")
+        dels = batch_df.filter(F.col("op") == "d").select("doc_id")
+        has_u = bool(upd.limit(1).count())
+        has_d = bool(dels.limit(1).count())
+        if not (has_u or has_d):
+            return
+        TI.text_index_upsert(
+            index_path,
+            updates=upd if has_u else None,
+            delete_ids=dels if has_d else None,
+        )
+
+    return (
+        mutations.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

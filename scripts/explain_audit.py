@@ -61,6 +61,9 @@ EXPECT_NESTED = {
     # ranked retrieval joins the 1-row (N, Σdl) corpus-stats aggregate to
     # every pruned posting row (the BM25 normalization constants)
     "docs_search_ranked",
+    # same 1-row (N, Σdl) corpus-stats broadcast as docs_search_ranked —
+    # the post-purge gate runs the identical BM25 serving plan
+    "docs_search_purged",
     # heavy-hitters joins the 1-row total-count aggregate to every candidate
     # count row (the de-collected threshold probe, r4)
     "text_heavy_hitters",
