@@ -895,6 +895,36 @@ def sim_ann_ivf_indexed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def sim_ann_ivf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CACHED file index under the value gate (sources/ann_index's
+    opt-in long-lived-serving path, r8: the layout's directory listing is
+    resolved once and reused across queries instead of per query).  The
+    cache's hazard is staleness, so the gate drives exactly that: build
+    over the even half, serve with cached=True (populating the file
+    index), APPEND the odd half (every in-module maintenance pass
+    invalidates its layout), and serve cached again — the returned result
+    must equal a from-scratch build over the full corpus, so the verbatim
+    sim_ann_ivf oracle fails the round if the second serve reads the
+    pre-append file snapshot."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("ivf_index_cached", sf_dir, fresh=True)
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents)
+    AI.ivf_index_topk(
+        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2, cached=True
+    ).collect()
+    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    return AI.ivf_index_topk(
+        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2, cached=True
+    )
+
+
 def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search as one scan: the index is built with the
     `label` metadata column riding in the lists layout
@@ -6314,6 +6344,7 @@ QUERIES = {
     "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
     "sim_ann_ivf_indexed_split": sim_ann_ivf_indexed_split,
     "sim_ann_ivf_indexed_append": sim_ann_ivf_indexed_append,
+    "sim_ann_ivf_cached": sim_ann_ivf_cached,
     "sim_ann_ivf_appended_split": sim_ann_ivf_appended_split,
     "sim_ann_ivf_upserted": sim_ann_ivf_upserted,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
@@ -6457,6 +6488,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_indexed": _ivf_sql(),
     "sim_ann_ivf_indexed_split": _ivf_sql(),
     "sim_ann_ivf_indexed_append": _ivf_sql(),
+    "sim_ann_ivf_cached": _ivf_sql(),
     "sim_ann_ivf_appended_split": _ivf_sql(),
     "sim_ann_ivf_upserted": _ivf_sql(corpus="mutated", pre_cte=_UPSERTED_PRE_CTE),
     "sim_ann_ivf_filtered": _ivf_sql(cand_where="WHERE v.label = 1"),

@@ -43,6 +43,7 @@ EXPECT_NESTED = {
     "sim_ann_ivf_indexed_append",
     "sim_ann_ivf_appended_split",
     "sim_ann_ivf_upserted",
+    "sim_ann_ivf_cached",
     "sim_ann_ivf_filtered",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
@@ -104,6 +105,7 @@ EXPECT_DPP = {
     "sim_ann_ivf_indexed_append",
     "sim_ann_ivf_appended_split",
     "sim_ann_ivf_upserted",
+    "sim_ann_ivf_cached",
     "sim_ann_ivf_filtered",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
