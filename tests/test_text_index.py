@@ -411,3 +411,41 @@ def test_purge_crash_orderings_leave_serving_correct(spark, tmp_path, monkeypatc
     )
     assert _search_ids(spark, path, ["zombie"]) == set()  # orphan overwritten
     assert _search_ids(spark, path, ["fresh"]) == {3}
+
+
+def test_streamed_base_layout_supports_mutations_and_purge(spark, tmp_path):
+    """The streamed-ingest base layout (file-sink commit log under
+    postings/_spark_metadata) must compose with the mutation overlay and
+    the purge fold: upsert never touches the base (the commit-log read
+    stays valid), and the purge's whole-layout swap replaces the sink
+    layout with a plain batch table."""
+    import os
+
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "src")
+    _corpus(spark).write.parquet(src)
+    base = str(tmp_path / "ti")
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = SK.stream_to_parquet(
+        TI.postings_of(stream, num_buckets=8),
+        os.path.join(base, "postings"),
+        str(tmp_path / "ckpt"),
+        partition_by=("t_bucket",),
+    )
+    q.awaitTermination()
+    TI._write_meta(spark, base, 8)
+    assert os.path.exists(os.path.join(base, "postings", "_spark_metadata"))
+    assert _search_ids(spark, base, ["alpha", "beta"]) == {0, 1}
+
+    _apply_mutations(spark, base)
+    fresh = str(tmp_path / "ti_fresh")
+    TI.text_index_build(_mutated_corpus(spark), fresh, num_buckets=8)
+    for terms in (["alpha", "beta"], ["updated"], ["reborn"]):
+        assert _search_ids(spark, base, terms) == _search_ids(spark, fresh, terms)
+    TI.text_index_purge(spark, base)
+    assert not os.path.exists(os.path.join(base, "postings", "_spark_metadata"))
+    for terms in (["alpha", "beta"], ["updated"], ["reborn"]):
+        assert _search_ids(spark, base, terms) == _search_ids(spark, fresh, terms)
