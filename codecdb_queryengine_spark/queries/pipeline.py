@@ -3855,6 +3855,27 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
+def docs_search_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text index's CACHED serving path under the value gate (the
+    sim_ann_ivf_cached twin): cached=True memoizes the resolved overlay
+    plan + bucket count across queries of a long-lived serving process,
+    so the staleness hazard is invalidation discipline — the gate serves
+    cached BEFORE the mutations (populating the cache), applies the two
+    standard mutation generations (each upsert invalidates its layout),
+    and serves cached again; the verbatim docs_search_upserted oracle
+    fails the round if the second serve answers from the pre-mutation
+    plan."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch_dir("text_index_cached", sf_dir, fresh=True)
+    TI.text_index_build(docs, path)
+    TI.text_index_search_all(spark, path, _SEARCH_TERMS, cached=True).collect()
+    _text_index_mutate(spark, sf_dir, path)
+    hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS, cached=True)
+    return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
 def docs_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC into the text index (streaming/sinks.stream_apply_text_
     mutations): the SAME two mutation generations as docs_search_upserted
@@ -6279,6 +6300,7 @@ QUERIES = {
     "docs_search_upserted": docs_search_upserted,
     "docs_search_purged": docs_search_purged,
     "docs_stream_mutations": docs_stream_mutations,
+    "docs_search_cached": docs_search_cached,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
     "docs_stream_compact_selective": docs_stream_compact_selective,
@@ -6415,6 +6437,7 @@ ORACLE: dict[str, str] = {
     "docs_search_ranked": _search_ranked_sql(),
     "docs_search_upserted": _search_upserted_sql(),
     "docs_stream_mutations": _search_upserted_sql(),
+    "docs_search_cached": _search_upserted_sql(),
     "docs_search_purged": _search_ranked_sql(
         src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "
     ),

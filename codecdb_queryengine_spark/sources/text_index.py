@@ -90,6 +90,21 @@ def _read_buckets(
     return fallback
 
 
+def _buckets_of_layout(
+    spark: SparkSession, path: str, fallback: int, layout: str, cached: bool
+) -> int:
+    """_read_buckets with the serve cache: the meta read is a (tiny) Spark
+    job per query — a long-lived serving process pays it once."""
+    if not cached:
+        return _read_buckets(spark, path, fallback, layout=layout)
+    key = (id(spark), path.rstrip("/"), f"nb:{layout}")
+    v = _SERVE_CACHE.get(key)
+    if v is None:
+        v = _read_buckets(spark, path, fallback, layout=layout)
+        _SERVE_CACHE[key] = v
+    return v
+
+
 def postings_of(
     docs: DataFrame,
     text_col: str = "text",
@@ -126,6 +141,7 @@ def text_index_build(
         .parquet(os.path.join(path, "postings"))
     )
     _write_meta(docs.sparkSession, path, num_buckets, layout="postings")
+    invalidate_layout(path)
 
 
 def text_index_search_all(
@@ -133,6 +149,7 @@ def text_index_search_all(
     path: str,
     terms: list[str],
     num_buckets: int = 32,
+    cached: bool = False,
 ) -> DataFrame:
     """doc_ids containing ALL `terms`: postings-intersection as one count.
 
@@ -142,9 +159,9 @@ def text_index_search_all(
     (doc, term) pairs, so `count(*) == len(terms)` is the exact AND.
     """
     want = sorted(set(terms))
-    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings")
+    num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
-    postings = _live_postings(spark, path, "postings")
+    postings = _live_postings(spark, path, "postings", cached)
     hits = postings.filter(
         F.col("t_bucket").isin(buckets) & F.col("term").isin(want)
     )
@@ -194,6 +211,7 @@ def text_index_build_positional(
         .parquet(os.path.join(path, "postings_pos"))
     )
     _write_meta(docs.sparkSession, path, num_buckets, layout="postings_pos")
+    invalidate_layout(path)
 
 
 def text_index_search_phrase(
@@ -201,6 +219,7 @@ def text_index_search_phrase(
     path: str,
     phrase: list[str],
     num_buckets: int = 32,
+    cached: bool = False,
 ) -> DataFrame:
     """doc_ids containing the exact token phrase: the classic positional-
     postings join — occurrences of phrase[i] at position p+i for every i,
@@ -209,9 +228,9 @@ def text_index_search_phrase(
     phrase terms' pruned postings, keyed by (doc_id, pos) — no corpus
     scan, no row explosion beyond the terms' occurrence lists."""
     assert phrase, "empty phrase"
-    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_pos")
+    num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_pos", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
-    postings = _live_postings(spark, path, "postings_pos")
+    postings = _live_postings(spark, path, "postings_pos", cached)
     hits = postings.filter(
         F.col("t_bucket").isin(buckets) & F.col("term").isin(sorted(set(phrase)))
     ).select("doc_id", "pos", "term")
@@ -266,6 +285,7 @@ def text_index_build_ranked(
         F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
     ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
     _write_meta(docs.sparkSession, path, num_buckets, layout="postings_tf")
+    invalidate_layout(path)
 
 
 def text_index_search_ranked(
@@ -276,6 +296,7 @@ def text_index_search_ranked(
     k1: float = 1.25,
     b: float = 0.75,
     num_buckets: int = 32,
+    cached: bool = False,
 ) -> DataFrame:
     """Top-k documents by a BM25-shaped score over the persisted ranked
     layout (Robertson & Zaragoza 2009, "The Probabilistic Relevance
@@ -303,14 +324,14 @@ def text_index_search_ranked(
     """
     assert terms, "empty query"
     want = sorted(set(terms))
-    num_buckets = _read_buckets(spark, path, num_buckets, layout="postings_tf")
+    num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_tf", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
     tfp = (
-        _live_postings(spark, path, "postings_tf")
+        _live_postings(spark, path, "postings_tf", cached)
         .filter(F.col("t_bucket").isin(buckets) & F.col("term").isin(want))
         .select("doc_id", "term", "tf")
     )
-    doclens = _live_doclens(spark, path)
+    doclens = _live_doclens(spark, path, cached)
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -386,6 +407,24 @@ _LAYOUTS: dict[str, object] = {
 }
 
 
+# Opt-in cached serving (the ANN index's r8 cached-file-index discipline,
+# sources/ann_index._SCAN_CACHE): a cold search pays the layout's listing
+# and meta-read jobs on every query; a long-lived serving process passes
+# cached=True to reuse the RESOLVED overlay plan (base scan + docgen +
+# delta join) and the layout's bucket count across queries.  Every
+# in-module mutation (upsert, purge) invalidates its layout; out-of-band
+# mutations need an explicit invalidate_layout(path) — which is exactly
+# why the cache is opt-in and the default stays uncached.
+_SERVE_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def invalidate_layout(path: str) -> None:
+    """Drop every cached serving plan under `path` (all layouts)."""
+    p = path.rstrip("/")
+    for key in [k for k in _SERVE_CACHE if k[1] == p]:
+        del _SERVE_CACHE[key]
+
+
 def _docgen_path(path: str) -> str:
     return os.path.join(path, "docgen")
 
@@ -408,12 +447,22 @@ def _read_docgen(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(dg)
 
 
-def _live_postings(spark: SparkSession, path: str, layout: str) -> DataFrame:
+def _live_postings(
+    spark: SparkSession, path: str, layout: str, cached: bool = False
+) -> DataFrame:
     """The layout's CURRENT postings: base rows of never-mutated documents
     plus the latest-generation delta rows of live mutated ones.  Everything
     docgen-shaped is broadcast (the mutation set between purges, not the
     corpus); a bucket/term filter applied by the caller pushes into both
-    parquet scans, so serving keeps the static-prune scale shape."""
+    parquet scans, so serving keeps the static-prune scale shape.
+    `cached=True` memoizes the resolved overlay plan (see _SERVE_CACHE)."""
+    if cached:
+        key = (id(spark), path.rstrip("/"), f"live:{layout}")
+        df = _SERVE_CACHE.get(key)
+        if df is None:
+            df = _live_postings(spark, path, layout)
+            _SERVE_CACHE[key] = df
+        return df
     base = spark.read.parquet(os.path.join(path, layout))
     dg = _read_docgen(spark, path)
     if dg is None:
@@ -433,8 +482,15 @@ def _live_postings(spark: SparkSession, path: str, layout: str) -> DataFrame:
     return live
 
 
-def _live_doclens(spark: SparkSession, path: str) -> DataFrame:
+def _live_doclens(spark: SparkSession, path: str, cached: bool = False) -> DataFrame:
     """doclens under the same overlay as the postings layouts."""
+    if cached:
+        key = (id(spark), path.rstrip("/"), "live:doclens")
+        df = _SERVE_CACHE.get(key)
+        if df is None:
+            df = _live_doclens(spark, path)
+            _SERVE_CACHE[key] = df
+        return df
     base = spark.read.parquet(os.path.join(path, "doclens"))
     dg = _read_docgen(spark, path)
     if dg is None:
@@ -563,6 +619,7 @@ def text_index_upsert(
             batch.select("doc_id", "gen", "deleted")
         )
     _commit_docgen(spark, path, new_dg)
+    invalidate_layout(path)
     return new_gen
 
 
@@ -602,4 +659,5 @@ def text_index_purge(spark: SparkSession, path: str) -> list[str]:
     shutil.rmtree(_docgen_path(path))
     for layout in [*layouts, "doclens"]:
         shutil.rmtree(_delta_root(path, layout), ignore_errors=True)
+    invalidate_layout(path)
     return layouts

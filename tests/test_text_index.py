@@ -449,3 +449,44 @@ def test_streamed_base_layout_supports_mutations_and_purge(spark, tmp_path):
     assert not os.path.exists(os.path.join(base, "postings", "_spark_metadata"))
     for terms in (["alpha", "beta"], ["updated"], ["reborn"]):
         assert _search_ids(spark, base, terms) == _search_ids(spark, fresh, terms)
+
+
+def test_cached_serving_invalidates_on_mutation_and_rebuild(spark, tmp_path):
+    """cached=True memoizes the resolved overlay plan and the layout's
+    bucket count; every in-module write path (build, upsert, purge) must
+    invalidate, and an out-of-band mutation is the caller's problem via
+    invalidate_layout — pinned by serving stale-on-purpose first."""
+    path = str(tmp_path / "ti")
+    TI.text_index_build(_corpus(spark), path, num_buckets=8)
+
+    def cached_ids(terms):
+        return {
+            r["doc_id"]
+            for r in TI.text_index_search_all(
+                spark, path, terms, num_buckets=8, cached=True
+            ).collect()
+        }
+
+    assert cached_ids(["alpha", "beta"]) == {0, 1}  # populates the cache
+    _apply_mutations(spark, path)  # upserts invalidate
+    assert cached_ids(["alpha", "beta"]) == {0, 4}
+    assert cached_ids(["updated"]) == set()  # doc 1 deleted at gen 2
+    TI.text_index_purge(spark, path)  # purge invalidates
+    assert cached_ids(["alpha", "beta"]) == {0, 4}
+    # rebuild over different content invalidates too
+    TI.text_index_build(
+        spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string"),
+        path,
+        num_buckets=8,
+    )
+    assert cached_ids(["alpha", "beta"]) == {9}
+    # out-of-band mutation: cache is stale BY CONTRACT until invalidated
+    import shutil
+
+    shutil.rmtree(path)
+    TI.text_index_build(
+        spark.createDataFrame([(5, "alpha beta")], "doc_id long, text string"),
+        str(tmp_path / "elsewhere"),
+        num_buckets=8,
+    )
+    TI.invalidate_layout(path)  # explicit hook for out-of-band writers
