@@ -3855,6 +3855,91 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
+_HYBRID_K, _HYBRID_FUSE_K, _HYBRID_RRF = 20, 10, 60
+
+
+def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the composition a corpus-serving stack actually
+    runs: BM25 top-20 through the persisted ranked text layout joined
+    with exact-cosine top-20 for a query embedding, fused by Reciprocal
+    Rank Fusion (Cormack, Clarke & Buettcher 2009: score(d) =
+    Σ 1/(c + rank_d), c=60) over doc_id == vec_id identity.  RRF uses
+    only the two integer ranks, and 1.0/(60+rk) is a single IEEE
+    division summed in fixed (text, vector) order, so the fused doubles
+    hash bit-exact; the oracle replays both searches and the fusion.
+    Scale shape: each leg keeps its own serving contract (bucket-pruned
+    postings; brute-force over ONE broadcast query), the fusion is a
+    20∪20-row full outer join, and the final top-10 is a
+    TakeOrderedAndProject."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("text_index", sf_dir)
+    TI.text_index_build_ranked(docs, path)
+    bm = TI.text_index_search_ranked(
+        spark, path, _SEARCH_TERMS, k=_HYBRID_K
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rk_t"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vv = S.brute_force_topk(emb, qv, k=_HYBRID_K).select(
+        F.col("n_id").alias("doc_id"), F.col("rk").alias("rk_v")
+    )
+    c = float(_HYBRID_RRF)
+    fused = bm.join(vv, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rk_t")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rk_v")), F.lit(0.0))
+        ).alias("rrf"),
+        "rk_t",
+        "rk_v",
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        _HYBRID_FUSE_K
+    )
+
+
+def _hybrid_search_sql() -> str:
+    ranked = _search_ranked_sql(k=_HYBRID_K)
+    c = _HYBRID_RRF
+    return f"""
+        WITH bm_raw AS ({ranked}),
+        bm AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk_t
+            FROM bm_raw),
+        nv AS (
+            SELECT vec_id, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding', 64)}) AS nrm
+            FROM embeddings),
+        vv AS (
+            SELECT n_id AS doc_id, rk AS rk_v FROM (
+                SELECT n.vec_id AS n_id,
+                       CAST(row_number() OVER (
+                           ORDER BY ({_sql_dot('q.embedding', 'n.embedding', 64)})
+                                    / (q.nrm * n.nrm) DESC,
+                                    n.vec_id ASC) AS BIGINT) AS rk
+                FROM nv q JOIN nv n ON n.vec_id <> 0
+                WHERE q.vec_id = 0)
+            WHERE rk <= {_HYBRID_K})
+        SELECT coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+               coalesce(1.0 / ({c} + rk_t), 0.0)
+                 + coalesce(1.0 / ({c} + rk_v), 0.0) AS rrf,
+               rk_t, rk_v
+        FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_FUSE_K}
+    """
+
+
 def docs_search_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text index's CACHED serving path under the value gate (the
     sim_ann_ivf_cached twin): cached=True memoizes the resolved overlay
@@ -6301,6 +6386,7 @@ QUERIES = {
     "docs_search_purged": docs_search_purged,
     "docs_stream_mutations": docs_stream_mutations,
     "docs_search_cached": docs_search_cached,
+    "docs_hybrid_search": docs_hybrid_search,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
     "docs_stream_compact_selective": docs_stream_compact_selective,
@@ -6438,6 +6524,7 @@ ORACLE: dict[str, str] = {
     "docs_search_upserted": _search_upserted_sql(),
     "docs_stream_mutations": _search_upserted_sql(),
     "docs_search_cached": _search_upserted_sql(),
+    "docs_hybrid_search": _hybrid_search_sql(),
     "docs_search_purged": _search_ranked_sql(
         src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "
     ),

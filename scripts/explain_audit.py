@@ -65,6 +65,9 @@ EXPECT_NESTED = {
     # same 1-row (N, Σdl) corpus-stats broadcast as docs_search_ranked —
     # the post-purge gate runs the identical BM25 serving plan
     "docs_search_purged",
+    # hybrid retrieval composes that BM25 plan with the brute-force cosine
+    # leg (one broadcast query × all vectors — sim_topk's cost model)
+    "docs_hybrid_search",
     # heavy-hitters joins the 1-row total-count aggregate to every candidate
     # count row (the de-collected threshold probe, r4)
     "text_heavy_hitters",
