@@ -589,11 +589,16 @@ def text_index_upsert(
     if not layouts:
         raise ValueError(f"text_index_upsert: no index layouts at {path}")
     if updates is not None:
+        # size the delta shuffle to the BATCH (the guard agg already knows
+        # it): a typical mutation batch is thousands of docs, and a fixed
+        # 32-way repartition would pay 32 tasks to write a few hundred rows
+        # each — per-job overhead, not data, dominates maintenance cost
+        nparts = max(1, min(32, int(g["n"]) // 2000 + 1))
         for layout in layouts:
             nb = _read_buckets(spark, path, 32, layout=layout)
             delta = _LAYOUTS[layout](updates, text_col, id_col, nb)
             (
-                delta.repartition("t_bucket")
+                delta.repartition(nparts, "t_bucket")
                 .write.mode("overwrite")
                 .partitionBy("t_bucket")
                 .parquet(os.path.join(_delta_root(path, layout), f"gen={new_gen}"))
