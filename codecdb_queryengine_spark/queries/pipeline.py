@@ -3841,8 +3841,9 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     path = _scratch_dir("text_index_purge", sf_dir, fresh=True)
-    TI.text_index_build(docs, path)
-    TI.text_index_build_ranked(docs, path)
+    # one tokenization pass builds both serving layouts (the 100-TB form:
+    # N layouts should never mean N corpus scans)
+    TI.text_index_build_all(docs, path, layouts=("postings", "postings_tf"))
     _text_index_mutate(spark, sf_dir, path)
     pre = {r["doc_id"] for r in TI.text_index_search_all(spark, path, _SEARCH_TERMS).collect()}
     folded = TI.text_index_purge(spark, path)

@@ -666,3 +666,78 @@ def text_index_purge(spark: SparkSession, path: str) -> list[str]:
         shutil.rmtree(_delta_root(path, layout), ignore_errors=True)
     invalidate_layout(path)
     return layouts
+
+
+def text_index_build_all(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    layouts: tuple[str, ...] = ("postings", "postings_pos", "postings_tf"),
+) -> None:
+    """Build every requested serving layout from ONE tokenization pass.
+
+    The separate builders each re-scan and re-tokenize the corpus — three
+    corpus reads for a full index at 100 TB.  This pass persists the
+    token ARRAYS once and derives every layout's rows map-side from the
+    cached arrays (array_distinct-explode, posexplode, size), paying
+    exactly the per-layout bucket shuffles the separate builders pay and
+    reading the corpus once.  Row-level semantics (including NULL-text
+    documents) match the separate builders exactly.
+    """
+    unknown = set(layouts) - set(_LAYOUTS)
+    if unknown:
+        raise ValueError(f"unknown layouts {sorted(unknown)}")
+    spark = docs.sparkSession
+    # persist the TOKEN ARRAYS, not an exploded shape: every layout's rows
+    # then derive map-side from the cached arrays (array_distinct explode,
+    # posexplode, size) with exactly the per-layout shuffles the separate
+    # builders pay — no extra distinct/groupBy sneaks in
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+    ).persist()
+    bucket = (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
+    try:
+        if "postings_pos" in layouts:
+            pos = toks.select(
+                "doc_id", F.posexplode("__toks").alias("pos", "term")
+            ).withColumn("t_bucket", bucket)
+            (
+                pos.repartition("t_bucket")
+                .write.mode("overwrite")
+                .partitionBy("t_bucket")
+                .parquet(os.path.join(path, "postings_pos"))
+            )
+            _write_meta(spark, path, num_buckets, layout="postings_pos")
+        if "postings" in layouts:
+            p = toks.select(
+                "doc_id", F.explode(F.array_distinct("__toks")).alias("term")
+            ).withColumn("t_bucket", bucket)
+            (
+                p.repartition("t_bucket")
+                .write.mode("overwrite")
+                .partitionBy("t_bucket")
+                .parquet(os.path.join(path, "postings"))
+            )
+            _write_meta(spark, path, num_buckets, layout="postings")
+        if "postings_tf" in layouts:
+            tf = (
+                toks.select("doc_id", F.posexplode("__toks").alias("pos", "term"))
+                .withColumn("t_bucket", bucket)
+                .groupBy("doc_id", "term", "t_bucket")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            (
+                tf.repartition("t_bucket")
+                .write.mode("overwrite")
+                .partitionBy("t_bucket")
+                .parquet(os.path.join(path, "postings_tf"))
+            )
+            toks.select(
+                "doc_id", F.size("__toks").cast("long").alias("dl")
+            ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+            _write_meta(spark, path, num_buckets, layout="postings_tf")
+    finally:
+        toks.unpersist()
+    invalidate_layout(path)

@@ -490,3 +490,32 @@ def test_cached_serving_invalidates_on_mutation_and_rebuild(spark, tmp_path):
         num_buckets=8,
     )
     TI.invalidate_layout(path)  # explicit hook for out-of-band writers
+
+
+def test_build_all_one_pass_equals_separate_builds(spark, tmp_path):
+    one = str(tmp_path / "one")
+    sep = str(tmp_path / "sep")
+    TI.text_index_build_all(_corpus(spark), one, num_buckets=8)
+    TI.text_index_build(_corpus(spark), sep, num_buckets=8)
+    TI.text_index_build_positional(_corpus(spark), sep, num_buckets=8)
+    TI.text_index_build_ranked(_corpus(spark), sep, num_buckets=8)
+    assert _search_ids(spark, one, ["alpha", "beta"]) == _search_ids(
+        spark, sep, ["alpha", "beta"]
+    )
+    for p in (one, sep):
+        got = {
+            r["doc_id"]
+            for r in TI.text_index_search_phrase(
+                spark, p, ["beta", "gamma"], num_buckets=8
+            ).collect()
+        }
+        assert got == {0, 2}, p
+    r1 = TI.text_index_search_ranked(spark, one, ["alpha"], k=10).collect()
+    r2 = TI.text_index_search_ranked(spark, sep, ["alpha"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in r1] == [
+        (r["doc_id"], r["score"]) for r in r2
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown layouts"):
+        TI.text_index_build_all(_corpus(spark), one, layouts=("nope",))
