@@ -46,13 +46,13 @@ BENCH_SKIP |= {
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
 # the remaining slots.  This window drains ALL 20 names last green in r2
-# and 18 of the 36 last green in r3; the stalest name left outside is
+# and 17 of the 36 last green in r3; the stalest name left outside is
 # r3-green (5 rounds), and repeating this policy keeps the bound at
-# ceil((surface - new) / 38) ≈ 5 rounds as the surface grows.  Everything
+# ceil((surface - new) / 37) ≈ 5 rounds as the surface grows.  Everything
 # rotated out stays covered by scripts/check_correctness.py over the full
 # surface (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the twelve r8 gates — mutable-ANN-index lifecycle (slot-aware
+    # part 1: the thirteen r8 gates — mutable-ANN-index lifecycle (slot-aware
     # append into a split layout, vector delete/update via touched-list
     # rewrite), partition-selective compaction, the mutable TEXT index
     # (document upsert/delete via base+delta+tombstone overlay, purge fold),
@@ -72,6 +72,7 @@ DRIVER_FIRST = [
     "sim_ann_ivf_cached",
     "docs_search_cached",
     "docs_hybrid_search",
+    "docs_chunk_overlap",
     # part 2: the 47 stalest names (last green r2, then r3, alphabetical)
     "dedup_ngram_jaccard",
     "docs_topterms",
@@ -110,7 +111,6 @@ DRIVER_FIRST = [
     "events_stream_totals",
     "events_stream_window",
     "ext_rollup",
-    "ext_salted_agg",
 ]
 
 

@@ -373,3 +373,50 @@ def corpus_mix(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__c") - 1)))
         .drop("__c")
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG / long-context prep
+    that turns documents into retrieval- or training-sized windows:
+    chunks start at 0, stride, 2·stride, … while the start is inside the
+    document, each spanning up to `chunk_tokens` tokens (the final chunk
+    is short).  stride < chunk_tokens gives the standard overlap.
+
+    Output: (doc_id, chunk_id, start, end, n_chunk_tokens, chunk_text).
+    Pure column algebra — explode(sequence) over the token arrays, rows
+    scale with Σ n_tokens/stride, no shuffle, no UDF — and every field is
+    exactly restatable in SQL (list slicing + range), so the operator is
+    value-gated end to end."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = T.tokens(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).withColumn(
+        "start",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("__n") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ),
+    )
+    chunk_len = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start"))
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_len)
+    return d.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        (F.col("start") + chunk_len).cast("long").alias("end"),
+        chunk_len.cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

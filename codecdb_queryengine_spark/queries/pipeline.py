@@ -3856,6 +3856,52 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (operators/corpus.
+    chunk_sliding — 32-token windows, stride 24): the RAG / long-context
+    prep that turns documents into retrieval-sized windows.  Gated at
+    FULL row grain — every chunk's (start, end, token count) plus the
+    md5 of its reassembled text — so an off-by-one in the window
+    arithmetic, a dropped short tail, or a slice boundary error flips
+    the hash.  Pure explode(sequence) over token arrays: rows scale with
+    Σ n_tokens/stride, no shuffle."""
+    from codecdb_queryengine_spark.operators import corpus as C
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = C.chunk_sliding(docs, chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        "end",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _chunk_overlap_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
+    return f"""
+        WITH tk AS MATERIALIZED (
+            SELECT doc_id, {_SQL_TOKENS} AS toks,
+                   CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
+            FROM documents),
+        st AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0, greatest(n, 1), {stride})) AS start
+            FROM tk)
+        SELECT doc_id,
+               CAST(start // {stride} AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS start,
+               CAST(start + least({chunk_tokens}, n - start) AS BIGINT) AS "end",
+               CAST(least({chunk_tokens}, n - start) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[CAST(start + 1 AS BIGINT)
+                        : CAST(start + least({chunk_tokens}, n - start) AS BIGINT)],
+                   ' ')) AS chunk_digest
+        FROM st ORDER BY doc_id, chunk_id
+    """
+
+
 _HYBRID_K, _HYBRID_FUSE_K, _HYBRID_RRF = 20, 10, 60
 
 
@@ -6388,6 +6434,7 @@ QUERIES = {
     "docs_stream_mutations": docs_stream_mutations,
     "docs_search_cached": docs_search_cached,
     "docs_hybrid_search": docs_hybrid_search,
+    "docs_chunk_overlap": docs_chunk_overlap,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
     "docs_stream_compact_selective": docs_stream_compact_selective,
@@ -6526,6 +6573,7 @@ ORACLE: dict[str, str] = {
     "docs_stream_mutations": _search_upserted_sql(),
     "docs_search_cached": _search_upserted_sql(),
     "docs_hybrid_search": _hybrid_search_sql(),
+    "docs_chunk_overlap": _chunk_overlap_sql(),
     "docs_search_purged": _search_ranked_sql(
         src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "
     ),
