@@ -396,11 +396,13 @@ def chunk_sliding(
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = T.tokens(text_col)
+    # NULL-text docs drop (size(null) is -1 in Spark but a NULL range in
+    # SQL — excluding them is the one semantics both engines state cleanly)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("__toks"),
         F.size(toks).alias("__n"),
-    ).withColumn(
+    ).filter(F.col("__toks").isNotNull()).withColumn(
         "start",
         F.explode(
             F.sequence(

@@ -211,3 +211,26 @@ def test_redact_masks_lexicon_and_counts(spark):
     assert out[1].red_md5 == hashlib.md5(masked.encode()).hexdigest()
     assert out[2].n_masked == 0
     assert out[2].red_md5 == hashlib.md5(b"no entities here").hexdigest()
+
+
+def test_chunk_sliding_windows_and_null_text(spark):
+    from codecdb_queryengine_spark.operators.corpus import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["end"], r["chunk_text"])
+        for r in chunk_sliding(docs, chunk_tokens=4, stride=3).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 4, "a b c d"),
+        (0, 1, 3, 7, "d e f g"),
+        (0, 2, 6, 7, "g"),
+        (1, 0, 0, 1, "x"),
+    ]  # doc 2 (NULL text) dropped; final chunks short; overlap of 1 token
+    import pytest
+
+    with pytest.raises(ValueError, match="must be positive"):
+        chunk_sliding(docs, chunk_tokens=0)
