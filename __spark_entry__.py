@@ -73,7 +73,7 @@ DRIVER_FIRST = [
     "docs_search_cached",
     "docs_hybrid_search",
     "docs_chunk_overlap",
-    # part 2: the 47 stalest names (last green r2, then r3, alphabetical)
+    # part 2: the 37 stalest names (last green r2, then r3, alphabetical)
     "dedup_ngram_jaccard",
     "docs_topterms",
     "docs_train_split",

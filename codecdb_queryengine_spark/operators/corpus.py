@@ -396,8 +396,11 @@ def chunk_sliding(
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = T.tokens(text_col)
-    # NULL-text docs drop (size(null) is -1 in Spark but a NULL range in
-    # SQL — excluding them is the one semantics both engines state cleanly)
+    # NULL-text docs drop on BOTH engines: size(null) is -1 in Spark (a
+    # sequence(0,-1) would raise), while DuckDB's range(0, greatest(NULL,1))
+    # coerces greatest(NULL,1) to 1 and would emit a phantom zero-length
+    # chunk — so the oracle carries a matching `WHERE text IS NOT NULL`
+    # and the exclusion is the stated operator semantics
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("__toks"),

@@ -3884,7 +3884,8 @@ def _chunk_overlap_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
         WITH tk AS MATERIALIZED (
             SELECT doc_id, {_SQL_TOKENS} AS toks,
                    CAST(len({_SQL_TOKENS}) AS BIGINT) AS n
-            FROM documents),
+            FROM documents
+            WHERE text IS NOT NULL),
         st AS (
             SELECT doc_id, toks, n,
                    unnest(range(0, greatest(n, 1), {stride})) AS start

@@ -26,6 +26,7 @@ cosine_pre scoring), so the sim_ann_ivf oracle gates the indexed path too.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,24 +57,36 @@ from codecdb_queryengine_spark.operators.similarity import (
 # returning silently wrong results, but correctness must not depend on every
 # caller remembering.  The gated queries serve uncached (each gate rebuilds
 # its layout per run); a long-lived serving process opts in.
-_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed on the SparkSession itself through a WeakKeyDictionary (r8 advice):
+# id(spark) can be recycled by CPython after a session is collected, which
+# would hand a NEW session a cached handle bound to the dead one — weak keys
+# make entries die with their session instead.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def invalidate_layout(path: str) -> None:
     """Drop cached scan handles for an index layout after an out-of-band
     mutation (the in-module maintenance passes call this themselves)."""
-    for key in [k for k in _SCAN_CACHE if k[1].startswith(path.rstrip("/"))]:
-        del _SCAN_CACHE[key]
+    p = path.rstrip("/")
+    for d in _SCAN_CACHE.values():
+        for key in [k for k in d if k.startswith(p)]:
+            del d[key]
 
 
 def _scan(spark: SparkSession, table_dir: str, cached: bool) -> DataFrame:
     if not cached:
         return spark.read.parquet(table_dir)
-    key = (id(spark), table_dir.rstrip("/"))
-    df = _SCAN_CACHE.get(key)
+    cache = _SCAN_CACHE.get(spark)
+    if cache is None:
+        cache = {}
+        _SCAN_CACHE[spark] = cache
+    key = table_dir.rstrip("/")
+    df = cache.get(key)
     if df is None:
         df = spark.read.parquet(table_dir)
-        _SCAN_CACHE[key] = df
+        cache[key] = df
     return df
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,11 +98,12 @@ def _buckets_of_layout(
     job per query — a long-lived serving process pays it once."""
     if not cached:
         return _read_buckets(spark, path, fallback, layout=layout)
-    key = (id(spark), path.rstrip("/"), f"nb:{layout}")
-    v = _SERVE_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = (path.rstrip("/"), f"nb:{layout}")
+    v = cache.get(key)
     if v is None:
         v = _read_buckets(spark, path, fallback, layout=layout)
-        _SERVE_CACHE[key] = v
+        cache[key] = v
     return v
 
 
@@ -415,14 +417,31 @@ _LAYOUTS: dict[str, object] = {
 # in-module mutation (upsert, purge) invalidates its layout; out-of-band
 # mutations need an explicit invalidate_layout(path) — which is exactly
 # why the cache is opt-in and the default stays uncached.
-_SERVE_CACHE: dict[tuple[int, str, str], object] = {}
+#
+# Keyed on the SparkSession itself through a WeakKeyDictionary (r8 advice):
+# id(spark) can be recycled by CPython after a session is collected, which
+# would hand a NEW session a cached plan bound to the dead one — weak keys
+# make entries die with their session instead.
+_SERVE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_cache(spark: SparkSession) -> dict[tuple[str, str], object]:
+    d = _SERVE_CACHE.get(spark)
+    if d is None:
+        d = {}
+        _SERVE_CACHE[spark] = d
+    return d
 
 
 def invalidate_layout(path: str) -> None:
-    """Drop every cached serving plan under `path` (all layouts)."""
+    """Drop every cached serving plan under `path` (all layouts, every
+    live session)."""
     p = path.rstrip("/")
-    for key in [k for k in _SERVE_CACHE if k[1] == p]:
-        del _SERVE_CACHE[key]
+    for d in _SERVE_CACHE.values():
+        for key in [k for k in d if k[0] == p]:
+            del d[key]
 
 
 def _docgen_path(path: str) -> str:
@@ -457,11 +476,12 @@ def _live_postings(
     parquet scans, so serving keeps the static-prune scale shape.
     `cached=True` memoizes the resolved overlay plan (see _SERVE_CACHE)."""
     if cached:
-        key = (id(spark), path.rstrip("/"), f"live:{layout}")
-        df = _SERVE_CACHE.get(key)
+        cache = _session_cache(spark)
+        key = (path.rstrip("/"), f"live:{layout}")
+        df = cache.get(key)
         if df is None:
             df = _live_postings(spark, path, layout)
-            _SERVE_CACHE[key] = df
+            cache[key] = df
         return df
     base = spark.read.parquet(os.path.join(path, layout))
     dg = _read_docgen(spark, path)
@@ -485,11 +505,12 @@ def _live_postings(
 def _live_doclens(spark: SparkSession, path: str, cached: bool = False) -> DataFrame:
     """doclens under the same overlay as the postings layouts."""
     if cached:
-        key = (id(spark), path.rstrip("/"), "live:doclens")
-        df = _SERVE_CACHE.get(key)
+        cache = _session_cache(spark)
+        key = (path.rstrip("/"), "live:doclens")
+        df = cache.get(key)
         if df is None:
             df = _live_doclens(spark, path)
-            _SERVE_CACHE[key] = df
+            cache[key] = df
         return df
     base = spark.read.parquet(os.path.join(path, "doclens"))
     dg = _read_docgen(spark, path)

@@ -292,7 +292,9 @@ def test_cached_serving_sees_maintenance_passes(spark, sf_dir):
     assert sorted(map(tuple, after)) == sorted(map(tuple, expected))
     # out-of-band mutations have an explicit hook
     AI.invalidate_layout(path)
-    assert all(not k[1].startswith(path) for k in AI._SCAN_CACHE)
+    assert all(
+        not key.startswith(path) for d in AI._SCAN_CACHE.values() for key in d
+    )
 
 
 def test_filtered_search_restricts_candidates_and_pushes_predicate(spark, sf_dir):

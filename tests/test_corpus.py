@@ -234,3 +234,34 @@ def test_chunk_sliding_windows_and_null_text(spark):
 
     with pytest.raises(ValueError, match="must be positive"):
         chunk_sliding(docs, chunk_tokens=0)
+
+
+def test_chunk_overlap_oracle_pair_drops_null_text(spark):
+    """The gated oracle pair (docs_chunk_overlap) on a corpus that DOES
+    contain a NULL-text doc (r8 advice: the shipped testdata has none, so
+    the stated drop-NULL semantics was never exercised oracle-side —
+    DuckDB's range(0, greatest(NULL, 1)) would emit a phantom chunk row
+    without the WHERE text IS NOT NULL guard)."""
+    import duckdb
+    import pandas as pd
+
+    from codecdb_queryengine_spark.operators.corpus import chunk_sliding
+    from codecdb_queryengine_spark.queries.pipeline import _chunk_overlap_sql
+
+    rows = [(0, "a b c d e f g"), (1, None), (2, "x y")]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(_chunk_overlap_sql(chunk_tokens=4, stride=3)).fetchall()
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = sorted(
+        (r.doc_id, r.chunk_id, r.start, r.end, r.n_chunk_tokens,
+         hashlib.md5(r.chunk_text.encode()).hexdigest())
+        for r in chunk_sliding(docs, chunk_tokens=4, stride=3).collect()
+    )
+    assert eng == oracle
+    assert not any(t[0] == 1 for t in eng)  # the NULL-text doc emits nothing
