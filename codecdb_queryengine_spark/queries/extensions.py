@@ -1282,16 +1282,26 @@ def ext_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, l_linenumber) row identity; both engines then use the
     standard ntile split (first n mod k buckets one row larger).
 
-    Scale note: a global ntile is a single total sort — fine for
-    profiling runs; the streaming-friendly form is percentile_approx
-    boundaries (ext_stats_approx) + a bucket join.
+    Scale shape (r8 verdict item 1): the assignment runs through
+    operators/ordering.global_ntile — approximate-quantile boundaries
+    give a monotone pre-bucket (balance only; counts are exact), then
+    the two-pass prefix-offset rank + ntile arithmetic.  No total sort,
+    no single-partition window, identical assignment to the oracle's
+    global ntile.  The sketch-only profile twin stays ext_stats_approx.
     """
+    from codecdb_queryengine_spark.operators import ordering as ORD
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    rows = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    tiled = ORD.global_ntile(
+        rows,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        bucket=ORD.quantile_buckets(rows, "l_extendedprice", n_buckets=32),
+        k=10,
+        out="bucket",
+    )
     return (
-        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("bucket", F.ntile(10).over(w).cast("long"))
-        .groupBy("bucket")
+        tiled.groupBy("bucket")
         .agg(
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),

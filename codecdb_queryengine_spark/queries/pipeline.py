@@ -1804,6 +1804,42 @@ def sim_ann_ivfpq_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivfpq_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector DELETE + UPDATE through the persisted IVFADC index (r8
+    verdict item 2 — the PQ tier previously required a rebuild for any
+    mutation): both quantizers are Lloyd-trained on the ORIGINAL corpus
+    and the split (max_list_rows) codes layout built, then the same
+    mutation batch as sim_ann_ivf_upserted is applied — the %17==3 slice
+    deleted, the %17==5 slice updated to REVERSED vectors (a pure
+    element permutation, so both engines mutate bit-identically).
+    ann_index.ivfpq_index_upsert re-ENCODES the updates against the
+    layout's own persisted quantizer pair (a mutated vector may migrate
+    coarse lists and changes its subspace codes), rewrites only the
+    touched lists with the slot cap re-applied, and drops any list
+    emptied by the deletes.  DPP-pruned ADC serving must equal a
+    from-scratch encode of the mutated corpus under the same fixed
+    quantizers — the oracle is the verbatim IVFADC-Lloyd replay with
+    only the encoded side swapped to the mutated-corpus CTE
+    (_ivf_pq_lloyd_sql(mutated=True)): a resurrected code row, a stale
+    pre-update code, or a missed list migration each flip the hash."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    path = _scratch_dir("ivfpq_index_upsert", sf_dir, fresh=True)
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs, max_list_rows=16)
+    AI.ivfpq_index_upsert(
+        path,
+        updates=emb.filter(F.expr(_UPS_UPD)).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        delete_ids=emb.filter(F.expr(_UPS_DEL)).select("vec_id"),
+    )
+    return AI.ivfpq_index_topk_micro(
+        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2
+    )
+
+
 def _ivf_pq_lloyd_sql(
     dim: int = 64,
     k_coarse: int = 8,
@@ -1812,6 +1848,7 @@ def _ivf_pq_lloyd_sql(
     nprobe: int = 2,
     m_sub: int = 4,
     k_codes: int = 8,
+    mutated: bool = False,
 ) -> str:
     """Bit-exact SQL replay of ivf_pq_topk_lloyd_micro: coarse Lloyd →
     residuals → per-subspace residual Lloyd → encode → probes → ADC."""
@@ -1842,6 +1879,16 @@ def _ivf_pq_lloyd_sql(
             SELECT CAST(vec_id // {stride} AS BIGINT) AS c_id, v FROM vm
             WHERE vec_id % {stride} = 0 AND vec_id < {stride * k_coarse})""",
     ]
+    if mutated:
+        # the sim_ann_ivfpq_upserted corpus: quantizers stay trained on the
+        # ORIGINAL vm (fixed at build time — same contract as the flat-IVF
+        # upsert oracle), only the ENCODED side swaps to this CTE
+        ctes.append(f"""vm_m AS MATERIALIZED (
+            SELECT vec_id, [{quant}] AS v FROM (
+                SELECT vec_id,
+                       CASE WHEN {_UPS_UPD} THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                FROM embeddings WHERE NOT {_UPS_DEL}))""")
     # coarse Lloyd rounds (the _ivf_lloyd_sql recurrence)
     for t in range(iters):
         sums = ", ".join(
@@ -1878,6 +1925,21 @@ def _ivf_pq_lloyd_sql(
         FROM assign a
         JOIN vm v ON v.vec_id = a.n_id
         JOIN {cf} c ON c.c_id = a.c_id)""")
+    if mutated:
+        # mutated-corpus residuals feed ONLY the final `codes` CTE — the
+        # residual-codebook training below keeps reading the original res
+        ctes.append(f"""assign_m AS MATERIALIZED (
+            SELECT n_id, c_id FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({l2full('v', 'c')}) ASC, c.c_id ASC) AS r
+                FROM vm_m v CROSS JOIN {cf} c) WHERE r = 1)""")
+        ctes.append(f"""res_m AS MATERIALIZED (
+            SELECT a.n_id, a.c_id AS c_list, [{resid}] AS r
+            FROM assign_m a
+            JOIN vm_m v ON v.vec_id = a.n_id
+            JOIN {cf} c ON c.c_id = a.c_id)""")
     ctes.append(f"ms AS (SELECT unnest(range(0, {m_sub})) AS m)")
     ctes.append(f"""rcb0 AS MATERIALIZED (
         SELECT ms.m, CAST(r.n_id // {stride} AS BIGINT) AS c_id,
@@ -1909,13 +1971,14 @@ def _ivf_pq_lloyd_sql(
             SELECT c.m, c.c_id, [{upd}] AS c
             FROM rcb{t} c LEFT JOIN rs{t} s ON s.m = c.m AND s.c_id = c.c_id)""")
     rcf = f"rcb{iters}"
+    enc_src = "res_m" if mutated else "res"
     ctes.append(f"""codes AS MATERIALIZED (
         SELECT n_id, c_list, m, c_id AS pq_c FROM (
             SELECT r.n_id, r.c_list, c.m, c.c_id,
                    row_number() OVER (
                        PARTITION BY r.n_id, c.m
                        ORDER BY ({l2res('r', 'c', 'c.m')}) ASC, c.c_id ASC) AS rr
-            FROM res r CROSS JOIN {rcf} c) WHERE rr = 1)""")
+            FROM {enc_src} r CROSS JOIN {rcf} c) WHERE rr = 1)""")
     ctes.append(f"""probes AS MATERIALIZED (
         SELECT q_id, c_id AS c_list FROM (
             SELECT q.vec_id AS q_id, c.c_id,
@@ -4834,19 +4897,27 @@ def docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training data-order pass, with the properties random.shuffle
     lacks at corpus scale: reproducible across runs/partitionings (pure
     hash of the id), mergeable (a doc's sort key never changes when the
-    corpus grows), and skew-free (md5 keys are uniform).  The global
-    row_number here is the gate-exact form; at 100 TB the same key feeds
-    a range-partitioned WRITE (sortWithinPartitions by key) instead of a
-    single global window — the order is identical because the key is.
-    Output sample: every 25th position, so the gate pins the whole
-    permutation through O(n/25) rows."""
+    corpus grows), and skew-free (md5 keys are uniform).  Positions come
+    from operators/ordering.global_row_number — the two-pass
+    prefix-offset form (per-bucket counts broadcast as offsets, then a
+    PARTITIONED window), never a single-partition global window: the md5
+    key is uniform over [0, 2^32), so 64 fixed-width buckets (k >> 26)
+    are the monotone step function and the plan stays parallel at any
+    corpus size (r8 verdict item 1).  Output sample: every 25th
+    position, so the gate pins the whole permutation through O(n/25)
+    rows."""
+    from codecdb_queryengine_spark.operators import ordering as ORD
+
     docs = load_tables(spark, sf_dir)["documents"]
     key = T.md5_slice32("shuffle|13|", F.col("doc_id").cast("string"))
-    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    ranked = ORD.global_row_number(
+        docs.select("doc_id", key.alias("k")),
+        [F.col("k").asc(), F.col("doc_id").asc()],
+        bucket=F.shiftright(F.col("k"), 26),
+        out="pos",
+    )
     return (
-        docs.select("doc_id", key.alias("k"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .filter((F.col("pos") % 25) == 1)
+        ranked.filter((F.col("pos") % 25) == 1)
         .select("doc_id", "pos")
         .orderBy("pos")
     )
@@ -6514,6 +6585,7 @@ QUERIES = {
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivfpq_lloyd": sim_ann_ivfpq_lloyd,
     "sim_ann_ivfpq_lloyd_indexed": sim_ann_ivfpq_lloyd_indexed,
+    "sim_ann_ivfpq_upserted": sim_ann_ivfpq_upserted,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
     "mm_phash_dedup": mm_phash_dedup,
@@ -6659,6 +6731,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd": _ivf_pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd_indexed": _ivf_pq_lloyd_sql(),
+    "sim_ann_ivfpq_upserted": _ivf_pq_lloyd_sql(mutated=True),
     "sim_ann_ivf_trained": _gate_invariants_sql(),
     "sim_ann_pq_trained": _gate_invariants_sql(),
     "mm_features": _mm_sql(),

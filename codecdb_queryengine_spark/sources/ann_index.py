@@ -207,11 +207,20 @@ def ivf_index_append(
     identical to a from-scratch build over the union (gated by
     sim_ann_ivf_indexed_append / sim_ann_ivf_appended_split under the
     verbatim sim_ann_ivf oracle)."""
-    from codecdb_queryengine_spark.sources import io as IO
-
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = _assign(new_vectors, centroids, vec_col, id_col, meta_cols)
+    _append_assigned(spark, path, assigned)
+
+
+def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> None:
+    """Layout-agnostic append core shared by the flat-IVF and IVFADC
+    indexes: `assigned` is the batch already in the layout's own row form
+    (vectors+norms for IVF, PQ codes for IVFADC) with its `c_list`
+    routing column; everything from here down is pure partition routing
+    (see ivf_index_append's docstring for the slot-aware contract)."""
+    from codecdb_queryengine_spark.sources import io as IO
+
     lists_path = os.path.join(path, "lists")
     existing = spark.read.parquet(lists_path)
     _check_append_schema(assigned, existing)
@@ -325,13 +334,33 @@ def ivf_index_upsert(
     from-scratch build over the mutated corpus with the same centroids
     (gated by sim_ann_ivf_upserted under the sim_ann_ivf oracle over a
     mutated-corpus CTE).  Returns the number of touched lists."""
-    from codecdb_queryengine_spark.sources import io as IO
-
     if updates is None and delete_ids is None:
         raise ValueError("ivf_index_upsert: nothing to do — no updates, no deletes")
     spark = spark or (updates.sparkSession if updates is not None else None)
     if spark is None:
         raise ValueError("ivf_index_upsert: pass spark= when updates is None")
+    if updates is not None:
+        centroids = spark.read.parquet(os.path.join(path, "centroids"))
+        assigned = _assign(updates, centroids, vec_col, id_col, meta_cols)
+    else:
+        assigned = None
+    return _upsert_assigned(spark, path, assigned, delete_ids)
+
+
+def _upsert_assigned(
+    spark: SparkSession,
+    path: str,
+    assigned: DataFrame | None,
+    delete_ids: DataFrame | list[int] | None,
+) -> int:
+    """Layout-agnostic upsert core shared by the flat-IVF and IVFADC
+    indexes: `assigned` is the update batch already in the layout's own
+    row form (re-assigned vectors for IVF, re-encoded PQ codes for
+    IVFADC) keyed by `n_id` with its new `c_list`; everything from here
+    down is locate → touched-list rewrite → journaled swap (see
+    ivf_index_upsert's docstring for the contract)."""
+    from codecdb_queryengine_spark.sources import io as IO
+
     lists_path = os.path.join(path, "lists")
     existing = spark.read.parquet(lists_path)
     split = "c_slot" in existing.columns
@@ -339,7 +368,7 @@ def ivf_index_upsert(
     if split and cap is None:
         raise ValueError(
             f"{path}: c_slot-split lists without a lists_meta artifact — "
-            "rebuild once with the current ivf_index_build"
+            "rebuild once with the current index build"
         )
     if delete_ids is None:
         del_df = spark.createDataFrame([], "n_id long")
@@ -347,13 +376,10 @@ def ivf_index_upsert(
         del_df = delete_ids.select(F.col(delete_ids.columns[0]).alias("n_id"))
     else:
         del_df = spark.createDataFrame([(int(i),) for i in delete_ids], "n_id long")
-    if updates is not None:
-        centroids = spark.read.parquet(os.path.join(path, "centroids"))
-        assigned = _assign(updates, centroids, vec_col, id_col, meta_cols)
+    if assigned is not None:
         _check_append_schema(assigned, existing)
         upd_ids = assigned.select("n_id")
     else:
-        assigned = None
         upd_ids = spark.createDataFrame([], "n_id long")
     mutated = del_df.unionByName(upd_ids).distinct()
     located = (
@@ -416,16 +442,23 @@ def _with_slots(lists: DataFrame, cap: int) -> DataFrame:
     """Add the secondary `c_slot` partition column: each list spreads its
     rows over ceil(n/cap) slots via pmod(n_id, n_slots) — no per-list
     window, so a hot list never funnels through one task.  The per-list
-    count aggregate is K'-rows-sized however big the corpus."""
-    counts = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n"))
-    n_slots = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.col("_n") / F.lit(cap)).cast("long"),
+    count aggregate is K'-rows-sized however big the corpus, and it runs
+    as its OWN collected pass: joining the lazy aggregate back to its own
+    lineage lets the optimizer plant a dynamic-pruning filter across the
+    self-join, which Spark then fails to prepare under codegen on the
+    IVFADC upsert plan (`IN dynamicpruning#N has not finished`) — a
+    K'-row LocalRelation build side leaves nothing to plan a subquery
+    from, and is the two-pass shape the docstrings promise anyway."""
+    spark = lists.sparkSession
+    rows = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
+    slots = sorted(
+        (int(r["c_list"]), max(1, -(-int(r["_n"]) // cap))) for r in rows
     )
+    sdf = spark.createDataFrame(slots, "c_list long, _slots long")
     return (
-        lists.join(F.broadcast(counts), "c_list")
-        .withColumn("c_slot", F.pmod(F.col("n_id"), n_slots))
-        .drop("_n")
+        lists.join(F.broadcast(sdf), "c_list")
+        .withColumn("c_slot", F.pmod(F.col("n_id"), F.col("_slots")))
+        .drop("_slots")
     )
 
 
@@ -687,16 +720,7 @@ def ivfpq_index_topk_micro(
     window, i.e. plausible-looking garbage instead of an error."""
     from codecdb_queryengine_spark.operators.similarity import ivfpq_rank_micro
 
-    cents = sorted(
-        (int(r["c_id"]), [int(x) for x in r["c"]])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-    )
-    cbs = sorted(
-        (int(r["m"]), int(r["c_id"]), [int(x) for x in r["c_sub"]])
-        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
-    )
-    if not cents or not cbs:
-        raise ValueError(f"ivfpq_index_topk_micro: empty model artifacts at {path}")
+    cents, cbs = _read_pq_models(spark, path)
     dim = len(cents[0][1])
     num_subspaces = len({m for m, _, _ in cbs})
     num_codewords = max(c_id for _, c_id, _ in cbs) + 1
@@ -714,3 +738,97 @@ def ivfpq_index_topk_micro(
         num_codewords=num_codewords,
         probe_list_type=part_type,
     )
+
+
+def _read_pq_models(spark: SparkSession, path: str) -> tuple[list, list]:
+    """The layout's OWN persisted quantizer pair (coarse centroids +
+    residual codebooks), collected back into the literal-model form the
+    similarity expressions take.  Maintenance passes must re-encode
+    against these — never a caller-supplied model — or serving would mix
+    codes from two quantizers (the same index-layout discipline as
+    ivf_index_append's centroid read-back)."""
+    cents = sorted(
+        (int(r["c_id"]), [int(x) for x in r["c"]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    cbs = sorted(
+        (int(r["m"]), int(r["c_id"]), [int(x) for x in r["c_sub"]])
+        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    )
+    if not cents or not cbs:
+        raise ValueError(f"empty IVFADC model artifacts at {path}")
+    return cents, cbs
+
+
+def _encode_against_layout(
+    new_vectors: DataFrame, path: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """Encode a batch against the layout's persisted quantizers:
+    (n_id, c_list, cmap) rows in the lists schema — one shuffle-free
+    literal-model projection (similarity.ivfpq_encode_micro), with dim /
+    num_subspaces inferred from the artifacts (r5 review: stale
+    caller-supplied hyperparameters would NULL the ADC lookups)."""
+    from codecdb_queryengine_spark.operators.similarity import ivfpq_encode_micro
+
+    cents, cbs = _read_pq_models(new_vectors.sparkSession, path)
+    return ivfpq_encode_micro(
+        new_vectors,
+        cents,
+        cbs,
+        dim=len(cents[0][1]),
+        vec_col=vec_col,
+        id_col=id_col,
+        num_subspaces=len({m for m, _, _ in cbs}),
+    )
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVFADC index (r8 verdict
+    item 2 — the PQ tier previously required a rebuild to grow): the
+    batch is re-encoded against the layout's OWN persisted quantizers
+    (codes from one model, always), then routed through the same
+    slot-aware append core as the flat-IVF layout — new files land only
+    in the touched c_list directories, a list pushed past its persisted
+    cap is re-sharded alone through the journaled swap.  Maintenance
+    cost O(batch + touched lists), not O(corpus)."""
+    spark = new_vectors.sparkSession
+    _append_assigned(
+        spark, path, _encode_against_layout(new_vectors, path, vec_col, id_col)
+    )
+
+
+def ivfpq_index_upsert(
+    path: str,
+    updates: DataFrame | None = None,
+    delete_ids: DataFrame | list[int] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    spark: SparkSession | None = None,
+) -> int:
+    """Vector UPDATE + DELETE against the persisted IVFADC index (r8
+    verdict item 2): update vectors are RE-ENCODED against the layout's
+    persisted quantizer pair (an update may migrate between coarse lists
+    AND change its subspace codes), deletes drop the id's code row, and
+    only the touched inverted lists are rewritten — located via a
+    column-pruned (n_id, c_list) projection of the codes, promoted
+    through the journaled two-phase swap with the persisted slot cap
+    re-applied.  Serving must equal a from-scratch encode of the mutated
+    corpus under the same (fixed) quantizers — gated by
+    sim_ann_ivfpq_upserted under the verbatim IVFADC-Lloyd oracle over a
+    mutated-corpus CTE.  Returns the number of touched lists."""
+    if updates is None and delete_ids is None:
+        raise ValueError("ivfpq_index_upsert: nothing to do — no updates, no deletes")
+    spark = spark or (updates.sparkSession if updates is not None else None)
+    if spark is None:
+        raise ValueError("ivfpq_index_upsert: pass spark= when updates is None")
+    assigned = (
+        _encode_against_layout(updates, path, vec_col, id_col)
+        if updates is not None
+        else None
+    )
+    return _upsert_assigned(spark, path, assigned, delete_ids)

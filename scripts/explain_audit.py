@@ -112,6 +112,7 @@ EXPECT_DPP = {
     "sim_ann_ivf_filtered",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
+    "sim_ann_ivfpq_upserted",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
     "emb_stream_ivfpq_ingest",
@@ -128,11 +129,73 @@ EXPECT_BUCKETED_NOSHUFFLE = {
 }
 
 
-def audit(name: str, plan: str) -> tuple[bool, str]:
+# Queries allowed a PARTITION-LESS window (Exchange SinglePartition + one
+# sorting task): only plans where the window's INPUT is already bounded by
+# construction, so the single task sees O(k) rows regardless of corpus size.
+# Anything else funnels the data through one task — the r8 verdict's last
+# scale-killer class (docs_shuffle_order / ext_equidepth_hist, both now
+# rewritten onto operators/ordering's two-pass prefix-offset form).
+EXPECT_GLOBAL_WINDOW = {
+    # RRF fusion ranks the two ≤20-row top-k serving legs (bounded by K,
+    # not the corpus) before the final fuse
+    "docs_hybrid_search",
+}
+
+
+def _walk_jplan(node):
+    """Every physical node, descending through AQE wrappers, query stages,
+    cached-relation plans and subqueries (best-effort on the last two)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_jplan(node.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_jplan(node.plan())
+        return
+    yield node
+    if cls == "InMemoryTableScanExec":
+        try:
+            yield from _walk_jplan(node.relation().cachedPlan())
+        except Exception:  # noqa: BLE001
+            pass
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _walk_jplan(subs.apply(i))
+    except Exception:  # noqa: BLE001
+        pass
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_jplan(ch.apply(i))
+
+
+def global_windows(jplan) -> list[str]:
+    """Window nodes whose partitionSpec is EMPTY — each one is an
+    `Exchange SinglePartition` + a single sorting task in the executed
+    plan (Spark's own WindowExec warning), i.e. a non-parallel stage."""
+    hits = []
+    for n in _walk_jplan(jplan):
+        cls = n.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            try:
+                if n.partitionSpec().isEmpty():
+                    hits.append(cls)
+            except Exception:  # noqa: BLE001
+                pass
+    return hits
+
+
+def audit(name: str, plan: str, gwins: list[str] | None = None) -> tuple[bool, str]:
     notes = []
     ok = True
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     notes.append(f"pushed={pushed}")
+    if gwins:
+        if name in EXPECT_GLOBAL_WINDOW:
+            notes.append("gwin(expected)")
+        else:
+            notes.append(f"GLOBAL-WINDOW!({','.join(gwins)})")
+            ok = False
     if name in EXPECT_DPP:
         # The expression must be LIVE (`c_list IN dynamicpruning#N`), not
         # the degraded `dynamicpruningexpression(true)` Spark leaves behind
@@ -201,8 +264,8 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             df.collect()  # drive to completion so AQE finalizes the plan
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            ok, notes = audit(name, plan)
+            jplan = df._jdf.queryExecution().executedPlan()
+            ok, notes = audit(name, jplan.toString(), global_windows(jplan))
         except Exception as e:  # noqa: BLE001
             ok, notes = False, f"EXCEPTION {e}"
         print(f"{'OK ' if ok else 'BAD'} {name:22s} {notes}", flush=True)

@@ -371,3 +371,59 @@ def test_ivfpq_index_matches_inmemory_exact(spark, sf_dir):
     # the lists layout really is codes-only: no vector column persisted
     lists = spark.read.parquet(os.path.join(path, "lists"))
     assert set(lists.columns) == {"n_id", "cmap", "c_list"}
+
+
+def test_ivfpq_append_matches_full_build(spark, sf_dir):
+    """IVFADC incremental append (r8 verdict item 2): appending the odd
+    half into a split codes layout built from the even half must serve
+    EXACTLY what a from-scratch encode of the full corpus serves under
+    the same persisted quantizers — the appended codes came off the
+    layout's own model artifacts, never the caller's."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    path = tempfile.mkdtemp(prefix="ivfpq_append_")
+    AI.ivfpq_index_build_micro(
+        emb.filter(F.col("vec_id") % 2 == 0), path, cents, cbs, max_list_rows=16
+    )
+    AI.ivfpq_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    full_p = tempfile.mkdtemp(prefix="ivfpq_append_full_")
+    AI.ivfpq_index_build_micro(emb, full_p, cents, cbs, max_list_rows=16)
+    a = AI.ivfpq_index_topk_micro(spark, path, _queries(emb), k=5, nprobe=2).collect()
+    b = AI.ivfpq_index_topk_micro(spark, full_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_upsert_matches_fresh_encode_over_mutated_corpus(spark, sf_dir):
+    """IVFADC delete/update (r8 verdict item 2): after deleting one slice
+    and updating another (reversed vectors), the upserted codes layout
+    must serve exactly what a fresh encode of the mutated corpus serves
+    under the same fixed quantizer pair, on a SPLIT layout so the cap
+    re-application path runs; deleted ids must be gone from the codes."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    mut_pred = F.col("vec_id") >= 5  # never a query vector
+    del_pred = (F.col("vec_id") % 17 == 3) & mut_pred
+    upd_pred = (F.col("vec_id") % 17 == 5) & mut_pred
+    path = tempfile.mkdtemp(prefix="ivfpq_upsert_")
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs, max_list_rows=16)
+    dels = [int(r[0]) for r in emb.filter(del_pred).select("vec_id").collect()]
+    upds = emb.filter(upd_pred).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    n = AI.ivfpq_index_upsert(path, updates=upds, delete_ids=dels)
+    assert n > 0
+    mutated = emb.filter(~del_pred).select(
+        "vec_id",
+        F.when(upd_pred, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    fresh_p = tempfile.mkdtemp(prefix="ivfpq_fresh_mut_")
+    AI.ivfpq_index_build_micro(mutated, fresh_p, cents, cbs, max_list_rows=16)
+    a = AI.ivfpq_index_topk_micro(spark, path, _queries(emb), k=5, nprobe=2).collect()
+    b = AI.ivfpq_index_topk_micro(spark, fresh_p, _queries(emb), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    assert set(lists.columns) == {"n_id", "cmap", "c_list", "c_slot"}
+    left = {r.n_id for r in lists.select("n_id").collect()}
+    assert not (left & set(dels))
