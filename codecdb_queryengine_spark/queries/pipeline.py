@@ -4051,6 +4051,160 @@ def _hybrid_search_sql() -> str:
     """
 
 
+# The in-flight batch for docs_hybrid_search_batch: 8 concurrent hybrid
+# queries — query i pairs the embedding vec_id=i with its own term set
+# (drawn from the synthetic corpus vocabulary, so every text leg matches).
+_HYBRID_BATCH: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join"]),
+    (1, ["scan", "filter"]),
+    (2, ["merge", "sort"]),
+    (3, ["vector", "stream"]),
+    (4, ["window", "group"]),
+    (5, ["batch", "row"]),
+    (6, ["column", "table"]),
+    (7, ["query", "fast", "slow"]),
+]
+
+
+def docs_hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH hybrid retrieval (r8 verdict item 3 — docs_hybrid_search
+    serves exactly one query): 8 concurrent queries, each fusing its own
+    BM25 term set with its own query embedding by per-query RRF.  The
+    text legs run as ONE pass over the persisted ranked layout
+    (text_index_search_ranked_batch: postings pruned once to the union
+    term set, broadcast (q_id, term) fan-out, Window.partitionBy(q_id)
+    ranks); the vector legs are one brute-force pass (8 broadcast
+    queries × all vectors — sim_topk's cost model); the fusion is a
+    (q_id, doc_id) full outer join and a PARTITIONED top-10 rank per
+    query.  No partition-less window anywhere — the batch form retires
+    the single-query gate's whitelisted bounded global rank.  RRF
+    doubles hash bit-exact for the single-query gate's reason: two
+    integer ranks, one IEEE division each, summed in fixed (text,
+    vector) order."""
+    from codecdb_queryengine_spark.sources import text_index as TI
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch_dir("text_index", sf_dir)
+    TI.text_index_build_ranked(docs, path)
+    bm = TI.text_index_search_ranked_batch(
+        spark, path, _HYBRID_BATCH, k=_HYBRID_K
+    ).select("q_id", "doc_id", F.col("rk").alias("rk_t"))
+    qv = emb.filter(F.col("vec_id") < len(_HYBRID_BATCH)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vv = S.brute_force_topk(emb, qv, k=_HYBRID_K).select(
+        "q_id",
+        F.col("n_id").alias("doc_id"),
+        F.col("rk").cast("long").alias("rk_v"),
+    )
+    c = float(_HYBRID_RRF)
+    fused = bm.join(vv, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rk_t")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rk_v")), F.lit(0.0))
+        ).alias("rrf"),
+        "rk_t",
+        "rk_v",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _HYBRID_FUSE_K)
+        .orderBy("q_id", "rk")
+    )
+
+
+def _hybrid_batch_sql(k1: float = 1.25, b: float = 0.75) -> str:
+    union_terms = sorted({t for _, ts in _HYBRID_BATCH for t in ts})
+    terms_in = ", ".join(f"'{t}'" for t in union_terms)
+    qvals = ", ".join(
+        f"({q}, '{t}')" for q, ts in sorted(_HYBRID_BATCH) for t in sorted(set(ts))
+    )
+    cases = ", ".join(
+        f"max(CASE WHEN p.term = '{t}' THEN part END) AS p{i}"
+        for i, t in enumerate(union_terms)
+    )
+    score = " + ".join(f"coalesce(p{i}, 0.0)" for i in range(len(union_terms)))
+    nq = len(_HYBRID_BATCH)
+    c = _HYBRID_RRF
+    return f"""
+        WITH qs(q_id, term) AS (SELECT * FROM (VALUES {qvals})),
+        tok AS MATERIALIZED (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        dl AS MATERIALIZED (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        st AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+            WHERE term IN ({terms_in})
+            GROUP BY doc_id, term),
+        f AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        parts AS MATERIALIZED (
+            SELECT t.doc_id, t.term,
+                   ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                    / (CAST(f.df AS DOUBLE) + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * {k1 + 1.0})
+                      / (CAST(t.tf AS DOUBLE)
+                         + {k1} * ({1.0 - b} + {b}
+                             * (CAST(d.dl AS DOUBLE)
+                                / (CAST(s.sum_dl AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE)))))) AS part
+            FROM tf t
+            JOIN dl d ON d.doc_id = t.doc_id
+            JOIN f ON f.term = t.term
+            CROSS JOIN st s),
+        agg AS MATERIALIZED (
+            SELECT q.q_id, p.doc_id, {cases}
+            FROM parts p JOIN qs q ON q.term = p.term
+            GROUP BY q.q_id, p.doc_id),
+        bm AS MATERIALIZED (
+            SELECT q_id, doc_id, rk_t FROM (
+                SELECT q_id, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY {score} DESC, doc_id ASC) AS BIGINT) AS rk_t
+                FROM agg)
+            WHERE rk_t <= {_HYBRID_K}),
+        nv AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding', 64)}) AS nrm
+            FROM embeddings),
+        vv AS MATERIALIZED (
+            SELECT q_id, doc_id, rk_v FROM (
+                SELECT q.vec_id AS q_id, n.vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({_sql_dot('q.embedding', 'n.embedding', 64)})
+                                    / (q.nrm * n.nrm) DESC,
+                                    n.vec_id ASC) AS BIGINT) AS rk_v
+                FROM nv q JOIN nv n ON q.vec_id <> n.vec_id
+                WHERE q.vec_id < {nq})
+            WHERE rk_v <= {_HYBRID_K}),
+        fused AS (
+            SELECT coalesce(bm.q_id, vv.q_id) AS q_id,
+                   coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+                   coalesce(1.0 / ({c} + rk_t), 0.0)
+                     + coalesce(1.0 / ({c} + rk_v), 0.0) AS rrf,
+                   rk_t, rk_v
+            FROM bm
+            FULL OUTER JOIN vv ON bm.q_id = vv.q_id AND bm.doc_id = vv.doc_id)
+        SELECT q_id, doc_id, rrf, rk_t, rk_v, rk FROM (
+            SELECT q_id, doc_id, rrf, rk_t, rk_v,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+            FROM fused)
+        WHERE rk <= {_HYBRID_FUSE_K} ORDER BY q_id, rk
+    """
+
+
 def docs_search_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text index's CACHED serving path under the value gate (the
     sim_ann_ivf_cached twin): cached=True memoizes the resolved overlay
@@ -6506,6 +6660,7 @@ QUERIES = {
     "docs_stream_mutations": docs_stream_mutations,
     "docs_search_cached": docs_search_cached,
     "docs_hybrid_search": docs_hybrid_search,
+    "docs_hybrid_search_batch": docs_hybrid_search_batch,
     "docs_chunk_overlap": docs_chunk_overlap,
     "docs_stream_index_ingest": docs_stream_index_ingest,
     "docs_stream_index_compact": docs_stream_index_compact,
@@ -6646,6 +6801,7 @@ ORACLE: dict[str, str] = {
     "docs_stream_mutations": _search_upserted_sql(),
     "docs_search_cached": _search_upserted_sql(),
     "docs_hybrid_search": _hybrid_search_sql(),
+    "docs_hybrid_search_batch": _hybrid_batch_sql(),
     "docs_chunk_overlap": _chunk_overlap_sql(),
     "docs_search_purged": _search_ranked_sql(
         src="mutated", pre_cte=_TI_MUTATED_CTE + "\n        "

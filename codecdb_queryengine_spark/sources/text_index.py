@@ -30,7 +30,7 @@ import hashlib
 import os
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codecdb_queryengine_spark.functions import text as T
@@ -365,6 +365,86 @@ def text_index_search_ranked(
         agg.select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def text_index_search_ranked_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.25,
+    b: float = 0.75,
+    num_buckets: int = 32,
+    cached: bool = False,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries in ONE pass over the serving
+    layout (r8 verdict item 3 — the single-query form answers one term
+    set per plan; a serving stack amortizes the postings scan over the
+    whole in-flight batch): `queries` is [(q_id, terms)], the postings
+    scan is pruned ONCE to the union of every query's buckets/terms, a
+    broadcast (q_id, term) join fans each matching posting out to the
+    queries that asked for its term, and ranking is a
+    Window.partitionBy(q_id) — every stage parallel in the batch, never
+    a single-partition window.
+
+    Scores are bit-identical to the single-query path: per-term parts
+    use the same idf_r·tff expressions (df per term is a property of the
+    corpus, not of the batch), and each (q_id, doc) score sums its parts
+    in the FIXED global sorted-union term order via one pivoted column
+    per term — terms a query didn't ask for are absent by the fan-out
+    join and coalesce to 0.0.  Output: (q_id, doc_id, score, rk)."""
+    assert queries and all(ts for _, ts in queries), "empty batch/query"
+    union_terms = sorted({t for _, ts in queries for t in ts})
+    num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_tf", cached)
+    buckets = sorted({_bucket_of(t, num_buckets) for t in union_terms})
+    tfp = (
+        _live_postings(spark, path, "postings_tf", cached)
+        .filter(F.col("t_bucket").isin(buckets) & F.col("term").isin(union_terms))
+        .select("doc_id", "term", "tf")
+    )
+    doclens = _live_doclens(spark, path, cached)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfs = tfp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hits = (
+        tfp.join(doclens, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_r = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tff = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    qdf = spark.createDataFrame(
+        sorted((int(q), t) for q, ts in queries for t in set(ts)),
+        "q_id long, term string",
+    )
+    parts = (
+        hits.select("doc_id", "term", (idf_r * tff).alias("part"))
+        .join(F.broadcast(qdf), "term")
+    )
+    agg = parts.groupBy("q_id", "doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("part"))).alias(f"p{i}")
+            for i, t in enumerate(union_terms)
+        ]
+    )
+    score = F.coalesce(F.col("p0"), F.lit(0.0))
+    for i in range(1, len(union_terms)):
+        score = score + F.coalesce(F.col(f"p{i}"), F.lit(0.0))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.select("q_id", "doc_id", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
     )
 
 

@@ -66,8 +66,10 @@ EXPECT_NESTED = {
     # the post-purge gate runs the identical BM25 serving plan
     "docs_search_purged",
     # hybrid retrieval composes that BM25 plan with the brute-force cosine
-    # leg (one broadcast query × all vectors — sim_topk's cost model)
+    # leg (broadcast queries × all vectors — sim_topk's cost model; the
+    # batch form fans 8 broadcast queries through the same single pass)
     "docs_hybrid_search",
+    "docs_hybrid_search_batch",
     # heavy-hitters joins the 1-row total-count aggregate to every candidate
     # count row (the de-collected threshold probe, r4)
     "text_heavy_hitters",

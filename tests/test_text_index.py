@@ -519,3 +519,35 @@ def test_build_all_one_pass_equals_separate_builds(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown layouts"):
         TI.text_index_build_all(_corpus(spark), one, layouts=("nope",))
+
+
+def test_batch_ranked_search_matches_single_query_per_query(spark, tmp_path):
+    """text_index_search_ranked_batch (r8 verdict item 3): each query's
+    (doc_id, score, rank) slice must be bit-identical to running the
+    single-query ranked search with that query's own term set — the
+    union-pruned one-pass batch plan may not perturb per-query BM25
+    scores or tie-breaks — and every window in the plan is partitioned."""
+    path = str(tmp_path / "ti_batch")
+    TI.text_index_build_ranked(_corpus(spark), path, num_buckets=8)
+    batch = [(0, ["alpha", "beta"]), (1, ["gamma"]), (2, ["beta", "delta"])]
+    out = TI.text_index_search_ranked_batch(spark, path, batch, k=10)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((r["rk"], r["doc_id"], r["score"]))
+    for q_id, terms in batch:
+        single = TI.text_index_search_ranked(spark, path, terms, k=10).collect()
+        want = [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(single)]
+        assert sorted(got[q_id]) == want, (q_id, terms)
+    # the batch plan never funnels through a partition-less window (the
+    # audit's tree check; the 1-row corpus-stats aggregate legitimately
+    # keeps an Exchange SinglePartition of 1-row partials)
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts", "explain_audit.py"),
+    )
+    audit_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit_mod)
+    assert audit_mod.global_windows(out._jdf.queryExecution().executedPlan()) == []
