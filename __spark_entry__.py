@@ -40,78 +40,120 @@ BENCH_SKIP |= {
 }
 
 # The driver's correctness gate truncates at the first 50 queries() entries
-# (observed: CORRECTNESS_r01/r02 cover exactly entries 1-50).  Round-8
-# rotation policy (r7 verdict item 8): with every registered name green at
-# least once across r1-r7, the window is now STALENESS-KEYED — the new r8
+# (observed: CORRECTNESS_r01/r02 cover exactly entries 1-50).  Rotation
+# policy (r7 verdict item 8, STALENESS-KEYED since r8): the new round's
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
-# the remaining slots.  This window drains ALL 20 names last green in r2
-# and 17 of the 36 last green in r3; the stalest name left outside is
-# r3-green (5 rounds), and repeating this policy keeps the bound at
-# ceil((surface - new) / 37) ≈ 5 rounds as the surface grows.  Everything
-# rotated out stays covered by scripts/check_correctness.py over the full
-# surface (ORACLE_NDIGITS=exact for the bit-exact standard).
+# the remaining slots.  Round-9 window: the 2 new r9 gates + all 19 names
+# last green in r3 + the first 29 (alphabetically) of the 42 last green in
+# r4 — after r9 the stalest name outside the window is r4-green (5 rounds),
+# holding the policy's ceil((surface - new) / 48) ≈ 5-round bound as the
+# surface grows.  Everything rotated out stays covered by
+# scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
+# for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the thirteen r8 gates — mutable-ANN-index lifecycle (slot-aware
-    # append into a split layout, vector delete/update via touched-list
-    # rewrite), partition-selective compaction, the mutable TEXT index
-    # (document upsert/delete via base+delta+tombstone overlay, purge fold),
-    # the clustered-layout lifecycle (z-append + selective re-cluster),
-    # deterministic corpus rebalancing + mixture materialization, CDC
-    # mutation streams into the text index, cached serving on both index
-    # families, and RRF hybrid retrieval over the two persisted indexes
-    "docs_stream_compact_selective",
-    "sim_ann_ivf_appended_split",
-    "sim_ann_ivf_upserted",
-    "docs_search_upserted",
-    "docs_search_purged",
-    "ext_zorder_lifecycle",
-    "docs_downsample_stratified",
-    "docs_corpus_mix",
-    "docs_stream_mutations",
-    "sim_ann_ivf_cached",
-    "docs_search_cached",
-    "docs_hybrid_search",
-    "docs_chunk_overlap",
-    # part 2: the 37 stalest names (last green r2, then r3, alphabetical)
-    "dedup_ngram_jaccard",
-    "docs_topterms",
-    "docs_train_split",
-    "ssb_q1_2",
-    "ssb_q1_3",
-    "ssb_q2_1",
-    "ssb_q2_2",
-    "ssb_q2_3",
-    "ssb_q3_1",
-    "ssb_q3_2",
-    "ssb_q3_3",
-    "ssb_q3_4",
-    "ssb_q4_2",
-    "ssb_q4_3",
-    "text_bpe_stats",
-    "text_countmin",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_fuzzy",
-    "dedup_incremental",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "docs_stream_ingest",
-    "events_asof",
-    "events_range_join",
-    "events_stream_dedup",
-    "events_stream_join",
-    "events_stream_sessions",
-    "events_stream_totals",
-    "events_stream_window",
-    "ext_rollup",
+    # part 1: the two r9 gates — IVFADC (PQ-tier) index mutability
+    # (vector upsert/delete re-encoded against the layout's persisted
+    # quantizers) and batched hybrid retrieval (8 concurrent per-query
+    # RRF fusions over one pass per index)
+    "docs_hybrid_search_batch",
+    "sim_ann_ivfpq_upserted",
+    # part 2: the 48 stalest names (last green r3, then the first 29 of
+    # r4's 42, alphabetical within a round)
+    "ext_salted_agg",
+    "ext_setops",
+    "ext_window_funcs",
+    "ext_zorder",
+    "q10",
+    "q11",
+    "q12",
+    "q14",
+    "q15",
+    "q16",
+    "q18",
+    "q2",
+    "q20",
+    "q3",
+    "q4",
+    "q5",
+    "q7",
+    "q8",
+    "sim_ann_lsh",
+    "dedup_canonical",
+    "dedup_keep_docs",
+    "dedup_report",
+    "docs_bigrams",
+    "docs_decontaminate",
+    "docs_pack_chunks",
+    "docs_pack_sequences",
+    "docs_quality_by_source",
+    "docs_quality_filter",
+    "docs_sample_stratified",
+    "docs_sample_weighted",
+    "docs_stream_quality",
+    "docs_tfidf",
+    "emb_stream_encode",
+    "events_anomaly",
+    "events_asof_forward",
+    "events_funnel",
+    "events_json_props",
+    "events_resample",
+    "events_retention",
+    "events_sessionize",
+    "events_stream_enrich",
+    "events_stream_score",
+    "events_stream_sliding",
+    "events_window",
+    "ext_corr",
+    "ext_grouped_topk",
+    "ext_join_skew",
+    "ext_profile",
 ]
+
+
+# Gates that BUILD a persisted scratch layout (index/model/file lifecycle)
+# before serving.  bench.py times these LAST as their own family, after the
+# relational/streaming core, with a cache-clear + JVM GC at the family
+# boundary: r8's close showed the ten index-building gates' allocation
+# churn skewing sub-second relational queries 2-3x run-to-run when
+# interleaved (r8 verdict item 4).  tests/test_entry_contract.py regenerates
+# this set from the query sources (every gate whose body calls
+# _scratch_dir), so it cannot drift from the registry.
+BENCH_LIFECYCLE = frozenset({
+    "docs_binaryfile",
+    "docs_compact_roundtrip",
+    "docs_hybrid_search",
+    "docs_hybrid_search_batch",
+    "docs_io_roundtrip",
+    "docs_search_cached",
+    "docs_search_index",
+    "docs_search_phrase",
+    "docs_search_purged",
+    "docs_search_ranked",
+    "docs_search_upserted",
+    "docs_stream_compact_selective",
+    "docs_stream_index_compact",
+    "docs_stream_index_ingest",
+    "docs_stream_mutations",
+    "docs_upsert_partitioned",
+    "emb_pca_served",
+    "emb_stream_index_compact",
+    "emb_stream_index_ingest",
+    "emb_stream_ivfpq_ingest",
+    "ext_zorder_lifecycle",
+    "graph_cc_chain_ckpt",
+    "graph_pagerank_ckpt",
+    "sim_ann_ivf_appended_split",
+    "sim_ann_ivf_cached",
+    "sim_ann_ivf_filtered",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_indexed_append",
+    "sim_ann_ivf_indexed_split",
+    "sim_ann_ivf_lloyd_indexed",
+    "sim_ann_ivf_upserted",
+    "sim_ann_ivfpq_lloyd_indexed",
+    "sim_ann_ivfpq_upserted",
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:

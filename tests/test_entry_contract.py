@@ -66,3 +66,34 @@ def test_no_duplicate_registry_keys_in_module_sources():
             keys = re.findall(r'^\s{4}"([^"]+)":', m.group(1), re.M)
             kd = {k for k in keys if keys.count(k) > 1}
             assert not kd, f"{mod.name} {dict_name}: duplicate keys {sorted(kd)}"
+
+
+def test_bench_lifecycle_set_matches_scratch_layout_gates():
+    """BENCH_LIFECYCLE (the bench's isolated last-run family, r8 verdict
+    item 4) must be EXACTLY the gates whose body builds a persisted
+    scratch layout (_scratch_dir) — regenerated from the query sources so
+    the set can't drift as gates are added or retired."""
+    import os
+    import re
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "codecdb_queryengine_spark",
+        "queries",
+    )
+    derived = set()
+    for mod in ("pipeline.py", "extensions.py"):
+        src = open(os.path.join(qdir, mod)).read()
+        for fname, body in re.findall(
+            r"def (\w+)\(spark: SparkSession, sf_dir: str\) -> DataFrame:"
+            r"(.*?)(?=\ndef |\Z)",
+            src,
+            re.S,
+        ):
+            if "_scratch_dir(" in body:
+                derived.add(fname)
+    registered = derived & set(entry.queries())
+    assert entry.BENCH_LIFECYCLE == registered, (
+        sorted(entry.BENCH_LIFECYCLE - registered),
+        sorted(registered - entry.BENCH_LIFECYCLE),
+    )
