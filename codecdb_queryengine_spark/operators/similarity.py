@@ -531,6 +531,34 @@ def _centroid_sims(vec: Column) -> Column:
     )
 
 
+# Above this coarse-model size, ivfpq_encode_micro switches from the
+# literal array_min expression (whose SQL text grows with K·dim) to the
+# broadcast-model integer fold.  Both compute the identical
+# (min d, tie min c_id) assignment — pinned by tests/test_lloyd.py.
+_ENCODE_LITERAL_MAX = 32
+
+
+def _fold_argmin_micro(entries: Column) -> Column:
+    """struct(d bigint, c_id long, c array<long>) with the SMALLEST
+    integer L2 (ties to the smaller c_id) from an array of candidate
+    structs — the broadcast-fold twin of the literal
+    array_min(_sql_dist_arr(...)) ranking (lexicographic (d, c_id); the
+    carried center array never participates because c_id is unique)."""
+    init = F.struct(
+        F.lit(2**62).cast("long").alias("d"),
+        F.lit(-1).cast("long").alias("c_id"),
+        F.array().cast("array<long>").alias("c"),
+    )
+    return F.aggregate(
+        entries,
+        init,
+        lambda acc, s: F.when(
+            (s["d"] < acc["d"]) | ((s["d"] == acc["d"]) & (s["c_id"] < acc["c_id"])),
+            s,
+        ).otherwise(acc),
+    )
+
+
 def _fold_argmin_d(entries: Column) -> Column:
     """struct(d double, c_id long) with the SMALLEST d (ties to the
     smaller c_id) from an array<struct(d, c_id)> — the exact min_by
@@ -1631,19 +1659,64 @@ def ivfpq_encode_micro(
     num_subspaces: int = 4,
 ) -> DataFrame:
     """Encode the corpus against a trained IVFADC model: ONE shuffle-free
-    projection (n_id, c_list, cmap) — literal-model coarse argmin +
-    residual + per-subspace residual-codeword argmin, all map-side
-    (see ivf_pq_topk_lloyd_micro's plan-shape note)."""
+    projection (n_id, c_list, cmap) — coarse argmin + residual +
+    per-subspace residual-codeword argmin, all map-side (see
+    ivf_pq_topk_lloyd_micro's plan-shape note).
+
+    The coarse assignment picks its expression form by model size: up to
+    _ENCODE_LITERAL_MAX centroids inline as the literal array_min
+    expression (the oracle-shaped form); past that the SQL text grows
+    with K·dim and breaks codegen, so the model rides as a 1-row
+    broadcast array and a per-row integer-L2 fold computes the SAME
+    (min d, tie min c_id) ranking — the flat-IVF _assign shape, scaling
+    to thousands of centroids (r9: what lets the persisted-IVFADC
+    mutation path run at corpus-grain quantizers)."""
     sub = dim // num_subspaces
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
-    best = _micro_argmin_sql("v", cents, with_center=True)
-    res = vm.selectExpr(
-        "n_id",
-        f"({best}).c_id AS c_list",
-        f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
-    )
+    if len(cents) <= _ENCODE_LITERAL_MAX:
+        best = _micro_argmin_sql("v", cents, with_center=True)
+        res = vm.selectExpr(
+            "n_id",
+            f"({best}).c_id AS c_list",
+            f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
+        )
+    else:
+        cmodel = F.broadcast(
+            _model_1row(
+                vectors.sparkSession.createDataFrame(
+                    sorted(cents), "c_id long, c array<long>"
+                ),
+                "c_id",
+                "c",
+            )
+        )
+        entries = F.transform(
+            F.col("model"),
+            lambda c: F.struct(
+                l2_micro(F.col("v"), c["c"]).alias("d"),
+                c["c_id"].cast("long").alias("c_id"),
+                c["c"].alias("c"),
+            ),
+        )
+        best_c = _fold_argmin_micro(entries)
+        res = (
+            _spread(vm)
+            .crossJoin(cmodel)
+            .select(
+                "n_id",
+                "v",
+                best_c.alias("__best"),
+            )
+            .select(
+                "n_id",
+                F.col("__best")["c_id"].alias("c_list"),
+                F.zip_with(
+                    F.col("v"), F.col("__best")["c"], lambda x, y: x - y
+                ).alias("r"),
+            )
+        )
     by_m: dict[int, list] = {}
     for m, c_id, c_sub_v in cbs:
         by_m.setdefault(int(m), []).append((c_id, c_sub_v))

@@ -444,6 +444,81 @@ def fam_ivfpq(spark, d):
     return S.ivf_pq_topk_lloyd_micro(emb, qs, dim=64, k=5).count()
 
 
+def _stage_ivfpq(spark, d: str) -> None:
+    """Persist a pristine IVFADC index per factor for the mutation family
+    (r8 verdict item 2): coarse quantizer at mod-29 grain — K grows with
+    the corpus, lists stay ~29 rows, the regime where 'touched lists'
+    really is O(batch) — which exercises ivfpq_encode_micro's broadcast-
+    fold assignment (literal SQL can't carry thousands of centroids).
+    Residual codebooks are fixed synthetic slices (any internally-
+    consistent model measures the same maintenance cost)."""
+    from codecdb_queryengine_spark.operators.similarity import quantize_micro
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    done = os.path.join(d, "_IVFPQ_STAGED")
+    if os.path.exists(done):
+        return
+    emb = spark.read.parquet(os.path.join(d, "embeddings"))
+    cents = sorted(
+        (int(r["c_id"]), [int(x) for x in r["c"]])
+        for r in emb.filter(F.col("vec_id") % 29 == 0)
+        .select(
+            F.col("vec_id").alias("c_id"), quantize_micro(F.col("embedding")).alias("c")
+        )
+        .collect()
+    )
+    seeds = sorted(
+        (int(r["j"]), [int(x) for x in r["c"]])
+        for r in spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+        .filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 37 * 8))
+        .select(
+            (F.col("vec_id") / 37).cast("long").alias("j"),
+            quantize_micro(F.col("embedding")).alias("c"),
+        )
+        .collect()
+    )
+    sub = 64 // 4
+    cbs = [
+        (m, j, q[m * sub : (m + 1) * sub]) for j, q in seeds for m in range(4)
+    ]
+    AI.ivfpq_index_build_micro(
+        emb, os.path.join(d, "ivfpq_idx_base"), cents, cbs, max_list_rows=64
+    )
+    open(done, "w").close()
+
+
+def _reset_ivfpq(spark, d: str) -> None:
+    """Restore the mutation family's index to the pristine build (the
+    upsert rewrites touched list directories, so unlike the text index a
+    drop-the-overlay reset does not exist) — a file-level copy of the
+    codes-only layout, OUTSIDE the metric window."""
+    import shutil
+
+    live = os.path.join(d, "ivfpq_idx")
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.copytree(os.path.join(d, "ivfpq_idx_base"), live)
+
+
+def fam_ivfpq_upsert(spark, d):
+    """Constant-size mutation batch against the persisted IVFADC index:
+    200 updates (reversed vectors, re-encoded against the layout's own
+    quantizers) + 100 deletes from the base copy's dense id range —
+    O(batch + touched lists), and with the mod-29-grain quantizer the
+    touched lists are ~batch-many ~29-row lists: wall and bytes ~FLAT."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    upd = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    dels = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)).select(
+        "vec_id"
+    )
+    return AI.ivfpq_index_upsert(
+        os.path.join(d, "ivfpq_idx"), updates=upd, delete_ids=dels
+    )
+
+
 def fam_pagerank(spark, d):
     from codecdb_queryengine_spark.operators import graph as G
     from codecdb_queryengine_spark.queries.pipeline import _cooc_edges
@@ -477,6 +552,7 @@ FAMILIES = [
     ("ivf_serve_filtered", fam_ivf_serve_filtered, "filtered top-k (label=1 in PushedFilters UNDER the DPP prune) over the meta index"),
     ("text_serve", fam_text_serve, "3-term bucket-pruned search over the persisted text index (reads only the terms' buckets)"),
     ("text_upsert", fam_text_upsert, "one constant-size mutation generation (200 updates + 100 deletes) into the text index — O(batch), no base file touched: ~FLAT"),
+    ("ivfpq_upsert", fam_ivfpq_upsert, "one constant-size mutation batch (200 reversed-vector updates re-encoded on the layout's own quantizers + 100 deletes) into the persisted IVFADC index, mod-29-grain coarse model — touched-list rewrite is O(batch); the honest corpus-residuals are the column-pruned (n_id, c_list) locate scan and the K∝corpus quantizer collect → sub-linear wall/bytes, FLAT shuffle count"),
     ("text_serve_upserted", fam_text_serve_upserted, "the same 3-term search through the mutation overlay (base minus tombstones + delta postings, both bucket-pruned): text_serve plus a constant delta term"),
     ("compact_selective", fam_compact_selective, "selective compaction of ONE fragmented constant-size partition out of 8·factor (O(touched): ~FLAT)"),
     ("compact_full", fam_compact_full, "full-layout compaction of the same state (O(corpus): ~linear — the contrast)"),
@@ -489,6 +565,7 @@ PREPARE = {
     "text_serve": _reset_text_mutations,
     "text_upsert": _reset_text_mutations,
     "text_serve_upserted": _prepare_text_serve_upserted,
+    "ivfpq_upsert": _reset_ivfpq,
 }
 
 
@@ -507,6 +584,7 @@ def main() -> int:
     dirs = {f: stage_scaled_inputs(spark, f) for f in FACTORS}
     for f in FACTORS:
         stage_serving_layouts(spark, dirs[f])
+        _stage_ivfpq(spark, dirs[f])
     rows = {
         f: spark.read.parquet(os.path.join(dirs[f], "documents")).count()
         for f in FACTORS
@@ -697,6 +775,14 @@ def main() -> int:
         f" input {_g('text_serve_upserted', 'input'):.1f}x — serving through",
         "  the overlay (base anti-join tombstones + delta generation) adds a",
         "  constant term to text_serve; both scans stay bucket-pruned.",
+        f"- **ivfpq_upsert**: wall {_g('ivfpq_upsert', 'wall'):.1f}x /"
+        f" shuffle bytes {_g('ivfpq_upsert', 'read'):.1f}x over 16x, stage",
+        "  count FLAT — the touched-list rewrite itself is O(batch)",
+        "  (~300 mutated ids → ~300 ~29-row lists at every factor); the",
+        "  sub-linear residual is the column-pruned (n_id, c_list) locate",
+        "  scan plus the K∝corpus quantizer collect, both thin by design",
+        "  (unlike the TEXT index, a deleted vector's list must be found,",
+        "  since codes live in exactly one partition).",
         f"- **compact_selective vs compact_full**: the maintenance-pass",
         f"  contrast — selective wall {_g('compact_selective', 'wall'):.1f}x /"
         f" input {_g('compact_selective', 'input'):.1f}x (O(touched): one",

@@ -197,3 +197,17 @@ def test_pca_power_micro_finds_the_dominant_direction(spark):
     assert abs(comp[3]) >= 900_000  # rescale puts max |component| near 1e6
     # pure integer arithmetic: bit-identical on re-run
     assert (means, comp) == pca_power_micro(df, dim=8, iters=6)
+
+
+def test_ivfpq_encode_fold_matches_literal(spark, emb, monkeypatch):
+    """ivfpq_encode_micro's two coarse-assignment forms (r9): the literal
+    array_min expression and the broadcast-model integer fold must
+    produce IDENTICAL (c_list, cmap) codes — the fold is what lets the
+    persisted-IVFADC maintenance passes run at corpus-grain quantizers,
+    and it may not perturb a single assignment or tiebreak."""
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    lit = S.ivfpq_encode_micro(emb, cents, cbs, dim=64).collect()
+    monkeypatch.setattr(S, "_ENCODE_LITERAL_MAX", 0)
+    fold = S.ivfpq_encode_micro(emb, cents, cbs, dim=64).collect()
+    key = lambda r: (r.n_id, r.c_list, tuple(sorted(r.cmap.items())))  # noqa: E731
+    assert sorted(map(key, lit)) == sorted(map(key, fold))
