@@ -1755,20 +1755,61 @@ def ivfpq_rank_micro(
     key types match without touching the scan side (a cast there can stop
     dynamic partition pruning from firing, r4 ADVICE)."""
     sub = dim // num_subspaces
-    # probes: nprobe nearest coarse lists per query; query residual per list
+    # probes: nprobe nearest coarse lists per query; query residual per
+    # list.  Same size switch as ivfpq_encode_micro: past
+    # _ENCODE_LITERAL_MAX centroids the literal array_sort expression is
+    # replaced by the broadcast-model form — array_sort over
+    # struct(d, c_id, c) entries is the IDENTICAL lexicographic (d, c_id)
+    # probe order (c never compares: c_id is unique).
     qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-    list_sql = (
-        f"CAST(p.c_id AS {probe_list_type})" if probe_list_type else "p.c_id"
-    )
-    probes = qm.selectExpr(
-        "q_id",
-        "qv",
-        f"explode(slice(array_sort({_sql_dist_arr('qv', cents, with_center=True)}), 1, {nprobe})) AS p",
-    ).selectExpr(
-        "q_id",
-        f"{list_sql} AS c_list",
-        "zip_with(qv, p.c, (x,y)->x-y) AS qr",
-    )
+    if len(cents) <= _ENCODE_LITERAL_MAX:
+        list_sql = (
+            f"CAST(p.c_id AS {probe_list_type})" if probe_list_type else "p.c_id"
+        )
+        probes = qm.selectExpr(
+            "q_id",
+            "qv",
+            f"explode(slice(array_sort({_sql_dist_arr('qv', cents, with_center=True)}), 1, {nprobe})) AS p",
+        ).selectExpr(
+            "q_id",
+            f"{list_sql} AS c_list",
+            "zip_with(qv, p.c, (x,y)->x-y) AS qr",
+        )
+    else:
+        cmodel = F.broadcast(
+            _model_1row(
+                queries.sparkSession.createDataFrame(
+                    sorted(cents), "c_id long, c array<long>"
+                ),
+                "c_id",
+                "c",
+            )
+        )
+        entries = F.transform(
+            F.col("model"),
+            lambda c: F.struct(
+                l2_micro(F.col("qv"), c["c"]).alias("d"),
+                c["c_id"].cast("long").alias("c_id"),
+                c["c"].alias("c"),
+            ),
+        )
+        probes = (
+            qm.crossJoin(cmodel)
+            .select(
+                "q_id",
+                "qv",
+                F.explode(F.slice(F.array_sort(entries), 1, nprobe)).alias("p"),
+            )
+            .select(
+                "q_id",
+                F.col("p")["c_id"]
+                .cast(probe_list_type or "bigint")
+                .alias("c_list"),
+                F.zip_with(
+                    F.col("qv"), F.col("p")["c"], lambda x, y: x - y
+                ).alias("qr"),
+            )
+        )
     amap_entries = ",".join(
         f"named_struct('key',CAST({int(m) * num_codewords + int(c_id)} AS BIGINT),"
         f"'contrib',{_sql_l2_micro(f'slice(qr,{int(m) * sub + 1},{sub})', _sql_long_arr(c_sub_v))})"

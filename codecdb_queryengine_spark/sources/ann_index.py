@@ -638,11 +638,47 @@ def ivf_index_topk_micro(
     lists = _scan(spark, os.path.join(path, "lists"), cached)
     part_type = dict(lists.dtypes)["c_list"]
     qm = queries.select("q_id", quantize_micro(F.col("q_vec")).alias("qv"))
-    probes = qm.selectExpr(
-        "q_id",
-        "qv",
-        f"explode(slice(array_sort({_sql_dist_arr('qv', cents)}), 1, {nprobe})) AS p",
-    ).select("q_id", "qv", F.col("p.c_id").cast(part_type).alias("c_list"))
+    # same size switch as ivfpq_rank_micro (r9): past _ENCODE_LITERAL_MAX
+    # centroids the literal probe expression breaks codegen, so the model
+    # rides as a 1-row broadcast and array_sort over struct(d, c_id)
+    # entries gives the identical lexicographic probe order
+    from codecdb_queryengine_spark.operators.similarity import (
+        _ENCODE_LITERAL_MAX,
+        _model_1row,
+    )
+
+    if len(cents) <= _ENCODE_LITERAL_MAX:
+        probes = qm.selectExpr(
+            "q_id",
+            "qv",
+            f"explode(slice(array_sort({_sql_dist_arr('qv', cents)}), 1, {nprobe})) AS p",
+        ).select("q_id", "qv", F.col("p.c_id").cast(part_type).alias("c_list"))
+    else:
+        cmodel = F.broadcast(
+            _model_1row(
+                spark.createDataFrame(sorted(cents), "c_id long, c array<long>"),
+                "c_id",
+                "c",
+            )
+        )
+        entries = F.transform(
+            F.col("model"),
+            lambda c: F.struct(
+                l2_micro(F.col("qv"), c["c"]).alias("d"),
+                c["c_id"].cast("long").alias("c_id"),
+            ),
+        )
+        probes = (
+            qm.crossJoin(cmodel)
+            .select(
+                "q_id",
+                "qv",
+                F.explode(F.slice(F.array_sort(entries), 1, nprobe)).alias("p"),
+            )
+            .select(
+                "q_id", "qv", F.col("p")["c_id"].cast(part_type).alias("c_list")
+            )
+        )
     scored = (
         F.broadcast(probes)
         .join(lists, "c_list")

@@ -427,3 +427,50 @@ def test_ivfpq_upsert_matches_fresh_encode_over_mutated_corpus(spark, sf_dir):
     assert set(lists.columns) == {"n_id", "cmap", "c_list", "c_slot"}
     left = {r.n_id for r in lists.select("n_id").collect()}
     assert not (left & set(dels))
+
+
+def test_micro_serves_fold_path_matches_literal_at_large_k(spark, sf_dir, monkeypatch):
+    """Corpus-grain quantizers (r9): past _ENCODE_LITERAL_MAX centroids the
+    micro serves switch from literal probe expressions to the broadcast-
+    model fold — the probe order and every served (q_id, n_id, score, rk)
+    must be identical to the literal form on the same layouts."""
+    import codecdb_queryengine_spark.operators.similarity as SIM
+    from codecdb_queryengine_spark.operators.similarity import quantize_micro
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = sorted(
+        (int(r["c_id"]), [int(x) for x in r["c"]])
+        for r in emb.filter(F.col("vec_id") % 8 == 0)
+        .select(
+            F.col("vec_id").alias("c_id"), quantize_micro(F.col("embedding")).alias("c")
+        )
+        .collect()
+    )
+    assert len(cents) > SIM._ENCODE_LITERAL_MAX  # the fold regime
+    qs = _queries(emb)
+    # flat micro tier
+    p1 = tempfile.mkdtemp(prefix="ivf_micro_bigk_")
+    AI.ivf_index_build_micro(emb, p1, cents)
+    fold = AI.ivf_index_topk_micro(spark, p1, qs, k=5, nprobe=2).collect()
+    monkeypatch.setattr(SIM, "_ENCODE_LITERAL_MAX", 10_000)
+    lit = AI.ivf_index_topk_micro(spark, p1, qs, k=5, nprobe=2).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, lit))
+    monkeypatch.undo()
+    # IVFADC tier (build encode takes the fold path too at this K)
+    sub = 64 // 4
+    seeds = sorted(
+        (int(r["j"]), [int(x) for x in r["c"]])
+        for r in emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 37 * 8))
+        .select(
+            (F.col("vec_id") / 37).cast("long").alias("j"),
+            quantize_micro(F.col("embedding")).alias("c"),
+        )
+        .collect()
+    )
+    cbs = [(m, j, q[m * sub : (m + 1) * sub]) for j, q in seeds for m in range(4)]
+    p2 = tempfile.mkdtemp(prefix="ivfpq_bigk_")
+    AI.ivfpq_index_build_micro(emb, p2, cents, cbs)
+    fold2 = AI.ivfpq_index_topk_micro(spark, p2, qs, k=5, nprobe=2).collect()
+    monkeypatch.setattr(SIM, "_ENCODE_LITERAL_MAX", 10_000)
+    lit2 = AI.ivfpq_index_topk_micro(spark, p2, qs, k=5, nprobe=2).collect()
+    assert sorted(map(tuple, fold2)) == sorted(map(tuple, lit2))
