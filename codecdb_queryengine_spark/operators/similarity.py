@@ -1657,9 +1657,10 @@ def ivfpq_encode_micro(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_subspaces: int = 4,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode the corpus against a trained IVFADC model: ONE shuffle-free
-    projection (n_id, c_list, cmap) — coarse argmin + residual +
+    projection (n_id, c_list, cmap[, meta...]) — coarse argmin + residual +
     per-subspace residual-codeword argmin, all map-side (see
     ivf_pq_topk_lloyd_micro's plan-shape note).
 
@@ -1673,7 +1674,9 @@ def ivfpq_encode_micro(
     mutation path run at corpus-grain quantizers)."""
     sub = dim // num_subspaces
     vm = vectors.select(
-        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("n_id"),
+        quantize_micro(F.col(vec_col)).alias("v"),
+        *[F.col(c) for c in meta_cols],
     )
     if len(cents) <= _ENCODE_LITERAL_MAX:
         best = _micro_argmin_sql("v", cents, with_center=True)
@@ -1681,6 +1684,7 @@ def ivfpq_encode_micro(
             "n_id",
             f"({best}).c_id AS c_list",
             f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
+            *meta_cols,
         )
     else:
         cmodel = F.broadcast(
@@ -1708,6 +1712,7 @@ def ivfpq_encode_micro(
                 "n_id",
                 "v",
                 best_c.alias("__best"),
+                *[F.col(c) for c in meta_cols],
             )
             .select(
                 "n_id",
@@ -1715,6 +1720,7 @@ def ivfpq_encode_micro(
                 F.zip_with(
                     F.col("v"), F.col("__best")["c"], lambda x, y: x - y
                 ).alias("r"),
+                *[F.col(c) for c in meta_cols],
             )
         )
     by_m: dict[int, list] = {}
@@ -1729,6 +1735,7 @@ def ivfpq_encode_micro(
         "n_id",
         "c_list",
         F.expr(f"map_from_entries(array({code_entries}))").alias("cmap"),
+        *[F.col(c) for c in meta_cols],
     )
 
 

@@ -1804,6 +1804,34 @@ def sim_ann_ivfpq_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search on the IVFADC tier (r9 — parity with
+    sim_ann_ivf_filtered): the codes layout is built with the `label`
+    metadata column riding next to each code
+    (ivfpq_index_build_micro(meta_cols=("label",))), and serving
+    restricts candidates with a predicate that lands in the parquet
+    PushedFilters of the probed partitions — row-group pruning UNDER the
+    dynamic partition prune, never a post-search join back to the
+    full-precision corpus (which the codes-only index doesn't even
+    store).  Per-vector encoding commutes with the filter, so the oracle
+    applies the same predicate to its codes CTE and the filtered ADC
+    top-k hashes bit-exact."""
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    path = _scratch_dir("ivfpq_index_meta", sf_dir)
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs, meta_cols=("label",))
+    return AI.ivfpq_index_topk_micro(
+        spark,
+        path,
+        _query_vectors(emb),
+        k=_TOP_K,
+        nprobe=2,
+        candidate_filter="label = 1",
+    )
+
+
 def sim_ann_ivfpq_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector DELETE + UPDATE through the persisted IVFADC index (r8
     verdict item 2 — the PQ tier previously required a rebuild for any
@@ -1849,6 +1877,7 @@ def _ivf_pq_lloyd_sql(
     m_sub: int = 4,
     k_codes: int = 8,
     mutated: bool = False,
+    cand_filter: str = "",
 ) -> str:
     """Bit-exact SQL replay of ivf_pq_topk_lloyd_micro: coarse Lloyd →
     residuals → per-subspace residual Lloyd → encode → probes → ADC."""
@@ -1972,13 +2001,18 @@ def _ivf_pq_lloyd_sql(
             FROM rcb{t} c LEFT JOIN rs{t} s ON s.m = c.m AND s.c_id = c.c_id)""")
     rcf = f"rcb{iters}"
     enc_src = "res_m" if mutated else "res"
+    # candidate filter (sim_ann_ivfpq_filtered): per-vector encoding
+    # commutes with a metadata predicate, so filtering the codes CTE
+    # equals serving over a meta-filtered codes scan
+    cj = f"JOIN embeddings e ON e.vec_id = r.n_id" if cand_filter else ""
+    cw = f"WHERE {cand_filter}" if cand_filter else ""
     ctes.append(f"""codes AS MATERIALIZED (
         SELECT n_id, c_list, m, c_id AS pq_c FROM (
             SELECT r.n_id, r.c_list, c.m, c.c_id,
                    row_number() OVER (
                        PARTITION BY r.n_id, c.m
                        ORDER BY ({l2res('r', 'c', 'c.m')}) ASC, c.c_id ASC) AS rr
-            FROM {enc_src} r CROSS JOIN {rcf} c) WHERE rr = 1)""")
+            FROM {enc_src} r {cj} CROSS JOIN {rcf} c {cw}) WHERE rr = 1)""")
     ctes.append(f"""probes AS MATERIALIZED (
         SELECT q_id, c_id AS c_list FROM (
             SELECT q.vec_id AS q_id, c.c_id,
@@ -3981,22 +4015,20 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each leg keeps its own serving contract (bucket-pruned
     postings; brute-force over ONE broadcast query), the fusion is a
     20∪20-row full outer join, and the final top-10 is a
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.  The text-leg rank runs through the batch
+    ranker with a one-query batch (r9): same scores, same (score desc,
+    doc_id) order, but the rank window is PARTITIONED by q_id — no
+    global window remains anywhere in the surface, so the audit's
+    no-partition-less-WindowExec invariant needs no whitelist."""
     from codecdb_queryengine_spark.sources import text_index as TI
 
     docs = load_tables(spark, sf_dir)["documents"]
     emb = load_tables(spark, sf_dir)["embeddings"]
     path = _scratch_dir("text_index", sf_dir)
     TI.text_index_build_ranked(docs, path)
-    bm = TI.text_index_search_ranked(
-        spark, path, _SEARCH_TERMS, k=_HYBRID_K
-    ).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
-        .cast("long")
-        .alias("rk_t"),
-    )
+    bm = TI.text_index_search_ranked_batch(
+        spark, path, [(0, _SEARCH_TERMS)], k=_HYBRID_K
+    ).select("doc_id", F.col("rk").alias("rk_t"))
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -6740,6 +6772,7 @@ QUERIES = {
     "sim_ann_pq_lloyd": sim_ann_pq_lloyd,
     "sim_ann_ivfpq_lloyd": sim_ann_ivfpq_lloyd,
     "sim_ann_ivfpq_lloyd_indexed": sim_ann_ivfpq_lloyd_indexed,
+    "sim_ann_ivfpq_filtered": sim_ann_ivfpq_filtered,
     "sim_ann_ivfpq_upserted": sim_ann_ivfpq_upserted,
     "mm_features": mm_features,
     "mm_decode_real": mm_decode_real,
@@ -6887,6 +6920,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd": _ivf_pq_lloyd_sql(),
     "sim_ann_ivfpq_lloyd_indexed": _ivf_pq_lloyd_sql(),
+    "sim_ann_ivfpq_filtered": _ivf_pq_lloyd_sql(cand_filter="e.label = 1"),
     "sim_ann_ivfpq_upserted": _ivf_pq_lloyd_sql(mutated=True),
     "sim_ann_ivf_trained": _gate_invariants_sql(),
     "sim_ann_pq_trained": _gate_invariants_sql(),

@@ -706,11 +706,15 @@ def ivfpq_index_build_micro(
     id_col: str = "vec_id",
     num_subspaces: int = 4,
     max_list_rows: int | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist an IVFADC index for a trained model pair (similarity.
     ivfpq_train_micro): `centroids/` (K rows) + `codebooks/` (M·Kc rows)
-    + `lists/` holding ONLY the codes — (n_id, cmap) partitioned by the
-    coarse list id.  This is the storage form of Jégou'11 §IV's memory
+    + `lists/` holding ONLY the codes — (n_id, cmap[, meta...]) partitioned
+    by the coarse list id.  `meta_cols` rides metadata columns next to the
+    codes for FILTERED vector search, exactly like ivf_index_build: the
+    predicate reaches the parquet scan of the probed partitions (pushdown
+    under the DPP prune), never a post-search join back to the corpus.  This is the storage form of Jégou'11 §IV's memory
     contract: M small codes per vector instead of d floats (here
     map<m,code> next to d·8-byte micro vectors — the full-precision
     corpus is NOT in the index), and serving scans just the probed
@@ -727,7 +731,7 @@ def ivfpq_index_build_micro(
     ).parquet(os.path.join(path, "codebooks"))
     codes = ivfpq_encode_micro(
         vectors, cents, cbs, dim=dim, vec_col=vec_col, id_col=id_col,
-        num_subspaces=num_subspaces,
+        num_subspaces=num_subspaces, meta_cols=meta_cols,
     )
     _write_lists(codes, path, max_list_rows)
 
@@ -738,6 +742,7 @@ def ivfpq_index_topk_micro(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    candidate_filter: str | None = None,
     cached: bool = False,
 ) -> DataFrame:
     """ADC top-k over the persisted IVFADC index: the tiny models are
@@ -762,6 +767,13 @@ def ivfpq_index_topk_micro(
     num_codewords = max(c_id for _, c_id, _ in cbs) + 1
     lists = _scan(spark, os.path.join(path, "lists"), cached)
     part_type = dict(lists.dtypes)["c_list"]
+    if candidate_filter is not None:
+        # filtered vector search as one scan, same contract as
+        # ivf_index_topk: the predicate lands in the PushedFilters of the
+        # probed partitions (codes were assigned before filtering, so
+        # results equal brute-force-over-the-filtered-subset restricted
+        # to the probed lists)
+        lists = lists.filter(candidate_filter)
     return ivfpq_rank_micro(
         lists,
         queries,
@@ -797,7 +809,11 @@ def _read_pq_models(spark: SparkSession, path: str) -> tuple[list, list]:
 
 
 def _encode_against_layout(
-    new_vectors: DataFrame, path: str, vec_col: str, id_col: str
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode a batch against the layout's persisted quantizers:
     (n_id, c_list, cmap) rows in the lists schema — one shuffle-free
@@ -815,6 +831,7 @@ def _encode_against_layout(
         vec_col=vec_col,
         id_col=id_col,
         num_subspaces=len({m for m, _, _ in cbs}),
+        meta_cols=meta_cols,
     )
 
 
@@ -823,6 +840,7 @@ def ivfpq_index_append(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Incrementally add vectors to a persisted IVFADC index (r8 verdict
     item 2 — the PQ tier previously required a rebuild to grow): the
@@ -834,7 +852,9 @@ def ivfpq_index_append(
     cost O(batch + touched lists), not O(corpus)."""
     spark = new_vectors.sparkSession
     _append_assigned(
-        spark, path, _encode_against_layout(new_vectors, path, vec_col, id_col)
+        spark,
+        path,
+        _encode_against_layout(new_vectors, path, vec_col, id_col, meta_cols),
     )
 
 
@@ -844,6 +864,7 @@ def ivfpq_index_upsert(
     delete_ids: DataFrame | list[int] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: tuple[str, ...] = (),
     spark: SparkSession | None = None,
 ) -> int:
     """Vector UPDATE + DELETE against the persisted IVFADC index (r8
@@ -863,7 +884,7 @@ def ivfpq_index_upsert(
     if spark is None:
         raise ValueError("ivfpq_index_upsert: pass spark= when updates is None")
     assigned = (
-        _encode_against_layout(updates, path, vec_col, id_col)
+        _encode_against_layout(updates, path, vec_col, id_col, meta_cols)
         if updates is not None
         else None
     )

@@ -115,6 +115,7 @@ EXPECT_DPP = {
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
     "sim_ann_ivfpq_upserted",
+    "sim_ann_ivfpq_filtered",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
     "emb_stream_ivfpq_ingest",
@@ -132,16 +133,12 @@ EXPECT_BUCKETED_NOSHUFFLE = {
 
 
 # Queries allowed a PARTITION-LESS window (Exchange SinglePartition + one
-# sorting task): only plans where the window's INPUT is already bounded by
-# construction, so the single task sees O(k) rows regardless of corpus size.
-# Anything else funnels the data through one task — the r8 verdict's last
-# scale-killer class (docs_shuffle_order / ext_equidepth_hist, both now
-# rewritten onto operators/ordering's two-pass prefix-offset form).
-EXPECT_GLOBAL_WINDOW = {
-    # RRF fusion ranks the two ≤20-row top-k serving legs (bounded by K,
-    # not the corpus) before the final fuse
-    "docs_hybrid_search",
-}
+# sorting task).  EMPTY since r9: docs_shuffle_order / ext_equidepth_hist
+# moved to operators/ordering's two-pass prefix-offset form, and
+# docs_hybrid_search's bounded ≤20-row rank now runs through the batch
+# ranker's PARTITIONED window — the invariant is absolute, any plan with
+# a partition-less WindowExec fails the audit.
+EXPECT_GLOBAL_WINDOW: set[str] = set()
 
 
 def _walk_jplan(node):
