@@ -44,23 +44,26 @@ BENCH_SKIP |= {
 # policy (r7 verdict item 8, STALENESS-KEYED since r8): the new round's
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
-# the remaining slots.  Round-9 window: the 3 new r9 gates + all 19 names
-# last green in r3 + the first 28 (alphabetically) of the 42 last green in
+# the remaining slots.  Round-9 window: the 4 new r9 gates + all 19 names
+# last green in r3 + the first 27 (alphabetically) of the 42 last green in
 # r4 — after r9 the stalest name outside the window is r4-green (5 rounds),
 # holding the policy's ceil((surface - new) / 48) ≈ 5-round bound as the
 # surface grows.  Everything rotated out stays covered by
 # scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
 # for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the three r9 gates — IVFADC (PQ-tier) index mutability
+    # part 1: the four r9 gates — IVFADC (PQ-tier) index mutability
     # (vector upsert/delete re-encoded against the layout's persisted
     # quantizers), filtered ADC search (metadata pushdown under the DPP
-    # prune on the codes layout), and batched hybrid retrieval (8
-    # concurrent per-query RRF fusions over one pass per index)
+    # prune on the codes layout), batched hybrid retrieval (8 concurrent
+    # per-query RRF fusions over one pass per index), and CDC mutation
+    # streaming into the persisted IVF vector index (one touched-lists
+    # rewrite per micro-batch, idempotent under at-least-once replay)
     "docs_hybrid_search_batch",
+    "emb_stream_mutations",
     "sim_ann_ivfpq_filtered",
     "sim_ann_ivfpq_upserted",
-    # part 2: the 47 stalest names (last green r3, then the first 28 of
+    # part 2: the 46 stalest names (last green r3, then the first 27 of
     # r4's 42, alphabetical within a round)
     "ext_salted_agg",
     "ext_setops",
@@ -108,7 +111,6 @@ DRIVER_FIRST = [
     "events_window",
     "ext_corr",
     "ext_grouped_topk",
-    "ext_join_skew",
 ]
 
 
@@ -141,6 +143,7 @@ BENCH_LIFECYCLE = frozenset({
     "emb_stream_index_compact",
     "emb_stream_index_ingest",
     "emb_stream_ivfpq_ingest",
+    "emb_stream_mutations",
     "ext_zorder_lifecycle",
     "graph_cc_chain_ckpt",
     "graph_pagerank_ckpt",

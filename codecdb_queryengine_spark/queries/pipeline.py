@@ -1031,6 +1031,76 @@ _UPSERTED_PRE_CTE = f"""mutated AS (
             FROM embeddings WHERE NOT {_UPS_DEL}),"""
 
 
+def emb_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC into the persisted IVF VECTOR index (r9 — the vector-side
+    mirror of docs_stream_mutations): the same mutation slices as
+    sim_ann_ivf_upserted arrive as a stream of (op, vec_id, embedding)
+    events — two files, mtime-ordered, one micro-batch each — and
+    streaming/sinks.stream_apply_vector_mutations turns each committed
+    batch into one touched-lists rewrite through ivf_index_upsert
+    (updates re-assigned against the layout's own persisted centroids,
+    journaled swap, untouched lists never rewritten).  Batch 1 updates
+    the %17==5 slice to REVERSED vectors, batch 2 deletes the %17==3
+    slice — disjoint id sets, so the drained state equals the one-batch
+    mutation and the gate serves under the VERBATIM sim_ann_ivf_upserted
+    oracle: a lost event, a double-applied update, or a batch applied
+    against stale centroids each flip the hash."""
+    import time as _time
+
+    from pyspark.sql import types as PT
+
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = _scratch_dir("ivf_index_cdc", sf_dir, fresh=True)
+    path = os.path.join(base, "index")
+    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    AI.ivf_index_build(emb, path, centroids=cents, max_list_rows=16)
+
+    gen1 = emb.filter(F.expr(_UPS_UPD)).select(
+        F.lit("u").alias("op"), "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    gen2 = emb.filter(F.expr(_UPS_DEL)).select(
+        F.lit("d").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    src = os.path.join(base, "mutations")
+    now = _time.time()
+    for i, g in enumerate((gen1, gen2)):
+        tmp = os.path.join(base, f"mut{i}")
+        g.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, f"{i:03d}_gen.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    schema = PT.StructType(
+        [
+            PT.StructField("op", PT.StringType()),
+            PT.StructField("vec_id", PT.LongType()),
+            PT.StructField("embedding", PT.ArrayType(PT.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SK.stream_apply_vector_mutations(stream, path, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
+
+
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.pq_topk):
     4 subspaces × 8 sampled codewords over the 64-dim embeddings."""
@@ -6762,6 +6832,7 @@ QUERIES = {
     "sim_ann_ivf_cached": sim_ann_ivf_cached,
     "sim_ann_ivf_appended_split": sim_ann_ivf_appended_split,
     "sim_ann_ivf_upserted": sim_ann_ivf_upserted,
+    "emb_stream_mutations": emb_stream_mutations,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
@@ -6912,6 +6983,9 @@ ORACLE: dict[str, str] = {
     "sim_ann_ivf_cached": _ivf_sql(),
     "sim_ann_ivf_appended_split": _ivf_sql(),
     "sim_ann_ivf_upserted": _ivf_sql(corpus="mutated", pre_cte=_UPSERTED_PRE_CTE),
+    # the drained CDC stream equals the one-batch mutation (disjoint
+    # update/delete slices), so the oracle is sim_ann_ivf_upserted's verbatim
+    "emb_stream_mutations": _ivf_sql(corpus="mutated", pre_cte=_UPSERTED_PRE_CTE),
     "sim_ann_ivf_filtered": _ivf_sql(cand_where="WHERE v.label = 1"),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),

@@ -110,3 +110,48 @@ def stream_apply_text_mutations(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_apply_vector_mutations(
+    mutations: DataFrame,
+    index_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """CDC into the persisted IVF vector index — the vector-side mirror of
+    stream_apply_text_mutations: a stream of mutation events (`op` 'u'/'d',
+    `vec_id`, `embedding`) applied per micro-batch through
+    sources/ann_index.ivf_index_upsert via foreachBatch.  Each committed
+    batch is one touched-lists rewrite (updates re-assigned against the
+    layout's own persisted centroids, deletes dropped, journaled swap) —
+    serving stays live between batches and untouched lists are never
+    rewritten.
+
+    Delivery is foreachBatch's at-least-once: a batch REPLAYED after a
+    crash re-runs the same upsert, which is IDEMPOTENT — updates re-assign
+    to the same lists with the same rows, deletes of already-deleted ids
+    locate nothing — so the layout converges to the same state
+    (tests/test_ann_index.test_ivf_upsert_replay_idempotent)."""
+    from pyspark.sql import functions as F
+
+    from codecdb_queryengine_spark.sources import ann_index as AI
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        upd = batch_df.filter(F.col("op") == "u").select("vec_id", "embedding")
+        dels = batch_df.filter(F.col("op") == "d").select("vec_id")
+        has_u = bool(upd.limit(1).count())
+        has_d = bool(dels.limit(1).count())
+        if not (has_u or has_d):
+            return
+        AI.ivf_index_upsert(
+            index_path,
+            updates=upd if has_u else None,
+            delete_ids=dels if has_d else None,
+            spark=batch_df.sparkSession,
+        )
+
+    return (
+        mutations.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

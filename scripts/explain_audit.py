@@ -45,6 +45,7 @@ EXPECT_NESTED = {
     "sim_ann_ivf_upserted",
     "sim_ann_ivf_cached",
     "sim_ann_ivf_filtered",
+    "emb_stream_mutations",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
     # media retrieval composition ends in the brute-force exact top-k
@@ -112,6 +113,7 @@ EXPECT_DPP = {
     "sim_ann_ivf_upserted",
     "sim_ann_ivf_cached",
     "sim_ann_ivf_filtered",
+    "emb_stream_mutations",
     "sim_ann_ivf_lloyd_indexed",
     "sim_ann_ivfpq_lloyd_indexed",
     "sim_ann_ivfpq_upserted",

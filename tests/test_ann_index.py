@@ -474,3 +474,35 @@ def test_micro_serves_fold_path_matches_literal_at_large_k(spark, sf_dir, monkey
     monkeypatch.setattr(SIM, "_ENCODE_LITERAL_MAX", 10_000)
     lit2 = AI.ivfpq_index_topk_micro(spark, p2, qs, k=5, nprobe=2).collect()
     assert sorted(map(tuple, fold2)) == sorted(map(tuple, lit2))
+
+
+def test_ivf_upsert_replay_idempotent(spark, sf_dir):
+    """The CDC stream's at-least-once contract (streaming/sinks.
+    stream_apply_vector_mutations): re-running the SAME mutation batch
+    against an already-mutated index must leave the layout bit-identical
+    — updates re-assign to the same lists with the same rows, deletes of
+    already-deleted ids locate nothing."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="ivf_replay_")
+    AI.ivf_index_build(emb, path, centroid_mod=29, max_list_rows=16)
+    upds = emb.filter((F.col("vec_id") % 17 == 5) & (F.col("vec_id") >= 5)).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    dels = [
+        int(r[0])
+        for r in emb.filter(
+            (F.col("vec_id") % 17 == 3) & (F.col("vec_id") >= 5)
+        ).select("vec_id").collect()
+    ]
+    AI.ivf_index_upsert(path, updates=upds, delete_ids=dels)
+    first = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "lists")).collect())
+    )
+    served1 = AI.ivf_index_topk(spark, path, _queries(emb), k=5, nprobe=2).collect()
+    AI.ivf_index_upsert(path, updates=upds, delete_ids=dels)  # the replay
+    second = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "lists")).collect())
+    )
+    served2 = AI.ivf_index_topk(spark, path, _queries(emb), k=5, nprobe=2).collect()
+    assert first == second
+    assert sorted(map(tuple, served1)) == sorted(map(tuple, served2))
