@@ -44,26 +44,28 @@ BENCH_SKIP |= {
 # policy (r7 verdict item 8, STALENESS-KEYED since r8): the new round's
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
-# the remaining slots.  Round-9 window: the 4 new r9 gates + all 19 names
-# last green in r3 + the first 27 (alphabetically) of the 42 last green in
+# the remaining slots.  Round-9 window: the 5 new r9 gates + all 19 names
+# last green in r3 + the first 26 (alphabetically) of the 42 last green in
 # r4 — after r9 the stalest name outside the window is r4-green (5 rounds),
 # holding the policy's ceil((surface - new) / 48) ≈ 5-round bound as the
 # surface grows.  Everything rotated out stays covered by
 # scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
 # for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the four r9 gates — IVFADC (PQ-tier) index mutability
+    # part 1: the five r9 gates — IVFADC (PQ-tier) index mutability
     # (vector upsert/delete re-encoded against the layout's persisted
     # quantizers), filtered ADC search (metadata pushdown under the DPP
     # prune on the codes layout), batched hybrid retrieval (8 concurrent
     # per-query RRF fusions over one pass per index), and CDC mutation
-    # streaming into the persisted IVF vector index (one touched-lists
-    # rewrite per micro-batch, idempotent under at-least-once replay)
+    # streaming into BOTH persisted vector-index families (one
+    # touched-lists rewrite per micro-batch — PQ updates re-encoded on
+    # the layout's quantizers — idempotent under at-least-once replay)
     "docs_hybrid_search_batch",
     "emb_stream_mutations",
+    "emb_stream_pq_mutations",
     "sim_ann_ivfpq_filtered",
     "sim_ann_ivfpq_upserted",
-    # part 2: the 46 stalest names (last green r3, then the first 27 of
+    # part 2: the 45 stalest names (last green r3, then the first 26 of
     # r4's 42, alphabetical within a round)
     "ext_salted_agg",
     "ext_setops",
@@ -110,7 +112,6 @@ DRIVER_FIRST = [
     "events_stream_sliding",
     "events_window",
     "ext_corr",
-    "ext_grouped_topk",
 ]
 
 
@@ -144,6 +145,7 @@ BENCH_LIFECYCLE = frozenset({
     "emb_stream_index_ingest",
     "emb_stream_ivfpq_ingest",
     "emb_stream_mutations",
+    "emb_stream_pq_mutations",
     "ext_zorder_lifecycle",
     "graph_cc_chain_ckpt",
     "graph_pagerank_ckpt",

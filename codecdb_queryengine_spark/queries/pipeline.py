@@ -1101,6 +1101,73 @@ def emb_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
+def emb_stream_pq_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC mutation streaming into the persisted IVFADC CODES index (r9 —
+    completes the CDC story across all three mutable index families:
+    text generations, IVF touched-lists, and now the PQ tier): the same
+    two event files as emb_stream_mutations drain through
+    stream_apply_vector_mutations(index_kind="ivfpq") — each committed
+    batch re-ENCODES its updates against the layout's persisted
+    quantizer pair and rewrites only the touched code lists.  The
+    drained state equals the one-batch mutation, so the oracle is
+    sim_ann_ivfpq_upserted's verbatim IVFADC-Lloyd replay over the
+    mutated-corpus CTE."""
+    import time as _time
+
+    from pyspark.sql import types as PT
+
+    from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = _scratch_dir("ivfpq_index_cdc", sf_dir, fresh=True)
+    path = os.path.join(base, "index")
+    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+    AI.ivfpq_index_build_micro(emb, path, cents, cbs, max_list_rows=16)
+
+    gen1 = emb.filter(F.expr(_UPS_UPD)).select(
+        F.lit("u").alias("op"), "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    gen2 = emb.filter(F.expr(_UPS_DEL)).select(
+        F.lit("d").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    src = os.path.join(base, "mutations")
+    now = _time.time()
+    for i, g in enumerate((gen1, gen2)):
+        tmp = os.path.join(base, f"mut{i}")
+        g.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, f"{i:03d}_gen.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    schema = PT.StructType(
+        [
+            PT.StructField("op", PT.StringType()),
+            PT.StructField("vec_id", PT.LongType()),
+            PT.StructField("embedding", PT.ArrayType(PT.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SK.stream_apply_vector_mutations(
+        stream, path, os.path.join(base, "ckpt"), index_kind="ivfpq"
+    )
+    q.awaitTermination()
+    return AI.ivfpq_index_topk_micro(
+        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2
+    )
+
+
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.pq_topk):
     4 subspaces × 8 sampled codewords over the 64-dim embeddings."""
@@ -6833,6 +6900,7 @@ QUERIES = {
     "sim_ann_ivf_appended_split": sim_ann_ivf_appended_split,
     "sim_ann_ivf_upserted": sim_ann_ivf_upserted,
     "emb_stream_mutations": emb_stream_mutations,
+    "emb_stream_pq_mutations": emb_stream_pq_mutations,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "sim_ann_pq": sim_ann_pq,
     "sim_ann_ivfpq": sim_ann_ivfpq,
@@ -6986,6 +7054,7 @@ ORACLE: dict[str, str] = {
     # the drained CDC stream equals the one-batch mutation (disjoint
     # update/delete slices), so the oracle is sim_ann_ivf_upserted's verbatim
     "emb_stream_mutations": _ivf_sql(corpus="mutated", pre_cte=_UPSERTED_PRE_CTE),
+    "emb_stream_pq_mutations": _ivf_pq_lloyd_sql(mutated=True),
     "sim_ann_ivf_filtered": _ivf_sql(cand_where="WHERE v.label = 1"),
     "sim_ann_pq": _pq_sql(),
     "sim_ann_ivfpq": _ivf_pq_sql(),

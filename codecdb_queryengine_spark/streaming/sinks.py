@@ -116,6 +116,7 @@ def stream_apply_vector_mutations(
     mutations: DataFrame,
     index_path: str,
     checkpoint: str,
+    index_kind: str = "ivf",
 ) -> StreamingQuery:
     """CDC into the persisted IVF vector index — the vector-side mirror of
     stream_apply_text_mutations: a stream of mutation events (`op` 'u'/'d',
@@ -130,10 +131,19 @@ def stream_apply_vector_mutations(
     crash re-runs the same upsert, which is IDEMPOTENT — updates re-assign
     to the same lists with the same rows, deletes of already-deleted ids
     locate nothing — so the layout converges to the same state
-    (tests/test_ann_index.test_ivf_upsert_replay_idempotent)."""
+    (tests/test_ann_index.test_ivf_upsert_replay_idempotent).
+
+    `index_kind` selects the layout family: "ivf" (full-precision lists,
+    ivf_index_upsert) or "ivfpq" (codes-only IVFADC lists — updates are
+    RE-ENCODED against the layout's persisted quantizer pair through
+    ivfpq_index_upsert; same touched-lists + journaled-swap contract)."""
     from pyspark.sql import functions as F
 
     from codecdb_queryengine_spark.sources import ann_index as AI
+
+    if index_kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"unknown index_kind {index_kind!r}")
+    upsert = AI.ivf_index_upsert if index_kind == "ivf" else AI.ivfpq_index_upsert
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         upd = batch_df.filter(F.col("op") == "u").select("vec_id", "embedding")
@@ -142,7 +152,7 @@ def stream_apply_vector_mutations(
         has_d = bool(dels.limit(1).count())
         if not (has_u or has_d):
             return
-        AI.ivf_index_upsert(
+        upsert(
             index_path,
             updates=upd if has_u else None,
             delete_ids=dels if has_d else None,

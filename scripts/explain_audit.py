@@ -118,6 +118,7 @@ EXPECT_DPP = {
     "sim_ann_ivfpq_lloyd_indexed",
     "sim_ann_ivfpq_upserted",
     "sim_ann_ivfpq_filtered",
+    "emb_stream_pq_mutations",
     "emb_stream_index_ingest",
     "emb_stream_index_compact",
     "emb_stream_ivfpq_ingest",
