@@ -44,74 +44,70 @@ BENCH_SKIP |= {
 # policy (r7 verdict item 8, STALENESS-KEYED since r8): the new round's
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
-# the remaining slots.  Round-9 window: the 5 new r9 gates + all 19 names
-# last green in r3 + the first 26 (alphabetically) of the 42 last green in
-# r4 — after r9 the stalest name outside the window is r4-green (5 rounds),
+# the remaining slots.  Round-10 window: the 3 new r10 gates + all 16 names
+# last green in r4 + the first 31 (alphabetically) of the 40 last green in
+# r5 — after r10 the stalest name outside the window is r5-green (5 rounds),
 # holding the policy's ceil((surface - new) / 48) ≈ 5-round bound as the
 # surface grows.  Everything rotated out stays covered by
 # scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
 # for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the five r9 gates — IVFADC (PQ-tier) index mutability
-    # (vector upsert/delete re-encoded against the layout's persisted
-    # quantizers), filtered ADC search (metadata pushdown under the DPP
-    # prune on the codes layout), batched hybrid retrieval (8 concurrent
-    # per-query RRF fusions over one pass per index), and CDC mutation
-    # streaming into BOTH persisted vector-index families (one
-    # touched-lists rewrite per micro-batch — PQ updates re-encoded on
-    # the layout's quantizers — idempotent under at-least-once replay)
-    "docs_hybrid_search_batch",
-    "emb_stream_mutations",
-    "emb_stream_pq_mutations",
-    "sim_ann_ivfpq_filtered",
-    "sim_ann_ivfpq_upserted",
-    # part 2: the 45 stalest names (last green r3, then the first 26 of
-    # r4's 42, alphabetical within a round)
-    "ext_salted_agg",
-    "ext_setops",
-    "ext_window_funcs",
-    "ext_zorder",
-    "q10",
-    "q11",
-    "q12",
-    "q14",
-    "q15",
-    "q16",
-    "q18",
-    "q2",
-    "q20",
-    "q3",
-    "q4",
-    "q5",
-    "q7",
-    "q8",
-    "sim_ann_lsh",
-    "dedup_canonical",
-    "dedup_keep_docs",
-    "dedup_report",
-    "docs_bigrams",
-    "docs_decontaminate",
-    "docs_pack_chunks",
-    "docs_pack_sequences",
-    "docs_quality_by_source",
-    "docs_quality_filter",
-    "docs_sample_stratified",
-    "docs_sample_weighted",
-    "docs_stream_quality",
-    "docs_tfidf",
-    "emb_stream_encode",
-    "events_anomaly",
-    "events_asof_forward",
-    "events_funnel",
-    "events_json_props",
-    "events_resample",
-    "events_retention",
-    "events_sessionize",
-    "events_stream_enrich",
-    "events_stream_score",
-    "events_stream_sliding",
-    "events_window",
-    "ext_corr",
+    # part 1: the three r10 gates — ANN retrieval QUALITY (recall@10 of
+    # each approximate serve vs the brute-force exact top-10, the recall
+    # value itself in the hashed output; the DuckDB oracle replays both
+    # sides and the set intersection, so quality is value-gated too)
+    "sim_ann_recall_ivf",
+    "sim_ann_recall_ivfpq",
+    "sim_ann_recall_lsh",
+    # part 2: the 47 stalest names (the 16 last green r4, then the first
+    # 31 of r5's 40, alphabetical within a round)
+    "ext_grouped_topk",
+    "ext_join_skew",
+    "ext_profile",
+    "ext_snapshot_diff",
+    "ext_stats",
+    "mm_ann",
+    "mm_decode_real",
+    "q13_sql",
+    "q17_plan",
+    "q9",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "sim_ann_pq",
+    "text_lm_score",
+    "text_redact",
+    "text_repetition",
+    "docs_classify",
+    "docs_length_hist",
+    "docs_search_index",
+    "docs_search_phrase",
+    "docs_shuffle_order",
+    "emb_encode_parity",
+    "emb_label_centroids",
+    "emb_stream_ivfpq_ingest",
+    "encsel_decision",
+    "encsel_features",
+    "events_ewma",
+    "events_interpolate",
+    "events_stream_files",
+    "ext_approx_distinct",
+    "ext_cube",
+    "ext_equidepth_hist",
+    "ext_grouping_sets",
+    "ext_pivot",
+    "ext_salted_join",
+    "ext_unpivot",
+    "graph_cc_chain_ckpt",
+    "mm_decode_audio",
+    "mm_decode_video",
+    "mm_frames",
+    "mm_phash_resized",
+    "q13_plan",
+    "q14_plan",
+    "q1_sql",
+    "q21_plan",
+    "q2_plan",
+    "q3_plan",
 ]
 
 

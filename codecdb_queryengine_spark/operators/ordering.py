@@ -26,6 +26,20 @@ a step function of the leading sort key.  Uniform keys (md5 slices) get
 fixed-width buckets for free; arbitrarily-distributed numeric keys get
 `quantile_buckets`, whose approximate boundaries only balance partitions —
 exactness never depends on them because pass 1 counts exactly.
+
+Determinism contract (r9 ADVICE item 4): the two passes are SEPARATE
+Spark jobs over the same lazy lineage — pass 1's counts must describe
+exactly the rows pass 2 ranks, so `df`'s lineage must be deterministic
+under re-evaluation.  A nondeterministic input — `sample()` / `rand()`-
+derived columns without a fixed seed, `monotonically_increasing_id()`,
+a LIMIT without a total order, or source files mutated between the two
+jobs — yields silently duplicated or skipped global positions (offsets
+computed for one row population, ranks for another).  Callers with such
+lineage must `.persist()` (and materialize) the frame before calling in
+here, so both passes read one materialization; this module deliberately
+does not persist internally — every repo call site is deterministic
+(parquet scans + pure expressions) and an unconditional cache would tax
+the common case to subsidize the broken one.
 """
 
 from __future__ import annotations

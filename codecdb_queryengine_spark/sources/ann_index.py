@@ -373,14 +373,43 @@ def _upsert_assigned(
     if delete_ids is None:
         del_df = spark.createDataFrame([], "n_id long")
     elif isinstance(delete_ids, DataFrame):
-        del_df = delete_ids.select(F.col(delete_ids.columns[0]).alias("n_id"))
+        del_df = delete_ids.select(
+            F.col(delete_ids.columns[0]).alias("n_id")
+        ).distinct()
     else:
-        del_df = spark.createDataFrame([(int(i),) for i in delete_ids], "n_id long")
+        del_df = spark.createDataFrame(
+            sorted({(int(i),) for i in delete_ids}), "n_id long"
+        )
     if assigned is not None:
         _check_append_schema(assigned, existing)
         upd_ids = assigned.select("n_id")
     else:
         upd_ids = spark.createDataFrame([], "n_id long")
+    # Batch-sanity guard — the exact contract text_index_upsert enforces
+    # (r9 ADVICE items 1+2): within ONE batch an id updated AND deleted is
+    # ambiguous latest state (the anti-join+union below would silently
+    # resurrect it update-wins), duplicate update ids would survive as
+    # multiple served candidate rows, and a NULL id can never match an
+    # anti-join (silent loss).  Deletes are deduped above (idempotent);
+    # everything else raises.  One small aggregate on the happy path.
+    batch = del_df.withColumn("_d", F.lit(True)).unionByName(
+        upd_ids.withColumn("_d", F.lit(False))
+    )
+    g = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("n_id").alias("nd"),
+        F.count(F.when(F.col("n_id").isNull(), 1)).alias("n_null"),
+    ).first()
+    if g["n_null"]:
+        raise ValueError("index upsert: NULL id in the mutation batch")
+    if g["n"] != g["nd"]:
+        if assigned is not None and upd_ids.count() != upd_ids.distinct().count():
+            raise ValueError("index upsert: duplicate id in updates")
+        raise ValueError(
+            "index upsert: id in both updates and delete_ids — ambiguous "
+            "latest state; pre-reduce the batch to one terminal event per "
+            "id (or split into two calls)"
+        )
     mutated = del_df.unionByName(upd_ids).distinct()
     located = (
         existing.select("n_id", "c_list")

@@ -229,7 +229,8 @@ def text_index_search_phrase(
     pushdown are identical to the AND search; the joins run only over the
     phrase terms' pruned postings, keyed by (doc_id, pos) — no corpus
     scan, no row explosion beyond the terms' occurrence lists."""
-    assert phrase, "empty phrase"
+    if not phrase:  # explicit: assert is stripped under python -O (r9 ADVICE)
+        raise ValueError("text_index_search_phrase: empty phrase")
     num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_pos", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in phrase})
     postings = _live_postings(spark, path, "postings_pos", cached)
@@ -324,7 +325,8 @@ def text_index_search_ranked(
     corpus stats (N, Σdl) are a 1-row broadcast, and the final top-k is a
     TakeOrderedAndProject — no corpus scan anywhere.
     """
-    assert terms, "empty query"
+    if not terms:  # explicit: assert is stripped under python -O (r9 ADVICE)
+        raise ValueError("text_index_search_ranked: empty query")
     want = sorted(set(terms))
     num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_tf", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in want})
@@ -394,7 +396,14 @@ def text_index_search_ranked_batch(
     in the FIXED global sorted-union term order via one pivoted column
     per term — terms a query didn't ask for are absent by the fan-out
     join and coalesce to 0.0.  Output: (q_id, doc_id, score, rk)."""
-    assert queries and all(ts for _, ts in queries), "empty batch/query"
+    # explicit, not assert (stripped under python -O, and the failure would
+    # otherwise surface later as an opaque unresolved-column error on p0 —
+    # the score expression seeds from the first pivoted term column)
+    if not queries or not all(ts for _, ts in queries):
+        raise ValueError(
+            "text_index_search_ranked_batch: empty batch or a query with "
+            "no terms — every (q_id, terms) entry needs at least one term"
+        )
     union_terms = sorted({t for _, ts in queries for t in ts})
     num_buckets = _buckets_of_layout(spark, path, num_buckets, "postings_tf", cached)
     buckets = sorted({_bucket_of(t, num_buckets) for t in union_terms})

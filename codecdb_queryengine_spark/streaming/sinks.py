@@ -136,7 +136,15 @@ def stream_apply_vector_mutations(
     `index_kind` selects the layout family: "ivf" (full-precision lists,
     ivf_index_upsert) or "ivfpq" (codes-only IVFADC lists — updates are
     RE-ENCODED against the layout's persisted quantizer pair through
-    ivfpq_index_upsert; same touched-lists + journaled-swap contract)."""
+    ivfpq_index_upsert; same touched-lists + journaled-swap contract).
+
+    Intra-batch conflicts RAISE, exactly like the text twin (r9 ADVICE
+    item 1): the event schema carries no ordering metadata, so a vec_id
+    appearing as both 'u' and 'd' in one micro-batch (or duplicated in
+    the updates, or NULL) has no well-defined terminal state — the
+    upsert's batch guard fails the batch instead of silently resolving
+    update-wins.  A real CDC feed pre-reduces each batch to one terminal
+    event per vec_id before it reaches this sink."""
     from pyspark.sql import functions as F
 
     from codecdb_queryengine_spark.sources import ann_index as AI

@@ -80,6 +80,11 @@ EXPECT_NESTED = {
     "sim_ann_pq_trained",
     # IVF-PQ assignment/probe is all-vectors × broadcast(centroids), like IVF
     "sim_ann_ivfpq",
+    # the recall@k gates each contain the brute-force ground-truth leg
+    # (sim_topk's broadcast queries × all vectors) next to their serve
+    "sim_ann_recall_ivf",
+    "sim_ann_recall_ivfpq",
+    "sim_ann_recall_lsh",
     # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
     # the same all-vectors × broadcast(model) assignment shape
     "sim_ann_ivf_lloyd",

@@ -506,3 +506,77 @@ def test_ivf_upsert_replay_idempotent(spark, sf_dir):
     served2 = AI.ivf_index_topk(spark, path, _queries(emb), k=5, nprobe=2).collect()
     assert first == second
     assert sorted(map(tuple, served1)) == sorted(map(tuple, served2))
+
+
+def test_upsert_batch_guards_conflicts_duplicates_and_nulls(spark, sf_dir):
+    """r9 ADVICE items 1+2: _upsert_assigned enforces the same batch
+    contract text_index_upsert has — an id updated AND deleted in one
+    batch raises (no silent update-wins resurrection), duplicate update
+    ids raise (no multiplied candidate rows), NULL ids raise (an
+    anti-join can never match NULL), while duplicate DELETE ids stay
+    legal (idempotent) and dedupe."""
+    import pytest
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="ivf_guard_")
+    AI.ivf_index_build(emb, path, centroid_mod=29)
+    upd = emb.filter(F.col("vec_id") == 7).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="both updates and delete_ids"):
+        AI.ivf_index_upsert(path, updates=upd, delete_ids=[7])
+    with pytest.raises(ValueError, match="duplicate id in updates"):
+        AI.ivf_index_upsert(path, updates=upd.unionByName(upd))
+    null_del = emb.sparkSession.createDataFrame([(None,)], "vec_id long")
+    with pytest.raises(ValueError, match="NULL id"):
+        AI.ivf_index_upsert(path, delete_ids=null_del, spark=spark)
+    # duplicate deletes are idempotent, not an error
+    n = AI.ivf_index_upsert(path, delete_ids=[11, 11], spark=spark)
+    assert n >= 1
+    left = {
+        r.n_id
+        for r in spark.read.parquet(os.path.join(path, "lists"))
+        .select("n_id").collect()
+    }
+    assert 11 not in left and 7 in left
+
+
+def test_vector_cdc_intra_batch_conflict_fails_batch(spark, sf_dir):
+    """r9 ADVICE item 1 end-to-end: a CDC micro-batch carrying the same
+    vec_id as both 'u' and 'd' must FAIL the stream (the event schema has
+    no ordering metadata — silently resolving update-wins would resurrect
+    a deleted vector), mirroring the text twin's behavior."""
+    import time as _time
+
+    import pytest
+    from pyspark.sql import types as PT
+    from pyspark.sql.utils import StreamingQueryException
+
+    from codecdb_queryengine_spark.streaming import sinks as SK
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = tempfile.mkdtemp(prefix="ivf_cdc_conflict_")
+    path = os.path.join(base, "index")
+    AI.ivf_index_build(emb, path, centroid_mod=29)
+    events = emb.filter(F.col("vec_id") == 9).select(
+        F.lit("u").alias("op"), "vec_id", F.reverse("embedding").alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 9).select(
+            F.lit("d").alias("op"),
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    src = os.path.join(base, "mutations")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = PT.StructType(
+        [
+            PT.StructField("op", PT.StringType()),
+            PT.StructField("vec_id", PT.LongType()),
+            PT.StructField("embedding", PT.ArrayType(PT.FloatType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = SK.stream_apply_vector_mutations(stream, path, os.path.join(base, "ckpt"))
+    with pytest.raises(StreamingQueryException, match="both updates and delete_ids"):
+        q.awaitTermination()

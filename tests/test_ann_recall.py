@@ -303,3 +303,32 @@ def test_ivf_assign_arrow_matches_expression_assignment(spark):
     )
     slow = {r.n_id: r.c_id for r in scored.collect()}
     assert fast == slow
+
+
+def test_recall_gates_pin_quality_values(spark, sf_dir):
+    """The r10 recall@10 gates (sim_ann_recall_{ivf,ivfpq,lsh}) put the
+    retrieval-quality number itself in the value-hashed output; this pins
+    the measured values on the deterministic sf0.001 fixture so a silent
+    quality regression (changed assignment exprs, broken probe pruning,
+    codebook drift) fails HERE with the number, not just as an opaque
+    hash mismatch in the driver gate.  Random embeddings are adversarial
+    for ANN, hence the honest low absolutes; the relative order
+    (full-precision IVF above the code-quantized and bucket-cut tiers)
+    is the substantive invariant."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    expected = {
+        "sim_ann_recall_ivf": {0: (10, 1.0), 1: (0, 0.0), 2: (4, 0.4),
+                               3: (4, 0.4), 4: (2, 0.2)},
+        "sim_ann_recall_ivfpq": {0: (3, 0.3), 1: (0, 0.0), 2: (1, 0.1),
+                                 3: (1, 0.1), 4: (0, 0.0)},
+        "sim_ann_recall_lsh": {0: (0, 0.0), 1: (2, 0.2), 2: (1, 0.1),
+                               3: (1, 0.1), 4: (0, 0.0)},
+    }
+    means = {}
+    for name, want in expected.items():
+        rows = P.QUERIES[name](spark, sf_dir).collect()
+        got = {r.q_id: (r.hits, r.recall_at_10) for r in rows}
+        assert got == want, f"{name}: {got}"
+        means[name] = sum(v[1] for v in got.values()) / len(got)
+    assert means["sim_ann_recall_ivf"] >= means["sim_ann_recall_ivfpq"]

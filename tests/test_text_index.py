@@ -551,3 +551,20 @@ def test_batch_ranked_search_matches_single_query_per_query(spark, tmp_path):
     audit_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(audit_mod)
     assert audit_mod.global_windows(out._jdf.queryExecution().executedPlan()) == []
+
+
+def test_ranked_batch_empty_input_raises_value_error(spark, sf_dir):
+    """r9 ADVICE item 3: empty batch / termless query must raise a real
+    ValueError (an assert is stripped under python -O, and the failure
+    otherwise surfaces later as an opaque unresolved-column error on the
+    first pivoted term column)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="empty batch"):
+        TI.text_index_search_ranked_batch(spark, "/nonexistent", [])
+    with pytest.raises(ValueError, match="empty batch"):
+        TI.text_index_search_ranked_batch(spark, "/nonexistent", [(1, [])])
+    with pytest.raises(ValueError, match="empty"):
+        TI.text_index_search_phrase(spark, "/nonexistent", [])
+    with pytest.raises(ValueError, match="empty"):
+        TI.text_index_search_ranked(spark, "/nonexistent", [])
