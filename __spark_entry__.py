@@ -159,6 +159,31 @@ BENCH_LIFECYCLE = frozenset({
 })
 
 
+# Pure-serve lifecycle gates that route their base-layout build through
+# pipeline._ensure_layout (r9 verdict item 3): under bench.py's
+# SPARK_GRAFT_PREBUILT_LAYOUTS=1 the base builds once per process and the
+# timed number is the SERVE, not N identical rebuilds.  Mutation / crash /
+# stream / roundtrip gates are deliberately NOT here — their rebuild IS the
+# contract being timed.  The correctness gate never sets the env var, so
+# gate timing there stays fixture-free.  tests/test_entry_contract.py
+# regenerates this set from the query sources.
+BENCH_PREBUILT = frozenset({
+    "docs_hybrid_search",
+    "docs_hybrid_search_batch",
+    "docs_search_cached",
+    "docs_search_index",
+    "docs_search_phrase",
+    "docs_search_ranked",
+    "sim_ann_ivf_cached",
+    "sim_ann_ivf_filtered",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_indexed_split",
+    "sim_ann_ivf_lloyd_indexed",
+    "sim_ann_ivfpq_filtered",
+    "sim_ann_ivfpq_lloyd_indexed",
+})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return tpch.q1(spark, "/root/testdata/sf0.001")

@@ -69,6 +69,13 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Pure-serve lifecycle gates reuse one base-layout build per process
+    # (r9 verdict item 3): the timed number for the BENCH_PREBUILT family
+    # becomes the serve (the single building run falls out of the median).
+    # The correctness gate never sets this, so its timing stays
+    # fixture-free.  SPARK_GRAFT_PREBUILT_LAYOUTS=0 restores rebuilds.
+    os.environ.setdefault("SPARK_GRAFT_PREBUILT_LAYOUTS", "1")
+
     spark = get_spark("bench")
     queries = entry_mod.queries()
 

@@ -505,6 +505,49 @@ def _scratch_dir(kind: str, sf_dir: str, fresh: bool = False) -> str:
     return path
 
 
+_PREBUILT_ENV = "SPARK_GRAFT_PREBUILT_LAYOUTS"
+
+
+def _ensure_layout(
+    kind: str,
+    sf_dir: str,
+    key: str,
+    build,
+    fresh: bool = False,
+) -> str:
+    """Base-layout fixture for PURE-SERVE gates (r9 verdict item 3): when
+    $SPARK_GRAFT_PREBUILT_LAYOUTS=1 — set ONLY by bench.py — the closure
+    `build(path)` runs once per (kind, key) per process and later
+    invocations reuse the persisted layout, so the timed number is the
+    SERVE instead of N identical rebuilds of the same base (bench.py's
+    median over N_RUNS discards the one building run).  Unset (the
+    driver's correctness gate, tests, scale_measure), every invocation
+    builds fresh exactly as before — correctness timing stays
+    fixture-free and the build protocol stays value-gated.
+
+    The marker lives inside the per-(kind, sf, pid) scratch dir, so there
+    is no cross-corpus or cross-process staleness to manage (the dir is
+    wiped at interpreter exit).  Gates whose ORACLE reflects base
+    mutations may use this only by putting the full build→mutate sequence
+    in the closure (terminal state is what repeat serves read); gates
+    whose CONTRACT is the mutation/crash/replay protocol itself must not
+    use this at all — their rebuild is the thing being timed."""
+    if os.environ.get(_PREBUILT_ENV) != "1":
+        path = _scratch_dir(kind, sf_dir, fresh=fresh)
+        build(path)
+        return path
+    path = _scratch_dir(kind, sf_dir)
+    marker = os.path.join(path, f"_prebuilt_{key}.ok")
+    if not os.path.exists(marker):
+        if fresh:
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+        build(path)
+        with open(marker, "w") as fh:
+            fh.write(key)
+    return path
+
+
 def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -851,8 +894,10 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("ivf_index", sf_dir)
-    AI.ivf_index_build(emb, path, centroid_mod=29)
+    path = _ensure_layout(
+        "ivf_index", sf_dir, "flat",
+        lambda p: AI.ivf_index_build(emb, p, centroid_mod=29),
+    )
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
@@ -870,8 +915,10 @@ def sim_ann_ivf_indexed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("ivf_index_split", sf_dir)
-    AI.ivf_index_build(emb, path, centroid_mod=29, max_list_rows=16)
+    path = _ensure_layout(
+        "ivf_index_split", sf_dir, "split",
+        lambda p: AI.ivf_index_build(emb, p, centroid_mod=29, max_list_rows=16),
+    )
     return AI.ivf_index_topk(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
@@ -914,17 +961,23 @@ def sim_ann_ivf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("ivf_index_cached", sf_dir, fresh=True)
-    cents = emb.filter(F.col("vec_id") % 29 == 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_vec"),
-        S.norm(F.col("embedding")).alias("c_norm"),
-    )
-    AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents)
-    AI.ivf_index_topk(
-        spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2, cached=True
-    ).collect()
-    AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    def build(path: str) -> None:
+        cents = emb.filter(F.col("vec_id") % 29 == 0).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+            S.norm(F.col("embedding")).alias("c_norm"),
+        )
+        AI.ivf_index_build(emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents)
+        AI.ivf_index_topk(
+            spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2, cached=True
+        ).collect()
+        AI.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    # the whole build→cached-serve→append staleness drill is the closure:
+    # its terminal state (full corpus) is what repeat serves read, so the
+    # invalidation protocol stays value-gated wherever the fixture is off
+    path = _ensure_layout("ivf_index_cached", sf_dir, "cached", build, fresh=True)
     return AI.ivf_index_topk(
         spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2, cached=True
     )
@@ -943,8 +996,10 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("ivf_index_meta", sf_dir)
-    AI.ivf_index_build(emb, path, centroid_mod=29, meta_cols=("label",))
+    path = _ensure_layout(
+        "ivf_index_meta", sf_dir, "meta",
+        lambda p: AI.ivf_index_build(emb, p, centroid_mod=29, meta_cols=("label",)),
+    )
     return AI.ivf_index_topk(
         spark,
         path,
@@ -1890,9 +1945,12 @@ def sim_ann_ivf_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = S.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
-    path = _scratch_dir("ivf_lloyd_index", sf_dir)
-    AI.ivf_index_build_micro(emb, path, cents)
+
+    def build(path: str) -> None:
+        cents = S.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
+        AI.ivf_index_build_micro(emb, path, cents)
+
+    path = _ensure_layout("ivf_lloyd_index", sf_dir, "lloyd", build)
     return AI.ivf_index_topk_micro(spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2)
 
 
@@ -2023,9 +2081,12 @@ def sim_ann_ivfpq_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
-    path = _scratch_dir("ivfpq_lloyd_index", sf_dir)
-    AI.ivfpq_index_build_micro(emb, path, cents, cbs)
+
+    def build(path: str) -> None:
+        cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+        AI.ivfpq_index_build_micro(emb, path, cents, cbs)
+
+    path = _ensure_layout("ivfpq_lloyd_index", sf_dir, "lloyd", build)
     return AI.ivfpq_index_topk_micro(
         spark, path, _query_vectors(emb), k=_TOP_K, nprobe=2
     )
@@ -2046,9 +2107,12 @@ def sim_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import ann_index as AI
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents, cbs = S.ivfpq_train_micro(emb, dim=64)
-    path = _scratch_dir("ivfpq_index_meta", sf_dir)
-    AI.ivfpq_index_build_micro(emb, path, cents, cbs, meta_cols=("label",))
+
+    def build(path: str) -> None:
+        cents, cbs = S.ivfpq_train_micro(emb, dim=64)
+        AI.ivfpq_index_build_micro(emb, path, cents, cbs, meta_cols=("label",))
+
+    path = _ensure_layout("ivfpq_index_meta", sf_dir, "meta", build)
     return AI.ivfpq_index_topk_micro(
         spark,
         path,
@@ -3961,8 +4025,9 @@ def docs_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import text_index as TI
 
     docs = load_tables(spark, sf_dir)["documents"]
-    path = _scratch_dir("text_index", sf_dir)
-    TI.text_index_build(docs, path)
+    path = _ensure_layout(
+        "text_index", sf_dir, "postings", lambda p: TI.text_index_build(docs, p)
+    )
     hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS)
     return docs.join(hits, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
@@ -3989,8 +4054,10 @@ def docs_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import text_index as TI
 
     docs = load_tables(spark, sf_dir)["documents"]
-    path = _scratch_dir("text_index", sf_dir)
-    TI.text_index_build_positional(docs, path)
+    path = _ensure_layout(
+        "text_index", sf_dir, "positional",
+        lambda p: TI.text_index_build_positional(docs, p),
+    )
     hits = TI.text_index_search_phrase(spark, path, _SEARCH_PHRASE)
     return docs.join(hits, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
@@ -4017,8 +4084,10 @@ def docs_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import text_index as TI
 
     docs = load_tables(spark, sf_dir)["documents"]
-    path = _scratch_dir("text_index", sf_dir)
-    TI.text_index_build_ranked(docs, path)
+    path = _ensure_layout(
+        "text_index", sf_dir, "ranked",
+        lambda p: TI.text_index_build_ranked(docs, p),
+    )
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 
@@ -4251,8 +4320,10 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("text_index", sf_dir)
-    TI.text_index_build_ranked(docs, path)
+    path = _ensure_layout(
+        "text_index", sf_dir, "ranked",
+        lambda p: TI.text_index_build_ranked(docs, p),
+    )
     bm = TI.text_index_search_ranked_batch(
         spark, path, [(0, _SEARCH_TERMS)], k=_HYBRID_K
     ).select("doc_id", F.col("rk").alias("rk_t"))
@@ -4344,8 +4415,10 @@ def docs_hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     emb = load_tables(spark, sf_dir)["embeddings"]
-    path = _scratch_dir("text_index", sf_dir)
-    TI.text_index_build_ranked(docs, path)
+    path = _ensure_layout(
+        "text_index", sf_dir, "ranked",
+        lambda p: TI.text_index_build_ranked(docs, p),
+    )
     bm = TI.text_index_search_ranked_batch(
         spark, path, _HYBRID_BATCH, k=_HYBRID_K
     ).select("q_id", "doc_id", F.col("rk").alias("rk_t"))
@@ -4477,10 +4550,16 @@ def docs_search_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.sources import text_index as TI
 
     docs = load_tables(spark, sf_dir)["documents"]
-    path = _scratch_dir("text_index_cached", sf_dir, fresh=True)
-    TI.text_index_build(docs, path)
-    TI.text_index_search_all(spark, path, _SEARCH_TERMS, cached=True).collect()
-    _text_index_mutate(spark, sf_dir, path)
+
+    def build(path: str) -> None:
+        TI.text_index_build(docs, path)
+        TI.text_index_search_all(spark, path, _SEARCH_TERMS, cached=True).collect()
+        _text_index_mutate(spark, sf_dir, path)
+
+    # the whole build→cached-serve→mutate staleness drill is the closure
+    # (terminal mutated state is what repeat serves read) — the
+    # invalidation protocol stays value-gated wherever the fixture is off
+    path = _ensure_layout("text_index_cached", sf_dir, "cached", build, fresh=True)
     hits = TI.text_index_search_all(spark, path, _SEARCH_TERMS, cached=True)
     return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "source")
 

@@ -90,10 +90,44 @@ def test_bench_lifecycle_set_matches_scratch_layout_gates():
             src,
             re.S,
         ):
-            if "_scratch_dir(" in body:
+            if "_scratch_dir(" in body or "_ensure_layout(" in body:
                 derived.add(fname)
     registered = derived & set(entry.queries())
     assert entry.BENCH_LIFECYCLE == registered, (
         sorted(entry.BENCH_LIFECYCLE - registered),
         sorted(registered - entry.BENCH_LIFECYCLE),
     )
+
+
+def test_bench_prebuilt_set_matches_ensure_layout_gates():
+    """BENCH_PREBUILT (r9 verdict item 3's pure-serve fixture family) must
+    be EXACTLY the gates whose body routes its base build through
+    pipeline._ensure_layout — regenerated from the query sources so the
+    set can't drift — and every such gate must also be in
+    BENCH_LIFECYCLE (a prebuilt gate still builds a scratch layout when
+    the fixture is off)."""
+    import os
+    import re
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "codecdb_queryengine_spark",
+        "queries",
+    )
+    derived = set()
+    for mod in ("pipeline.py", "extensions.py"):
+        src = open(os.path.join(qdir, mod)).read()
+        for fname, body in re.findall(
+            r"def (\w+)\(spark: SparkSession, sf_dir: str\) -> DataFrame:"
+            r"(.*?)(?=\ndef |\Z)",
+            src,
+            re.S,
+        ):
+            if "_ensure_layout(" in body:
+                derived.add(fname)
+    registered = derived & set(entry.queries())
+    assert entry.BENCH_PREBUILT == registered, (
+        sorted(entry.BENCH_PREBUILT - registered),
+        sorted(registered - entry.BENCH_PREBUILT),
+    )
+    assert entry.BENCH_PREBUILT <= entry.BENCH_LIFECYCLE

@@ -187,3 +187,32 @@ def test_zorder_append_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bit budget"):
         L.zorder_append(wide, path)
+
+
+def test_prebuilt_layout_fixture_reuses_base_and_serves_identically(
+    spark, sf_dir, monkeypatch
+):
+    """r9 verdict item 3: with SPARK_GRAFT_PREBUILT_LAYOUTS=1 (bench-only)
+    a pure-serve gate builds its base layout once per process — the second
+    invocation must touch NO layout file (serve-only) and return identical
+    rows.  With the env unset (the correctness gate), every invocation
+    rebuilds as before (covered by the rest of the suite)."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    monkeypatch.setenv("SPARK_GRAFT_PREBUILT_LAYOUTS", "1")
+    a = P.QUERIES["sim_ann_ivf_indexed"](spark, sf_dir).collect()
+    path = P._scratch_dir("ivf_index", sf_dir)
+    assert os.path.exists(os.path.join(path, "_prebuilt_flat.ok"))
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+    b = P.QUERIES["sim_ann_ivf_indexed"](spark, sf_dir).collect()
+    assert snapshot() == before, "second invocation rewrote the layout"
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
