@@ -628,6 +628,44 @@ def main() -> int:
                 flush=True,
             )
 
+    # --- ANN recall stability across factors (r9 verdict item 4) --------
+    # The recall GATES pin the quality value at one SF; this measures that
+    # retrieval quality HOLDS as the corpus scales when the quantizer
+    # follows the documented scaling discipline — fixed-K Lloyd coarse
+    # quantization (nprobe/K constant) and hyperplane planes grown one per
+    # corpus doubling — next to the fixed-6-plane config as the decay
+    # contrast (the embdup_fixed/embdup_scaled law on the retrieval axis).
+    import math
+
+    from codecdb_queryengine_spark.operators import similarity as SIM
+    from codecdb_queryengine_spark.queries.pipeline import _recall_df
+
+    recall: dict[str, dict[int, float]] = {}
+    for f in FACTORS:
+        emb = spark.read.parquet(os.path.join(dirs[f], "embeddings"))
+        q = _serve_queries(spark, dirs[f])
+        exact = SIM.brute_force_topk(emb, q, k=10)
+        cents = SIM.kmeans_lloyd_micro(emb, dim=64, k=8, stride=37, iters=2)
+        planes = 6 + int(round(math.log2(f)))
+        tiers = {
+            "ivf_lloyd_k8": SIM.ivf_topk_micro(emb, q, cents, k=10, nprobe=2),
+            "lsh_scaled_planes": SIM.lsh_bucket_topk(
+                emb, q, dim=64, k=10, num_planes=planes
+            ),
+            "lsh_fixed_6planes": SIM.lsh_bucket_topk(
+                emb, q, dim=64, k=10, num_planes=6
+            ),
+        }
+        for tier, approx in tiers.items():
+            vals = [
+                r["recall_at_10"] for r in _recall_df(exact, approx, 10).collect()
+            ]
+            recall.setdefault(tier, {})[f] = sum(vals) / len(vals)
+            print(
+                f"recall {tier} x{f}: {recall[tier][f]:.2f}",
+                file=sys.stderr, flush=True,
+            )
+
     f0, fN = FACTORS[0], FACTORS[-1]
     span = fN // f0
     lines = [
@@ -679,6 +717,27 @@ def main() -> int:
             f"{a['n_shuffles']} → {b['n_shuffles']} ({flat}).",
             "",
         ]
+    lines += [
+        "## ANN recall stability (r9 verdict item 4)",
+        "",
+        "Mean recall@10 over the 5 standing queries vs brute-force exact",
+        "cosine on the same staged corpus (the gated quality metric of",
+        "sim_ann_recall_*, here measured ACROSS the scale step).  The",
+        "scaled configs follow the quantizer-scaling discipline (fixed-K",
+        "Lloyd coarse quantizer → constant nprobe/K probe fraction;",
+        "hyperplane planes grown one per corpus doubling); the fixed",
+        "6-plane row is the decay contrast — same law SCALE_MEASURED",
+        "already shows for dedup bytes, visible on the retrieval axis.",
+        "",
+        "| tier | " + " | ".join(f"recall@10 at {f}x" for f in FACTORS) + " |",
+        "|---|" + "---|" * len(FACTORS),
+    ]
+    for tier, vals in recall.items():
+        lines.append(
+            f"| {tier} | " + " | ".join(f"{vals[f]:.2f}" for f in FACTORS) + " |"
+        )
+    lines.append("")
+
     def _g(name, field):
         a, b = results[name][f0], results[name][fN]
         if field == "bytes":
@@ -791,6 +850,21 @@ def main() -> int:
         f" {_g('compact_full', 'input'):.1f}x input (O(corpus)).",
         "",
     ]
+    # carry the spill_probe.py section (its own JVM-per-config harness,
+    # r9 verdict item 5) across regenerations of this file
+    try:
+        cur = open(out_md).read()
+        if "<!-- SPILL:BEGIN -->" in cur and "<!-- SPILL:END -->" in cur:
+            block = (
+                "<!-- SPILL:BEGIN -->"
+                + cur.split("<!-- SPILL:BEGIN -->", 1)[1].split(
+                    "<!-- SPILL:END -->", 1
+                )[0]
+                + "<!-- SPILL:END -->"
+            )
+            lines += [block, ""]
+    except OSError:
+        pass
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -1,0 +1,231 @@
+#!/usr/bin/env python3
+"""Bounded-memory SPILL receipt (r9 verdict item 5).
+
+SURVEY §4 names spill-to-disk as a Spark win the reference lacks — lqf is
+all-in-memory by construction (its hash tables and MemTable blocks live or
+die with the process heap; reference: cpp/src/lqf/agg.cc's unbounded
+unordered_map state, cpp/src/lqf/data_model.h:523-562 MemTable) — but no
+artifact demonstrated it.  This probe runs the heaviest shuffle/agg
+queries at sf1 under a CONSTRICTED executor heap and records completion +
+the Spark UI REST spill counters, proving graceful degradation (spill,
+slower wall, same answer) instead of OOM when state exceeds memory.
+
+Design: heap size is fixed at JVM launch, so each memory config runs in
+its own worker subprocess (`--worker heap fraction shuffle_parts`), which
+prints ONE JSON line; the parent collects configs, writes SPILL.json at
+the repo root and splices a marked spill section into SCALE_MEASURED.md
+(scripts/scale_measure.py preserves the marked block when it regenerates
+the file).
+
+Queries: q18 (the TPC-H large-state hash agg — groupBy over every order),
+dedup_report (the five-stage dedup funnel: minhash bands + CC + joins),
+docs_winnow (shingle explosion + per-window min — the row-amplifying
+text op).  Inputs are the key-salted sf1 corpus staged by
+scripts/sf1_bench.py (relational + pipeline halves).
+
+Usage: python -u scripts/spill_probe.py          (~5-10 min)
+       SPILL_HEAPS="4g,1g" overrides the config ladder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+QUERIES = ("q18", "dedup_report", "docs_winnow")
+# (label, heap, memory.fraction, shuffle.partitions): the baseline config
+# mirrors the bench session; the constricted one squeezes the unified
+# execution+storage pool to a few tens of MB against ~100 MB+ of per-query
+# aggregation/join state, forcing ExternalAppendOnlyUnsafeRowArray /
+# UnsafeExternalSorter spills.
+CONFIGS = [
+    ("baseline", "8g", "0.6", "32"),
+    ("constricted", "1g", "0.08", "4"),
+]
+
+
+def _worker(heap: str, fraction: str, parts: str) -> int:
+    from codecdb_queryengine_spark.session import get_spark
+
+    spark = get_spark(
+        f"spill-probe-{heap}",
+        **{
+            "spark.driver.memory": heap,
+            "spark.memory.fraction": fraction,
+            "spark.sql.shuffle.partitions": parts,
+            # spills must not be masked by AQE coalescing partitions back up
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4066",
+        },
+    )
+    base = spark.sparkContext.uiWebUrl
+    app = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))[0]["id"]
+
+    def stages():
+        out = {}
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        for s in json.load(urllib.request.urlopen(url)):
+            out[(s["stageId"], s["attemptId"])] = (
+                s.get("memoryBytesSpilled", 0),
+                s.get("diskBytesSpilled", 0),
+            )
+        return out
+
+    from codecdb_queryengine_spark.queries import pipeline, tpch
+
+    qmap = {**tpch.QUERIES, **pipeline.QUERIES}
+    sf1 = os.environ.get("SF1_DIR", "/tmp/sf1_data")
+    # warm the IO + python worker path untimed
+    qmap["q6"](spark, sf1).collect()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").collect()
+    results = {}
+    for name in QUERIES:
+        before = stages()
+        t0 = time.perf_counter()
+        rows = qmap[name](spark, sf1).collect()
+        wall = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        new = {k: v for k, v in stages().items() if k not in before}
+        results[name] = {
+            "completed": True,
+            "rows": len(rows),
+            "wall_s": round(wall, 2),
+            "memory_spilled_mb": round(sum(m for m, _ in new.values()) / 1e6, 1),
+            "disk_spilled_mb": round(sum(d for _, d in new.values()) / 1e6, 1),
+        }
+    print(json.dumps(results))
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        return _worker(sys.argv[2], sys.argv[3], sys.argv[4])
+
+    # stage sf1 (both halves) with a normally-sized session, in its own
+    # subprocess so this parent never holds a JVM
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path[:0] = [%r, %r]; "
+            "import sf1_bench as B; "
+            "from codecdb_queryengine_spark.session import get_spark; "
+            "s = get_spark('spill-stage'); B.stage(s); B.stage_pipeline(s)"
+            % (REPO, os.path.join(REPO, "scripts")),
+        ],
+        check=True,
+    )
+
+    configs = CONFIGS
+    heaps = os.environ.get("SPILL_HEAPS")
+    if heaps:
+        hs = heaps.split(",")
+        configs = [(h, h, c[2], c[3]) for h, c in zip(hs, CONFIGS)]
+    out: dict[str, dict] = {}
+    for label, heap, fraction, parts in configs:
+        print(f"-- {label}: heap={heap} fraction={fraction} parts={parts}",
+              file=sys.stderr, flush=True)
+        p = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--worker", heap, fraction, parts],
+            capture_output=True, text=True,
+        )
+        if p.returncode != 0:
+            # the receipt must record an OOM/abort honestly, not hide it
+            tail = "\n".join(p.stderr.splitlines()[-15:])
+            out[label] = {
+                "config": {"heap": heap, "fraction": fraction, "parts": parts},
+                "completed": False,
+                "stderr_tail": tail,
+            }
+            print(tail, file=sys.stderr)
+            continue
+        res = json.loads(p.stdout.splitlines()[-1])
+        out[label] = {
+            "config": {"heap": heap, "fraction": fraction, "parts": parts},
+            "queries": res,
+        }
+        for n, r in res.items():
+            print(f"   {n}: {r['wall_s']}s spilled mem={r['memory_spilled_mb']}MB "
+                  f"disk={r['disk_spilled_mb']}MB rows={r['rows']}",
+                  file=sys.stderr, flush=True)
+
+    with open(os.path.join(REPO, "SPILL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    _splice_md(out)
+    print(json.dumps(out))
+    return 0
+
+
+_BEGIN = "<!-- SPILL:BEGIN -->"
+_END = "<!-- SPILL:END -->"
+
+
+def _splice_md(out: dict) -> None:
+    """Write the marked spill section into SCALE_MEASURED.md (replacing a
+    previous one); scale_measure.py carries the block across regens."""
+    md = os.path.join(REPO, "SCALE_MEASURED.md")
+    lines = [
+        _BEGIN,
+        "",
+        "## Spill — bounded-memory receipt (scripts/spill_probe.py, r9 item 5)",
+        "",
+        "The reference engine is all-in-memory (lqf hash-agg state lives in",
+        "process heap); Spark degrades gracefully instead.  Heaviest",
+        "shuffle/agg queries at the key-salted sf1 corpus, each config in",
+        "its own JVM; spill counters from the UI REST stage metrics:",
+        "",
+        "| config | heap | mem.fraction | shuffle parts | query | wall s | mem spilled MB | disk spilled MB | rows |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for label, rec in out.items():
+        c = rec["config"]
+        if not rec.get("queries"):
+            lines.append(
+                f"| {label} | {c['heap']} | {c['fraction']} | {c['parts']} "
+                f"| — | DID NOT COMPLETE | | | |"
+            )
+            continue
+        for n, r in rec["queries"].items():
+            lines.append(
+                f"| {label} | {c['heap']} | {c['fraction']} | {c['parts']} "
+                f"| {n} | {r['wall_s']} | {r['memory_spilled_mb']} "
+                f"| {r['disk_spilled_mb']} | {r['rows']} |"
+            )
+    lines += [
+        "",
+        "Reading it: the constricted config must COMPLETE every query with",
+        "identical row counts and non-zero spill — state exceeding the pool",
+        "lands on disk and the job finishes slower, never OOM.  That is the",
+        "behavior a 1000-executor job needs when a skewed partition or an",
+        "under-provisioned executor squeezes the execution pool.",
+        "",
+        _END,
+    ]
+    block = "\n".join(lines)
+    try:
+        cur = open(md).read()
+    except OSError:
+        cur = "# SCALE_MEASURED\n"
+    if _BEGIN in cur and _END in cur:
+        pre = cur.split(_BEGIN)[0]
+        post = cur.split(_END, 1)[1]
+        cur = pre + block + post
+    else:
+        cur = cur.rstrip() + "\n\n" + block + "\n"
+    with open(md, "w") as f:
+        f.write(cur)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
