@@ -42,14 +42,17 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 QUERIES = ("q18", "dedup_report", "docs_winnow")
-# (label, heap, memory.fraction, shuffle.partitions): the baseline config
-# mirrors the bench session; the constricted one squeezes the unified
-# execution+storage pool to a few tens of MB against ~100 MB+ of per-query
-# aggregation/join state, forcing ExternalAppendOnlyUnsafeRowArray /
-# UnsafeExternalSorter spills.
+# (label, heap, memory.fraction, shuffle.partitions, cores): the baseline
+# config mirrors the bench session; the constricted one squeezes the
+# unified execution+storage pool to a few tens of MB against ~100 MB+ of
+# per-query aggregation/join state, forcing ExternalAppendOnlyUnsafeRowArray
+# / UnsafeExternalSorter spills.  The constricted JVM keeps 2g/8 cores of
+# HEADROOM (a 1g/32-thread JVM dies on task-infrastructure allocations
+# before the managed pool is ever the limit — that is an under-provisioned
+# JVM, not memory pressure on operator state, and proves nothing).
 CONFIGS = [
-    ("baseline", "8g", "0.6", "32"),
-    ("constricted", "1g", "0.08", "4"),
+    ("baseline", "8g", "0.6", "32", "32"),
+    ("constricted", "2g", "0.05", "4", "8"),
 ]
 
 
@@ -130,21 +133,27 @@ def main() -> int:
     heaps = os.environ.get("SPILL_HEAPS")
     if heaps:
         hs = heaps.split(",")
-        configs = [(h, h, c[2], c[3]) for h, c in zip(hs, CONFIGS)]
+        configs = [(h, h, c[2], c[3], c[4]) for h, c in zip(hs, CONFIGS)]
     out: dict[str, dict] = {}
-    for label, heap, fraction, parts in configs:
-        print(f"-- {label}: heap={heap} fraction={fraction} parts={parts}",
-              file=sys.stderr, flush=True)
+    for label, heap, fraction, parts, cores in configs:
+        print(f"-- {label}: heap={heap} fraction={fraction} parts={parts} "
+              f"cores={cores}", file=sys.stderr, flush=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cores)
         p = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__),
              "--worker", heap, fraction, parts],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
         )
+        cfg = {"heap": heap, "fraction": fraction, "parts": parts,
+               "cores": cores}
         if p.returncode != 0:
-            # the receipt must record an OOM/abort honestly, not hide it
-            tail = "\n".join(p.stderr.splitlines()[-15:])
+            # the receipt must record an OOM/abort honestly, not hide it:
+            # first error line (the exception class/message) + stack tail
+            errs = [l for l in p.stderr.splitlines()
+                    if "Error" in l or "Exception" in l]
+            tail = "\n".join(errs[:3] + p.stderr.splitlines()[-10:])
             out[label] = {
-                "config": {"heap": heap, "fraction": fraction, "parts": parts},
+                "config": cfg,
                 "completed": False,
                 "stderr_tail": tail,
             }
@@ -152,7 +161,7 @@ def main() -> int:
             continue
         res = json.loads(p.stdout.splitlines()[-1])
         out[label] = {
-            "config": {"heap": heap, "fraction": fraction, "parts": parts},
+            "config": cfg,
             "queries": res,
         }
         for n, r in res.items():
