@@ -723,11 +723,16 @@ def main() -> int:
         "Mean recall@10 over the 5 standing queries vs brute-force exact",
         "cosine on the same staged corpus (the gated quality metric of",
         "sim_ann_recall_*, here measured ACROSS the scale step).  The",
-        "scaled configs follow the quantizer-scaling discipline (fixed-K",
-        "Lloyd coarse quantizer → constant nprobe/K probe fraction;",
-        "hyperplane planes grown one per corpus doubling); the fixed",
-        "6-plane row is the decay contrast — same law SCALE_MEASURED",
-        "already shows for dedup bytes, visible on the retrieval axis.",
+        "scaled configs follow the quantizer-scaling discipline: fixed-K",
+        "Lloyd coarse quantizer (constant nprobe/K probe fraction) and",
+        "hyperplane planes grown one per corpus doubling.  Reading it with",
+        "the embdup rows above: recall must HOLD (not sink) as data grows",
+        "— and the cost of that recall is the real axis of comparison.",
+        "The fixed 6-plane config holds recall only by letting its buckets",
+        "crowd (the embdup_fixed quadratic-bytes law above is the SAME",
+        "config's cost curve); the scaled-planes config holds recall",
+        "within a few points of it while its candidate cost stays ~linear",
+        "(embdup_scaled).  Quality stable, cost linear — both measured.",
         "",
         "| tier | " + " | ".join(f"recall@10 at {f}x" for f in FACTORS) + " |",
         "|---|" + "---|" * len(FACTORS),
