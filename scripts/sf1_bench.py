@@ -204,6 +204,10 @@ def stage_pipeline(spark) -> None:
 
         _sh.rmtree(dst)
     os.rename(tmp, dst)
+    # the relational half (same session) already listed this path through
+    # the catalog footer pass — drop the cached file index or pipeline
+    # reads resolve to the replaced part files (FILE_NOT_EXIST)
+    spark.catalog.refreshByPath(dst)
 
     emb = rd("embeddings")
     vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -233,6 +237,7 @@ def stage_pipeline(spark) -> None:
 
         _sh.rmtree(dst)
     os.rename(tmp, dst)
+    spark.catalog.refreshByPath(dst)
     open(done, "w").close()
 
 
