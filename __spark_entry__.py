@@ -44,23 +44,27 @@ BENCH_SKIP |= {
 # policy (r7 verdict item 8, STALENESS-KEYED since r8): the new round's
 # gates lead (a new entry is always windowed the round it lands), then the
 # stalest names by last-green driver round, tie-broken alphabetically, fill
-# the remaining slots.  Round-10 window: the 3 new r10 gates + all 16 names
-# last green in r4 + the first 31 (alphabetically) of the 40 last green in
+# the remaining slots.  Round-10 window: the 5 new r10 gates + all 16 names
+# last green in r4 + the first 29 (alphabetically) of the 40 last green in
 # r5 — after r10 the stalest name outside the window is r5-green (5 rounds),
 # holding the policy's ceil((surface - new) / 48) ≈ 5-round bound as the
 # surface grows.  Everything rotated out stays covered by
 # scripts/check_correctness.py over the full surface (ORACLE_NDIGITS=exact
 # for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the three r10 gates — ANN retrieval QUALITY (recall@10 of
+    # part 1: the five r10 gates — ANN retrieval QUALITY (recall@10 of
     # each approximate serve vs the brute-force exact top-10, the recall
     # value itself in the hashed output; the DuckDB oracle replays both
-    # sides and the set intersection, so quality is value-gated too)
+    # sides and the set intersection, so quality is value-gated too) and
+    # two-stage retrieval (IVFADC+R: ADC shortlist re-ranked by exact
+    # cosine, plus its recall gate measuring the second stage's lift)
     "sim_ann_recall_ivf",
     "sim_ann_recall_ivfpq",
     "sim_ann_recall_lsh",
-    # part 2: the 47 stalest names (the 16 last green r4, then the first
-    # 31 of r5's 40, alphabetical within a round)
+    "sim_ann_ivfpq_reranked",
+    "sim_ann_recall_ivfpq_reranked",
+    # part 2: the 45 stalest names (the 16 last green r4, then the first
+    # 29 of r5's 40, alphabetical within a round)
     "ext_grouped_topk",
     "ext_join_skew",
     "ext_profile",
@@ -106,8 +110,6 @@ DRIVER_FIRST = [
     "q14_plan",
     "q1_sql",
     "q21_plan",
-    "q2_plan",
-    "q3_plan",
 ]
 
 

@@ -932,6 +932,53 @@ def ivf_pq_topk(
     )
 
 
+def exact_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-cosine RE-RANKING of an approximate shortlist — the second
+    stage of two-stage retrieval (Jégou, Douze & Schmid 2011 §V's IVFADC+R:
+    ADC cuts the corpus to R candidates on codes alone, then the R true
+    vectors are fetched and ranked exactly; reference lineage:
+    the CodecDB papers' eval reports quality the same way).  `shortlist`
+    is any (q_id, n_id) frame (e.g. ivf_pq_topk at k=R); output is
+    (q_id, n_id, cosine, rk ≤ k) — identical shape and ORDER SEMANTICS to
+    brute_force_topk (cosine desc, n_id asc), so recall gates compose.
+
+    Scale shape: the candidate fetch is a broadcast of the R·|q| shortlist
+    against the corpus scan (one semi-join-shaped hash join — candidates
+    pay the vector read, nothing else does), queries ride broadcast, and
+    the final rank is a Window PARTITIONED by q_id over ≤R rows per
+    query."""
+    cand = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
+    q = F.broadcast(queries.withColumn("q_norm", norm(F.col("q_vec"))))
+    scored = (
+        F.broadcast(shortlist.select("q_id", "n_id"))
+        .join(cand, "n_id")
+        .join(q, "q_id")
+        .withColumn(
+            "cosine",
+            cosine_pre(
+                F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,

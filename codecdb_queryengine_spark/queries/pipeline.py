@@ -1507,6 +1507,65 @@ def _recall_sql(approx_sql: str, k: int = _RECALL_K) -> str:
     """
 
 
+# --- two-stage retrieval: ADC shortlist + exact re-rank (IVFADC+R) ----------
+
+_RERANK_R = 20
+
+
+def sim_ann_ivfpq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (Jégou'11 §V, IVFADC+R — the production serving
+    composition): the IVFADC codes cut the corpus to an R=20 shortlist on
+    ~4 bytes/vector, then ONLY those R true vectors are fetched and ranked
+    by exact cosine (operators/similarity.exact_rerank — broadcast
+    shortlist ⋈ corpus, partitioned rank).  Output shape and order
+    semantics are brute_force_topk's, so the oracle replays ADC + the
+    exact re-rank verbatim and the doubles hash bit-exact."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    short = S.ivf_pq_topk(emb, q, dim=64, k=_RERANK_R)
+    return S.exact_rerank(emb, q, short, k=_TOP_K)
+
+
+def sim_ann_recall_ivfpq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the re-ranked two-stage serve — the quality lift the
+    exact second stage buys over raw ADC ranking (sim_ann_recall_ivfpq) at
+    the same candidate budget: within the R=20 shortlist the re-rank keeps
+    the TRULY nearest 10, so its recall is ≥ the ADC-ordered top-10's by
+    construction; the gate puts the measured value under the hash."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K)
+    short = S.ivf_pq_topk(emb, q, dim=64, k=_RERANK_R)
+    approx = S.exact_rerank(emb, q, short, k=_RECALL_K)
+    return _recall_df(exact, approx, _RECALL_K)
+
+
+def _ivfpq_reranked_sql(r: int = _RERANK_R, k: int = _TOP_K) -> str:
+    """ADC shortlist (the IVFADC oracle at k=r) re-ranked by the exact
+    unrolled-double cosine — mirrors exact_rerank expression-for-expression
+    (same cosine fold as _SIM_TOPK_SQL, same (cosine DESC, n_id) order)."""
+    return f"""
+        WITH short AS ({_ivf_pq_sql(k=r)}),
+        nv AS (
+            SELECT vec_id, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding', 64)}) AS nrm
+            FROM embeddings)
+        SELECT q_id, n_id, cosine, rk FROM (
+            SELECT q_id, n_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rk
+            FROM (
+                SELECT s.q_id, s.n_id,
+                       ({_sql_dot('q.embedding', 'n.embedding', 64)})
+                         / (q.nrm * n.nrm) AS cosine
+                FROM short s
+                JOIN nv q ON q.vec_id = s.q_id
+                JOIN nv n ON n.vec_id = s.n_id))
+        WHERE rk <= {k}
+    """
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -7076,6 +7135,8 @@ QUERIES = {
     "sim_ann_recall_ivf": sim_ann_recall_ivf,
     "sim_ann_recall_ivfpq": sim_ann_recall_ivfpq,
     "sim_ann_recall_lsh": sim_ann_recall_lsh,
+    "sim_ann_ivfpq_reranked": sim_ann_ivfpq_reranked,
+    "sim_ann_recall_ivfpq_reranked": sim_ann_recall_ivfpq_reranked,
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
@@ -7233,6 +7294,10 @@ ORACLE: dict[str, str] = {
     "sim_ann_recall_ivf": _recall_sql(_ivf_sql(k=_RECALL_K)),
     "sim_ann_recall_ivfpq": _recall_sql(_ivf_pq_sql(k=_RECALL_K)),
     "sim_ann_recall_lsh": _recall_sql(_ann_sql(k=_RECALL_K)),
+    "sim_ann_ivfpq_reranked": _ivfpq_reranked_sql(),
+    "sim_ann_recall_ivfpq_reranked": _recall_sql(
+        _ivfpq_reranked_sql(k=_RECALL_K)
+    ),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
     "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),

@@ -85,6 +85,10 @@ EXPECT_NESTED = {
     "sim_ann_recall_ivf",
     "sim_ann_recall_ivfpq",
     "sim_ann_recall_lsh",
+    # the two-stage serve carries the ADC shortlist stage's broadcast ADC
+    # maps (sim_ann_ivfpq's shape); its recall gate adds the brute-force leg
+    "sim_ann_ivfpq_reranked",
+    "sim_ann_recall_ivfpq_reranked",
     # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
     # the same all-vectors × broadcast(model) assignment shape
     "sim_ann_ivf_lloyd",

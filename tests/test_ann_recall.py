@@ -324,11 +324,22 @@ def test_recall_gates_pin_quality_values(spark, sf_dir):
                                  3: (1, 0.1), 4: (0, 0.0)},
         "sim_ann_recall_lsh": {0: (0, 0.0), 1: (2, 0.2), 2: (1, 0.1),
                                3: (1, 0.1), 4: (0, 0.0)},
+        "sim_ann_recall_ivfpq_reranked": {0: (6, 0.6), 1: (0, 0.0),
+                                          2: (2, 0.2), 3: (2, 0.2),
+                                          4: (1, 0.1)},
     }
     means = {}
+    per_q = {}
     for name, want in expected.items():
         rows = P.QUERIES[name](spark, sf_dir).collect()
         got = {r.q_id: (r.hits, r.recall_at_10) for r in rows}
         assert got == want, f"{name}: {got}"
         means[name] = sum(v[1] for v in got.values()) / len(got)
+        per_q[name] = got
     assert means["sim_ann_recall_ivf"] >= means["sim_ann_recall_ivfpq"]
+    # the exact second stage can only keep or improve recall PER QUERY at
+    # the same candidate budget: within the R-shortlist the re-rank
+    # retains the truly nearest k, a superset-ordering argument that a
+    # broken rerank join/window would violate immediately
+    for q, (hits, _) in per_q["sim_ann_recall_ivfpq"].items():
+        assert per_q["sim_ann_recall_ivfpq_reranked"][q][0] >= hits
