@@ -14,6 +14,10 @@ over a corpus:
                               dynamic partition pruning —
                               ann_index.ivfpq_index_topk_micro)
       -> recall audit        (vs exact brute-force cosine top-k)
+      -> two-stage re-rank   (IVFADC+R: the ADC R-shortlist's TRUE vectors
+                              fetched via a broadcast shortlist join and
+                              ranked by exact cosine —
+                              similarity.exact_rerank; recall lift printed)
 
 Run:  python examples/embedding_search.py [sf_dir] [index_dir]
 Defaults: /root/testdata/sf0.001, a temp dir.  Prints the serving result
@@ -63,6 +67,29 @@ def build_and_serve(spark, sf_dir: str, index_dir: str, k: int = 5, n_queries: i
     return served, recall
 
 
+def rerank_stage(spark, sf_dir: str, index_dir: str, k: int = 5,
+                 shortlist_r: int = 20, n_queries: int = 5):
+    """Two-stage retrieval (r10, IVFADC+R): the served ADC codes cut the
+    corpus to an R-shortlist, then ONLY those R true vectors are fetched
+    and ranked by exact cosine (similarity.exact_rerank) — codes pay for
+    the scan, floats only for the finalists.  Returns (reranked top-k,
+    recall@k) for comparison against the raw ADC recall."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    short = AI.ivfpq_index_topk_micro(
+        spark, index_dir, queries, k=shortlist_r, nprobe=2
+    )
+    reranked = S.exact_rerank(emb, queries, short, k=k)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in S.brute_force_topk(emb, queries, k=k).select("q_id", "n_id").collect()
+    }
+    hits = {(r.q_id, r.n_id) for r in reranked.select("q_id", "n_id").collect()}
+    return reranked, len(hits & exact) / len(exact)
+
+
 def main() -> None:
     from codecdb_queryengine_spark.session import get_spark
 
@@ -71,8 +98,10 @@ def main() -> None:
     spark = get_spark("embedding-search")
     served, recall = build_and_serve(spark, sf_dir, index_dir)
     served.show(10)
+    reranked, recall_r = rerank_stage(spark, sf_dir, index_dir)
+    reranked.show(10)
     print(f"index: {index_dir}")
-    print(f"recall@5 vs exact scan: {recall:.2f}")
+    print(f"recall@5 vs exact scan: ADC {recall:.2f} -> reranked {recall_r:.2f}")
 
 
 if __name__ == "__main__":

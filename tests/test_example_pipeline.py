@@ -73,3 +73,22 @@ def test_embedding_search_serves_with_sane_recall(spark, sf_dir, tmp_path):
     # small — the floor pins "far above the ~0.0125 random-guess baseline",
     # not SOTA recall
     assert recall >= 0.04
+
+
+def test_embedding_search_rerank_stage_improves_or_holds_recall(
+    spark, sf_dir, tmp_path
+):
+    """The r10 two-stage step in the walkthrough: re-ranking the ADC
+    R-shortlist by exact cosine can only keep or improve recall@k vs the
+    raw ADC ordering (the reranked k are the truly-nearest k within the
+    shortlist), and its output carries exact cosines in brute-force rank
+    order."""
+    idx = str(tmp_path / "idx")
+    _, recall_adc = search_mod.build_and_serve(spark, sf_dir, idx)
+    reranked, recall_r = search_mod.rerank_stage(spark, sf_dir, idx)
+    assert recall_r >= recall_adc
+    by_q = {}
+    for r in sorted(reranked.collect(), key=lambda r: (r.q_id, r.rk)):
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
