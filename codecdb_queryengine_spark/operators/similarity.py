@@ -953,7 +953,14 @@ def exact_rerank(
     against the corpus scan (one semi-join-shaped hash join — candidates
     pay the vector read, nothing else does), queries ride broadcast, and
     the final rank is a Window PARTITIONED by q_id over ≤R rows per
-    query."""
+    query.
+
+    The shortlist contract is ANY (q_id, n_id) frame: duplicates are
+    dropped and q_id = n_id self-pairs filtered here (r10 advice — the
+    rk-unique, self-excluded ivf_pq_topk output never exercised either,
+    but a caller handing a multi-band candidate union would otherwise get
+    duplicate neighbors inside its top-k).  Both ops act on the tiny
+    R·|q| frame before the broadcast, so the corpus side never pays."""
     cand = vectors.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
@@ -961,7 +968,11 @@ def exact_rerank(
     )
     q = F.broadcast(queries.withColumn("q_norm", norm(F.col("q_vec"))))
     scored = (
-        F.broadcast(shortlist.select("q_id", "n_id"))
+        F.broadcast(
+            shortlist.select("q_id", "n_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .distinct()
+        )
         .join(cand, "n_id")
         .join(q, "q_id")
         .withColumn(

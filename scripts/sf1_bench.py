@@ -287,14 +287,21 @@ def main() -> int:
 
     payload = {
         "metric": "tpch_ssb_core_total_median_wall",
-        "value": round(sum(per_query.values()), 4),
         "unit": "sec",
-        "queries": per_query,
-        "pipeline_value": round(sum(pipe_query.values()), 4),
-        "pipeline_queries": pipe_query,
         "sf": 1.0,
         "factor_vs_base": FACTOR,
     }
+    # Only record a family's fields when it actually RAN this invocation
+    # (r10 advice: a relational-only run with no pre-existing artifact
+    # wrote pipeline_value=0.0, which reads as a measured zero-cost
+    # pipeline half rather than 'not run').  The merge below preserves the
+    # other family's rows from a prior artifact when present.
+    if families in ("relational", "all"):
+        payload["value"] = round(sum(per_query.values()), 4)
+        payload["queries"] = per_query
+    if families in ("pipeline", "all"):
+        payload["pipeline_value"] = round(sum(pipe_query.values()), 4)
+        payload["pipeline_queries"] = pipe_query
     base_bench = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_full.json",

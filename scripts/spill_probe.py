@@ -20,8 +20,13 @@ the file).
 Queries: q18 (the TPC-H large-state hash agg — groupBy over every order),
 dedup_report (the five-stage dedup funnel: minhash bands + CC + joins),
 docs_winnow (shingle explosion + per-window min — the row-amplifying
-text op).  Inputs are the key-salted sf1 corpus staged by
-scripts/sf1_bench.py (relational + pipeline halves).
+text op), plus the two heaviest INDEX BUILDS (r10 verdict item 6):
+docs_search_purged (text_index_build_all both layouts → mutate → LSM
+purge → ranked serve) and sim_ann_ivfpq_lloyd_indexed (Lloyd-train both
+quantizers → encode corpus → persist → DPP serve), with the prebuilt
+fixture pinned OFF so the builds really run under the constricted pool.
+Inputs are the key-salted sf1 corpus staged by scripts/sf1_bench.py
+(relational + pipeline halves).
 
 Usage: python -u scripts/spill_probe.py          (~5-10 min)
        SPILL_HEAPS="4g,1g" overrides the config ladder.
@@ -41,7 +46,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-QUERIES = ("q18", "dedup_report", "docs_winnow")
+QUERIES = (
+    "q18",
+    "dedup_report",
+    "docs_winnow",
+    # The heaviest REAL memory consumers are the lifecycle builds, not the
+    # agg/join queries (r10 verdict item 6): the full text-index lifecycle
+    # (text_index_build_all both layouts + mutations + LSM purge + ranked
+    # serve) and the Lloyd-trained IVFADC build (train both quantizers +
+    # encode the corpus + persist + DPP serve).  The worker pins
+    # SPARK_GRAFT_PREBUILT_LAYOUTS=0 so the BUILD really runs under the
+    # constricted pool.
+    "docs_search_purged",
+    "sim_ann_ivfpq_lloyd_indexed",
+)
 # (label, heap, memory.fraction, shuffle.partitions, cores): the baseline
 # config mirrors the bench session; the constricted one squeezes the
 # unified execution+storage pool to a few tens of MB against ~100 MB+ of
@@ -133,12 +151,29 @@ def main() -> int:
     heaps = os.environ.get("SPILL_HEAPS")
     if heaps:
         hs = heaps.split(",")
-        configs = [(h, h, c[2], c[3], c[4]) for h, c in zip(hs, CONFIGS)]
+        # r10 advice: zip() against the 2-entry CONFIGS silently dropped
+        # extra heaps, and heap-string labels let duplicates ("2g,2g")
+        # overwrite each other in SPILL.json.  Extra heaps reuse the last
+        # config's knobs; labels carry the position.
+        configs = [
+            (
+                f"{i}_{h}",
+                h,
+                CONFIGS[min(i, len(CONFIGS) - 1)][2],
+                CONFIGS[min(i, len(CONFIGS) - 1)][3],
+                CONFIGS[min(i, len(CONFIGS) - 1)][4],
+            )
+            for i, h in enumerate(hs)
+        ]
     out: dict[str, dict] = {}
     for label, heap, fraction, parts, cores in configs:
         print(f"-- {label}: heap={heap} fraction={fraction} parts={parts} "
               f"cores={cores}", file=sys.stderr, flush=True)
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cores)
+        # fixture OFF: the lifecycle builds must actually BUILD under the
+        # constricted pool (a prebuilt serve would prove nothing)
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_PREBUILT_LAYOUTS="0"
+        )
         p = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__),
              "--worker", heap, fraction, parts],
