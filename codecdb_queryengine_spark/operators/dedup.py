@@ -585,6 +585,31 @@ def simhash_near_dups(
     return bucket_verified_pairs(bk, "sh_id", "simhash", ["band", "band_key"], verify)
 
 
+# Planes-per-corpus-doubling policy for embedding_near_dups (r10 verdict
+# item 2 — the fixed-plane default was the last measured scale-killer in a
+# default path: 42× wall at 10× corpus, the `embdup_fixed` law in
+# SCALING.md).  A fixed planes count fixes the band-key space, so bucket
+# population — and the in-bucket quadratic pair expansion — grows linearly
+# with the corpus.  Growing planes one per corpus doubling past _EMBDUP_N0
+# holds per-bucket population ~constant: planes(n) = BASE +
+# min(MAX_EXTRA, floor(log2(n // N0))) — exact-integer (bit_length), so the
+# SQL oracle replays the same policy from count(*).  The stride fixes each
+# band's plane IDENTITIES independent of the count (band b uses planes
+# b·16 … b·16+planes−1): adding a plane only ever SPLITS existing buckets,
+# so the signature family is refinement-stable as the corpus grows.
+_EMBDUP_BASE_PLANES = 4
+_EMBDUP_N0 = 2000
+_EMBDUP_MAX_EXTRA = 8  # cap: 12 planes = 4096 buckets/band (~1M vectors);
+#                        beyond that pass planes_per_band explicitly
+_EMBDUP_PLANE_STRIDE = 16
+
+
+def embdup_planes(n: int) -> int:
+    """planes_per_band the auto policy picks for an n-vector corpus."""
+    extra = (n // _EMBDUP_N0).bit_length() - 1 if n >= 2 * _EMBDUP_N0 else 0
+    return _EMBDUP_BASE_PLANES + min(_EMBDUP_MAX_EXTRA, extra)
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,
@@ -592,7 +617,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     dim: int | None = None,
     bands: int = 4,
-    planes_per_band: int = 4,
+    planes_per_band: int | None = None,
     verify: str = "expr",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> column.
@@ -601,6 +626,14 @@ def embedding_near_dups(
     banding (n·bands rows) and only candidates pay the cosine; without it,
     all-pairs brute force (verification form, ≤1e4 vectors only — at sf0.1
     the all-pairs form was measured 30× slower).
+
+    `planes_per_band=None` (the DEFAULT since r11) applies the
+    planes-per-corpus-doubling policy: planes = embdup_planes(df.count())
+    with stride-16 plane identities (module comment above) — one cheap
+    count action (parquet metadata on file sources) buys the ~linear scale
+    curve; the fixed-plane form (pass planes_per_band explicitly — legacy
+    packed plane layout, base_plane = b·planes) remains for contrast and
+    for callers that pin their own key-space sizing.
 
     `verify` picks the candidate-scoring cosine:
     - "expr" (default): JVM zip_with/aggregate left-to-right double sum
@@ -633,7 +666,15 @@ def embedding_near_dups(
         *([norm(F.col(vec_col)).alias("norm_b")] if with_norm else []),
     )
     if dim is not None:
-        cand = lsh_band_pairs(df, dim, vec_col, id_col, bands, planes_per_band)
+        if planes_per_band is None:
+            planes_per_band = embdup_planes(df.count())
+            plane_stride: int | None = _EMBDUP_PLANE_STRIDE
+        else:
+            plane_stride = None  # legacy packed layout for explicit configs
+        cand = lsh_band_pairs(
+            df, dim, vec_col, id_col, bands, planes_per_band,
+            plane_stride=plane_stride,
+        )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))

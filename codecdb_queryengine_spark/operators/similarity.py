@@ -147,9 +147,19 @@ def lsh_band_keys_arrow(
     id_col: str = "vec_id",
     bands: int = 4,
     planes_per_band: int = 4,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """(bid, band, band_key) via one vectorized pandas UDF: the whole
     batch's projections are a single (n × dim)·(dim × planes) matmul.
+
+    `plane_stride` fixes band b's plane indices at [b·stride, b·stride +
+    planes_per_band) independent of planes_per_band (default None keeps
+    the legacy packed layout, stride = planes_per_band).  A stride ≥ the
+    maximum planes count makes the signature STABLE under plane growth:
+    adding a plane only subdivides existing buckets (every old bucket
+    splits in two; no pair that was separated rejoins), which is what lets
+    the planes-per-corpus-doubling dedup policy grow the key space
+    incrementally instead of reshuffling every band's plane identity.
 
     Numerics note: numpy's dot uses pairwise summation while the expression
     form (and the DuckDB oracle) sums left-to-right.  The two differ by
@@ -158,8 +168,11 @@ def lsh_band_keys_arrow(
     md5-derived O(1)-magnitude planes, and a flip would only perturb one
     LSH bucket (verification re-filters candidates anyway).
     """
+    stride = planes_per_band if plane_stride is None else plane_stride
+    if stride < planes_per_band:
+        raise ValueError(f"plane_stride={stride} < planes_per_band={planes_per_band}")
     planes = np.concatenate(
-        [_plane_matrix(dim, planes_per_band, b * planes_per_band) for b in range(bands)]
+        [_plane_matrix(dim, planes_per_band, b * stride) for b in range(bands)]
     )  # (bands*ppb, dim)
     weights = (2 ** np.arange(planes_per_band, dtype=np.int64)).reshape(1, -1)
 
@@ -213,22 +226,27 @@ def lsh_band_pairs(
     bands: int = 4,
     planes_per_band: int = 4,
     use_arrow: bool = True,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 hyperplane band (random-projection LSH).
 
     The vector analog of MinHash banding: each band is an independent
     planes_per_band-bit signature; near vectors collide in some band with
     high probability.  Candidate generation is n·bands rows — never the
-    O(n²) cross join.
+    O(n²) cross join.  `plane_stride` (see lsh_band_keys_arrow) pins each
+    band's plane identities independent of the planes count.
     """
+    stride = planes_per_band if plane_stride is None else plane_stride
     if use_arrow:
-        bk = lsh_band_keys_arrow(vectors, dim, vec_col, id_col, bands, planes_per_band)
+        bk = lsh_band_keys_arrow(
+            vectors, dim, vec_col, id_col, bands, planes_per_band, plane_stride=stride
+        )
     else:
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
                 hyperplane_signature(
-                    F.col(vec_col), dim, planes_per_band, base_plane=b * planes_per_band
+                    F.col(vec_col), dim, planes_per_band, base_plane=b * stride
                 ).alias("key"),
             )
             for b in range(bands)

@@ -404,10 +404,18 @@ def _minhash_verified_sql(num_hashes: int = 8, bands: int = 2, k: int = 3, thr: 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH banding
-    (the scale path: candidates = same band signature, then cosine-verify)."""
+    (the scale path: candidates = same band signature, then cosine-verify).
+
+    Since r11 the gate runs the operator's planes-per-corpus-doubling
+    DEFAULT (planes_per_band=None → dedup.embdup_planes(count), stride-16
+    plane identities): the fixed 4-plane config it used to pin was the
+    last measured scale-killer in a default path (the `embdup_fixed` 42×
+    law at 10× corpus, SCALING.md).  The oracle replays the same policy
+    from count(*), so the gate stays bit-exact at every sf while the
+    key-space sizing now grows with the corpus."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return D.embedding_near_dups(
-        emb, "embedding", "vec_id", threshold=0.4, dim=64, bands=4, planes_per_band=4
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, bands=4
     )
 
 
@@ -437,22 +445,51 @@ def _sql_dot(ca: str, cb: str, dim: int) -> str:
     )
 
 
-def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str:
-    band_cols = ", ".join(
-        f"CAST({_sql_band_sig('embedding', b * planes_per_band, planes_per_band, dim)} AS BIGINT) AS k{b}"
-        for b in range(bands)
+def _emb_dup_auto_sql(dim: int = 64, bands: int = 4, threshold: float = 0.4) -> str:
+    """Mirror of embedding_near_dups' planes-per-doubling DEFAULT:
+
+    - pol replays dedup.embdup_planes exactly — planes = 4 + min(8,
+      floor(log2(n // 2000))) via an integer threshold ladder on n//2000
+      (n//n0 >= 2^k ⟺ bit_length(n//n0)−1 >= k, so the ladder IS
+      bit_length−1), from the same count(*) the operator's one count
+      action reads.
+    - band signatures use the stride-16 plane identities (global plane
+      b·16+p) with a runtime-bounded bit sum, so ONE generated SQL text
+      serves every corpus size.  Signature projections may sum in any
+      order here (list_sum vs the engine's numpy matmul): only the SIGN
+      reaches the key, and a flip needs |proj| ≲ 1e-15 — the documented,
+      accepted risk class of the arrow banding path.  The verification
+      cosine below stays the unrolled left-assoc mirror of
+      cosine_pre (bit-exact; r2's hash flake came from DuckDB's FLOAT32
+      list_cosine_similarity summing in a different order).
+    """
+    comp = (
+        "(('0x' || substring(md5(CAST(b.band * 16 + p AS VARCHAR) || '|' || "
+        "CAST(d - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5)"
     )
-    band_union = " UNION ALL ".join(
-        f"SELECT bid, {b} AS band, k{b} AS band_key FROM sigs" for b in range(bands)
-    )
-    # Verification cosine mirrors dedup.embedding_near_dups(verify="expr"):
-    # per-side sqrt-of-unrolled-sum norms, one unrolled dot per pair,
-    # dot / (norm_a * norm_b) — bit-identical to the Spark expression form,
-    # so the gate's 2-decimal rounding can never flip (r2's hash flake came
-    # from list_cosine_similarity's different summation order).
     return f"""
-        WITH sigs AS (SELECT vec_id AS bid, {band_cols} FROM embeddings),
-        bk AS ({band_union}),
+        WITH pol AS (
+            SELECT 4 + LEAST(8, CASE
+                       WHEN n // 2000 >= 256 THEN 8
+                       WHEN n // 2000 >= 128 THEN 7
+                       WHEN n // 2000 >= 64 THEN 6
+                       WHEN n // 2000 >= 32 THEN 5
+                       WHEN n // 2000 >= 16 THEN 4
+                       WHEN n // 2000 >= 8 THEN 3
+                       WHEN n // 2000 >= 4 THEN 2
+                       WHEN n // 2000 >= 2 THEN 1
+                       ELSE 0 END) AS planes
+            FROM (SELECT count(*) AS n FROM embeddings)),
+        bk AS (
+            SELECT vec_id AS bid, b.band,
+                   CAST(list_sum(list_transform(range(0, planes), p ->
+                       CASE WHEN list_sum(list_transform(range(1, {dim + 1}), d ->
+                                CAST(embedding[d] AS DOUBLE) * {comp})) >= 0
+                            THEN (CAST(1 AS BIGINT) << p)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS band_key
+            FROM embeddings
+            CROSS JOIN pol
+            CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b),
         cand AS (
             SELECT DISTINCT a.bid AS id_a, b.bid AS id_b
             FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
@@ -467,7 +504,7 @@ def _emb_dup_sql(dim: int = 64, bands: int = 4, planes_per_band: int = 4) -> str
             FROM cand
             JOIN nv va ON va.vec_id = id_a
             JOIN nv vb ON vb.vec_id = id_b)
-        WHERE cosine >= 0.4
+        WHERE cosine >= {threshold}
     """
 
 
@@ -7196,7 +7233,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_verified": _minhash_verified_sql(),
     "dedup_fuzzy": _DEDUP_FUZZY_SQL,
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
-    "dedup_embedding": _emb_dup_sql(),
+    "dedup_embedding": _emb_dup_auto_sql(),
     "dedup_semantic": _semdedup_sql(),
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
     "docs_search_index": _search_index_sql(),

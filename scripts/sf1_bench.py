@@ -128,7 +128,7 @@ PIPELINE = (
     "dedup_simhash",
     "dedup_simhash_clusters",
     "dedup_embedding",
-    "dedup_embedding_scaled10",
+    "dedup_embedding_fixed4",
     "dedup_report",
     "sim_topk",
     "sim_ann_lsh",
@@ -142,24 +142,22 @@ PIPELINE = (
 )
 
 
-def _dedup_embedding_scaled10(spark, sf_dir):
-    """The corpus-scale banding recipe at this corpus size — NAMED CAUSE
-    companion for dedup_embedding's super-linear sf1 ratio: the gated
-    4-band/4-plane config (16 buckets/band, correctly sized to the shipped
-    2k-vector corpus and pinned by its oracle) saturates its band space at
-    20k vectors, re-introducing a quadratic candidate term — the measured
-    `embdup_fixed` law in SCALE_MEASURED.md.  Growing planes one per
-    corpus doubling (2k→20k ≈ +3.3 → 7 planes/band, 128 buckets) holds
-    per-bucket population ~constant; this entry runs the SAME operator and
-    threshold with that dial turned, so the sf1 row shows the recipe
-    restoring ~linear cost next to the fixed config's known blowup."""
+def _dedup_embedding_fixed4(spark, sf_dir):
+    """The FIXED-plane contrast twin (roles swapped in r11 — verdict
+    item 2): dedup_embedding's default is now the planes-per-corpus-
+    doubling policy (at this 20k staging, embdup_planes picks 7
+    planes/band → 128 buckets, holding per-bucket population ~constant,
+    ~linear cost), so THIS entry pins the old 4-band/4-plane config whose
+    16 buckets/band saturate at 20k vectors and re-introduce the quadratic
+    candidate term — the measured `embdup_fixed` law in SCALE_MEASURED.md,
+    kept as the named what-the-default-used-to-cost row."""
     from codecdb_queryengine_spark.catalog import load_tables
     from codecdb_queryengine_spark.operators import dedup as D
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return D.embedding_near_dups(
         emb, "embedding", "vec_id", threshold=0.4, dim=64,
-        bands=4, planes_per_band=7,
+        bands=4, planes_per_band=4,
     )
 
 
@@ -277,8 +275,8 @@ def main() -> int:
         ).collect()
         pq = {
             n: (
-                _dedup_embedding_scaled10
-                if n == "dedup_embedding_scaled10"
+                _dedup_embedding_fixed4
+                if n == "dedup_embedding_fixed4"
                 else pipeline.QUERIES[n]
             )
             for n in PIPELINE

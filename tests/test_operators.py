@@ -338,6 +338,70 @@ def test_lsh_band_keys_arrow_matches_expression_signature(spark):
             assert arrow[k] == v, k
 
 
+def test_embdup_planes_policy():
+    # planes-per-corpus-doubling (r10 verdict item 2): 4 below 2·n0, +1 per
+    # doubling past n0=2000, capped at +8 — exact-integer, oracle-mirrored
+    assert D.embdup_planes(1) == 4
+    assert D.embdup_planes(500) == 4
+    assert D.embdup_planes(2000) == 4
+    assert D.embdup_planes(3999) == 4
+    assert D.embdup_planes(4000) == 5
+    assert D.embdup_planes(7999) == 5
+    assert D.embdup_planes(8000) == 6
+    assert D.embdup_planes(20000) == 7  # the sf1 staging: 10x of 2k
+    assert D.embdup_planes(10**9) == 12  # cap: base 4 + max extra 8
+
+
+def test_lsh_stride_plane_growth_refines_buckets(spark):
+    # The stride-16 plane identities make signatures REFINEMENT-STABLE:
+    # growing planes_per_band only SPLITS buckets (key at p+1 planes ≡ key
+    # at p planes mod 2^p), so the auto policy's plane growth can never
+    # rejoin a separated pair — the property the scaled-banding default
+    # relies on for monotone candidate shrinkage.
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    keys = {}
+    for ppb in (4, 5, 6):
+        keys[ppb] = {
+            (r.bid, r.band): r.band_key
+            for r in S.lsh_band_keys_arrow(
+                df, 16, "embedding", "vec_id", 3, ppb, plane_stride=16
+            ).collect()
+        }
+    for ppb in (4, 5):
+        for k, v in keys[ppb].items():
+            assert keys[ppb + 1][k] % (2**ppb) == v, (k, ppb)
+
+
+def test_embedding_near_dups_auto_policy(spark):
+    # auto (planes_per_band=None) must pick embdup_planes(count) with the
+    # stride-16 layout: identical output to the explicit stride-16 call,
+    # and every returned pair is a true cosine>=threshold pair
+    import random
+
+    random.seed(23)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    auto = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_near_dups(
+            df, "embedding", "vec_id", threshold=0.5, dim=16, bands=3
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_near_dups(
+            df, "embedding", "vec_id", threshold=0.5
+        ).collect()
+    }
+    assert set(auto) <= set(brute)
+    for k, v in auto.items():
+        assert v == brute[k] and v >= 0.5
+
+
 def test_cosine_arrow_matches_expression(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 2.0], [0.5, 1.0, -2.0]), (2, [0.1, 0.2, 0.3], [0.1, 0.2, 0.3])],
