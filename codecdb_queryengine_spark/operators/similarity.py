@@ -494,7 +494,13 @@ def _pq_code_entry(m: int, sub: int, vec: Column, id_field: str) -> Column:
     )
 
 
-def _probe_centroids(queries: DataFrame, cmodel: DataFrame, nprobe: int, with_vec: bool = False) -> DataFrame:
+def _probe_centroids(
+    queries: DataFrame,
+    cmodel: DataFrame,
+    nprobe: int,
+    with_vec: bool = False,
+    with_rank: bool = False,
+) -> DataFrame:
     """(q_id, q_vec, p) — per query the `nprobe` nearest centroids from
     the 1-row broadcast model, ranked exactly like the old rank window:
     sim DESC with Spark's NaN-greatest FIRST, ties to the smaller c_id.
@@ -527,6 +533,15 @@ def _probe_centroids(queries: DataFrame, cmodel: DataFrame, nprobe: int, with_ve
             *([s["c_vec"].alias("c_vec")] if with_vec else []),
         ),
     )
+    if with_rank:
+        # posexplode exposes the probe's 0-based rank in the sorted slice
+        # (`pr`) — the coarse-shortlist stage-1 sort key of
+        # ivf_coarse_shortlist; same order, same struct otherwise
+        return queries.crossJoin(cmodel).select(
+            "q_id",
+            "q_vec",
+            F.posexplode(F.slice(F.array_sort(keyed), 1, nprobe)).alias("pr", "p"),
+        )
     return queries.crossJoin(cmodel).select(
         "q_id",
         "q_vec",
@@ -1005,6 +1020,137 @@ def exact_rerank(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivf_coarse_shortlist(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    r: int = 100,
+    centroid_mod: int = 29,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Stage 1 of two-stage retrieval on the FLAT IVF tier: an R-candidate
+    shortlist ranked by the COARSE quantizer alone — a candidate's score
+    is its inverted list's probe rank (how near the query is to that
+    list's centroid), tie-broken by n_id.  No candidate vector is ever
+    read: stage 1 touches only the (n_id, c_list) assignment stream, the
+    zero-bytes-per-vector analog of IVFADC's code scan, and exact_rerank
+    then fetches just the R true vectors (Jégou'11 §V composition).
+
+    Why this exists next to ivf_topk: re-ranking ivf_topk's own shortlist
+    is the IDENTITY (its stage already scores candidates by exact cosine),
+    so the meaningful flat-tier two-stage serve is coarse-rank → exact
+    re-rank.  Because a list's members share its probe rank, R should be
+    sized generously (default 100) relative to expected list population —
+    exactly the recall-vs-rows_read dial the ivfpq curve gate measures.
+
+    Scale shape: assignment is the shuffle-free broadcast-model argmax
+    fold over the corpus; probes ride broadcast; the only exchange is the
+    per-query rank window over probed-list members."""
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    cmodel = F.broadcast(_model_1row(cents, "c_id", "c_vec", "c_norm"))
+    inv = _spread(vectors).crossJoin(cmodel).select(
+        F.col(id_col).alias("n_id"),
+        _fold_argmax_sim(_centroid_sims(F.col(vec_col)))["c_id"].alias("c_id"),
+    )
+    probes = _probe_centroids(queries, cmodel, nprobe, with_rank=True).select(
+        "q_id", "pr", F.col("p")["c_id"].alias("c_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("pr").asc(), F.col("n_id").asc())
+    return (
+        F.broadcast(probes)
+        .join(inv, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= r)
+        .select("q_id", "n_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def lsh_collision_shortlist(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    r: int = 20,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    plane_stride: int = 16,
+) -> DataFrame:
+    """Stage 1 of two-stage retrieval on the LSH tier: an R-candidate
+    shortlist from MULTI-BAND signature collisions, ranked by how many
+    bands agree (collision count DESC — the classic LSH amplification
+    score: P[band collision] grows with cosine, so more agreeing bands ⇒
+    nearer with higher confidence), tie-broken by n_id.  Like the coarse
+    IVF shortlist, stage 1 reads only integer band keys — never a vector —
+    and exact_rerank fetches just the R candidates.
+
+    Contrast with lsh_bucket_topk (the single-signature serve, recall
+    0.08 at the gated operating point): one 6-plane bucket both CUTS
+    candidates hard and scores them with the exact cosine, so re-ranking
+    it is the identity.  Banding with fewer planes per band recovers the
+    missed neighbors (a true near pair collides in ≥1 of 4 bands with far
+    higher probability), and the collision count gives a vector-free
+    stage-1 order to cut the union back to R.  Plane identities use the
+    stride-16 layout (see lsh_band_keys_arrow).
+
+    Scale shape: corpus side is n·bands (band, key) rows; the query side
+    rides broadcast; candidates group on (q_id, n_id) bounded by band
+    collisions — never all-pairs."""
+    nbk = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_signature(
+                            F.col(vec_col), dim, planes_per_band,
+                            base_plane=b * plane_stride,
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("n_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    qbk = queries.select(
+        F.col("q_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_signature(
+                            F.col("q_vec"), dim, planes_per_band,
+                            base_plane=b * plane_stride,
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("q_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    colls = (
+        F.broadcast(qbk)
+        .join(nbk, ["band", "key"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.count(F.lit(1)).alias("colls"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("colls").desc(), F.col("n_id").asc())
+    return (
+        colls.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= r)
+        .select("q_id", "n_id", "colls", F.col("rk").cast("long").alias("rk"))
     )
 
 

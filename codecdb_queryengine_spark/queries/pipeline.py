@@ -1577,12 +1577,15 @@ def sim_ann_recall_ivfpq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame
     return _recall_df(exact, approx, _RECALL_K)
 
 
-def _ivfpq_reranked_sql(r: int = _RERANK_R, k: int = _TOP_K) -> str:
-    """ADC shortlist (the IVFADC oracle at k=r) re-ranked by the exact
+def _reranked_sql(short_sql: str, k: int = _TOP_K) -> str:
+    """ANY (q_id, n_id)-producing shortlist SQL re-ranked by the exact
     unrolled-double cosine — mirrors exact_rerank expression-for-expression
-    (same cosine fold as _SIM_TOPK_SQL, same (cosine DESC, n_id) order)."""
+    (same cosine fold as _SIM_TOPK_SQL, same (cosine DESC, n_id) order).
+    exact_rerank dedups/self-filters arbitrary shortlists; every stage-1
+    oracle below is already pair-unique and self-excluded, so the mirror
+    needs no DISTINCT."""
     return f"""
-        WITH short AS ({_ivf_pq_sql(k=r)}),
+        WITH short AS ({short_sql}),
         nv AS (
             SELECT vec_id, embedding,
                    sqrt({_sql_dot('embedding', 'embedding', 64)}) AS nrm
@@ -1600,6 +1603,171 @@ def _ivfpq_reranked_sql(r: int = _RERANK_R, k: int = _TOP_K) -> str:
                 JOIN nv q ON q.vec_id = s.q_id
                 JOIN nv n ON n.vec_id = s.n_id))
         WHERE rk <= {k}
+    """
+
+
+# --- two-stage retrieval on the FLAT tiers (r10 verdict item 4) -------------
+#
+# Re-ranking ivf_topk's or lsh_bucket_topk's own shortlist would be the
+# IDENTITY: both flat serves already score candidates by exact cosine, so
+# their order IS the re-rank order.  The meaningful composition gives each
+# tier the cheap stage 1 it would run at 100 TB — a candidate order that
+# never reads a vector — and lets exact_rerank pay the vector read for R
+# candidates only (the same IVFADC+R recipe, with the ADC table replaced
+# by the coarse-quantizer rank / the band-collision count).
+
+_COARSE_R = 100  # coarse ranks are list-granular: R spans ~nprobe lists
+_COARSE_NPROBE = 4
+
+
+def sim_ann_ivf_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval on the flat IVF tier: stage 1 shortlists R=100
+    candidates by COARSE QUANTIZER RANK alone (similarity.
+    ivf_coarse_shortlist — a candidate scores as its list's probe rank;
+    zero vector reads), stage 2 exact-cosine re-ranks just those R
+    (similarity.exact_rerank).  Same output shape/order semantics as
+    brute_force_topk; the oracle replays both stages verbatim."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    short = S.ivf_coarse_shortlist(
+        emb, q, r=_COARSE_R, centroid_mod=29, nprobe=_COARSE_NPROBE
+    )
+    return S.exact_rerank(emb, q, short, k=_TOP_K)
+
+
+def sim_ann_recall_ivf_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the coarse→exact two-stage IVF serve vs brute force —
+    with the per-query invariant (tests/test_ann_recall.py) that the
+    re-rank's recall dominates the stage-1-ordered top-10's from the same
+    shortlist: within the R candidates the exact stage keeps the truly
+    nearest 10, so any stage-1 order can only tie or lose."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K)
+    short = S.ivf_coarse_shortlist(
+        emb, q, r=_COARSE_R, centroid_mod=29, nprobe=_COARSE_NPROBE
+    )
+    approx = S.exact_rerank(emb, q, short, k=_RECALL_K)
+    return _recall_df(exact, approx, _RECALL_K)
+
+
+_LSH_SHORT_BANDS = 4
+_LSH_SHORT_PPB = 4
+
+
+def sim_ann_lsh_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval on the LSH tier: stage 1 shortlists R=20
+    candidates by MULTI-BAND COLLISION COUNT (similarity.
+    lsh_collision_shortlist — 4 bands × 4 planes, stride-16 identities;
+    integer keys only, zero vector reads), stage 2 exact-cosine re-ranks
+    those R.  This is the tier with the most to gain: the single-bucket
+    serve (sim_ann_lsh, recall 0.08) loses every neighbor outside one
+    6-plane bucket, while a near pair collides in ≥1 of 4 looser bands
+    with far higher probability."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    short = S.lsh_collision_shortlist(
+        emb, q, dim=64, r=_RERANK_R,
+        bands=_LSH_SHORT_BANDS, planes_per_band=_LSH_SHORT_PPB,
+    )
+    return S.exact_rerank(emb, q, short, k=_TOP_K)
+
+
+def sim_ann_recall_lsh_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the banded→exact two-stage LSH serve vs brute force
+    (the lift over sim_ann_recall_lsh's 0.08 single-bucket operating
+    point, measured and value-hashed)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K)
+    short = S.lsh_collision_shortlist(
+        emb, q, dim=64, r=_RERANK_R,
+        bands=_LSH_SHORT_BANDS, planes_per_band=_LSH_SHORT_PPB,
+    )
+    approx = S.exact_rerank(emb, q, short, k=_RECALL_K)
+    return _recall_df(exact, approx, _RECALL_K)
+
+
+def _ivf_coarse_short_sql(
+    centroid_mod: int = 29,
+    nprobe: int = _COARSE_NPROBE,
+    r: int = _COARSE_R,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.ivf_coarse_shortlist: the same cents/assign/
+    probe expressions as _ivf_sql (unrolled left-assoc folds), then the
+    shortlist rank over (probe rank ASC, n_id ASC) — no vector ever joins
+    in; the re-rank wrapper fetches them."""
+    return f"""
+        SELECT q_id, n_id FROM (
+            SELECT p.q_id, a.n_id,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY p.r ASC, a.n_id ASC) AS rr
+            FROM (
+                SELECT q_id, c_id, r FROM (
+                    SELECT q_id, c_id, row_number() OVER (
+                               PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS r
+                    FROM (
+                        SELECT q.vec_id AS q_id, c.c_id,
+                               ({_sql_dot('q.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
+                        FROM embeddings q, (
+                            SELECT vec_id AS c_id, embedding AS c_vec,
+                                   sqrt({_sql_dot('embedding', 'embedding', dim)}) AS c_norm
+                            FROM embeddings WHERE vec_id % {centroid_mod} = 0) c
+                        WHERE q.vec_id < {_N_QUERIES})) WHERE r <= {nprobe}) p
+            JOIN (
+                SELECT n_id, c_id FROM (
+                    SELECT n_id, c_id, row_number() OVER (
+                               PARTITION BY n_id ORDER BY sim DESC, c_id ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id AS n_id, c.c_id,
+                               ({_sql_dot('v.embedding', 'c.c_vec', dim)}) / c.c_norm AS sim
+                        FROM embeddings v, (
+                            SELECT vec_id AS c_id, embedding AS c_vec,
+                                   sqrt({_sql_dot('embedding', 'embedding', dim)}) AS c_norm
+                            FROM embeddings WHERE vec_id % {centroid_mod} = 0) c))
+                WHERE rn = 1) a ON p.c_id = a.c_id
+            WHERE p.q_id <> a.n_id)
+        WHERE rr <= {r}
+    """
+
+
+def _lsh_collision_short_sql(
+    bands: int = _LSH_SHORT_BANDS,
+    planes_per_band: int = _LSH_SHORT_PPB,
+    r: int = _RERANK_R,
+    dim: int = 64,
+    stride: int = 16,
+) -> str:
+    """Mirror of similarity.lsh_collision_shortlist: the stride-16 band
+    signatures (same unrolled projections as _sql_band_sig — the plane
+    family the scaled dedup banding uses), collision counts per (q, n),
+    shortlist rank over (colls DESC, n_id ASC)."""
+    band_cols = ", ".join(
+        f"CAST({_sql_band_sig('embedding', b * stride, planes_per_band, dim)} AS BIGINT) AS k{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT bid, {b} AS band, k{b} AS band_key FROM sigs" for b in range(bands)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id AS bid, {band_cols} FROM embeddings),
+        bkc AS ({band_union})
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY colls DESC, n_id ASC) AS rr
+            FROM (
+                SELECT q.bid AS q_id, n.bid AS n_id,
+                       CAST(count(*) AS BIGINT) AS colls
+                FROM bkc q
+                JOIN bkc n
+                  ON q.band = n.band AND q.band_key = n.band_key
+                WHERE q.bid < {_N_QUERIES} AND q.bid <> n.bid
+                GROUP BY q.bid, n.bid))
+        WHERE rr <= {r}
     """
 
 
@@ -7174,6 +7342,10 @@ QUERIES = {
     "sim_ann_recall_lsh": sim_ann_recall_lsh,
     "sim_ann_ivfpq_reranked": sim_ann_ivfpq_reranked,
     "sim_ann_recall_ivfpq_reranked": sim_ann_recall_ivfpq_reranked,
+    "sim_ann_ivf_reranked": sim_ann_ivf_reranked,
+    "sim_ann_recall_ivf_reranked": sim_ann_recall_ivf_reranked,
+    "sim_ann_lsh_reranked": sim_ann_lsh_reranked,
+    "sim_ann_recall_lsh_reranked": sim_ann_recall_lsh_reranked,
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
@@ -7331,9 +7503,17 @@ ORACLE: dict[str, str] = {
     "sim_ann_recall_ivf": _recall_sql(_ivf_sql(k=_RECALL_K)),
     "sim_ann_recall_ivfpq": _recall_sql(_ivf_pq_sql(k=_RECALL_K)),
     "sim_ann_recall_lsh": _recall_sql(_ann_sql(k=_RECALL_K)),
-    "sim_ann_ivfpq_reranked": _ivfpq_reranked_sql(),
+    "sim_ann_ivfpq_reranked": _reranked_sql(_ivf_pq_sql(k=_RERANK_R)),
     "sim_ann_recall_ivfpq_reranked": _recall_sql(
-        _ivfpq_reranked_sql(k=_RECALL_K)
+        _reranked_sql(_ivf_pq_sql(k=_RERANK_R), k=_RECALL_K)
+    ),
+    "sim_ann_ivf_reranked": _reranked_sql(_ivf_coarse_short_sql()),
+    "sim_ann_recall_ivf_reranked": _recall_sql(
+        _reranked_sql(_ivf_coarse_short_sql(), k=_RECALL_K)
+    ),
+    "sim_ann_lsh_reranked": _reranked_sql(_lsh_collision_short_sql()),
+    "sim_ann_recall_lsh_reranked": _recall_sql(
+        _reranked_sql(_lsh_collision_short_sql(), k=_RECALL_K)
     ),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
     "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),

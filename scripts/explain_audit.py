@@ -89,6 +89,12 @@ EXPECT_NESTED = {
     # maps (sim_ann_ivfpq's shape); its recall gate adds the brute-force leg
     "sim_ann_ivfpq_reranked",
     "sim_ann_recall_ivfpq_reranked",
+    # the flat-tier two-stage serves carry their stage 1's all-vectors ×
+    # broadcast(model) assignment (coarse shortlist, IVF's shape); recall
+    # gates add the brute-force ground-truth leg
+    "sim_ann_ivf_reranked",
+    "sim_ann_recall_ivf_reranked",
+    "sim_ann_recall_lsh_reranked",
     # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
     # the same all-vectors × broadcast(model) assignment shape
     "sim_ann_ivf_lloyd",

@@ -343,3 +343,65 @@ def test_recall_gates_pin_quality_values(spark, sf_dir):
     # broken rerank join/window would violate immediately
     for q, (hits, _) in per_q["sim_ann_recall_ivfpq"].items():
         assert per_q["sim_ann_recall_ivfpq_reranked"][q][0] >= hits
+
+
+def test_two_stage_rerank_flat_tiers(spark, sf_dir):
+    """r11: two-stage retrieval composed onto the FLAT tiers, each with a
+    genuinely cheap stage 1 (re-ranking an exact-cosine-scored shortlist
+    would be the identity): coarse-quantizer rank for IVF, multi-band
+    collision count for LSH.  Pins (a) the measured recall@10 values at
+    sf0.001, (b) the aggregate lift over the single-stage gates, and (c)
+    the PER-QUERY monotone-lift invariant against the stage-1-ordered
+    top-10 of the SAME shortlist — the guarantee the rerank provides by
+    construction (it keeps the truly nearest 10 of the R candidates, so
+    no stage-1 order over those candidates can beat it)."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    expected = {
+        "sim_ann_recall_ivf_reranked": {0: (10, 1.0), 1: (2, 0.2),
+                                        2: (4, 0.4), 3: (5, 0.5),
+                                        4: (5, 0.5)},
+        "sim_ann_recall_lsh_reranked": {0: (0, 0.0), 1: (1, 0.1),
+                                        2: (0, 0.0), 3: (3, 0.3),
+                                        4: (3, 0.3)},
+    }
+    got = {}
+    for name, want in expected.items():
+        rows = P.QUERIES[name](spark, sf_dir).collect()
+        got[name] = {r.q_id: (r.hits, r.recall_at_10) for r in rows}
+        assert got[name] == want, f"{name}: {got[name]}"
+
+    # aggregate lift over the single-stage serves (measured: ivf 20->26
+    # hits, lsh 4->7 at sf0.001)
+    single = {}
+    for name in ("sim_ann_recall_ivf", "sim_ann_recall_lsh"):
+        rows = P.QUERIES[name](spark, sf_dir).collect()
+        single[name] = sum(r.hits for r in rows)
+    assert sum(h for h, _ in got["sim_ann_recall_ivf_reranked"].values()) > \
+        single["sim_ann_recall_ivf"]
+    assert sum(h for h, _ in got["sim_ann_recall_lsh_reranked"].values()) > \
+        single["sim_ann_recall_lsh"]
+
+    # per-query monotone lift vs the stage-1 order of the SAME shortlist
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact10 = {}
+    for r in S.brute_force_topk(emb, queries, k=10).collect():
+        exact10.setdefault(r.q_id, set()).add(r.n_id)
+    shortlists = {
+        "sim_ann_recall_ivf_reranked": S.ivf_coarse_shortlist(
+            emb, queries, r=100, centroid_mod=29, nprobe=4
+        ),
+        "sim_ann_recall_lsh_reranked": S.lsh_collision_shortlist(
+            emb, queries, dim=64, r=20, bands=4, planes_per_band=4
+        ),
+    }
+    for name, short in shortlists.items():
+        stage1 = {}
+        for r in short.filter(F.col("rk") <= 10).collect():
+            stage1.setdefault(r.q_id, set()).add(r.n_id)
+        for q, (hits, _) in got[name].items():
+            stage1_hits = len(stage1.get(q, set()) & exact10[q])
+            assert hits >= stage1_hits, (name, q, hits, stage1_hits)
