@@ -798,18 +798,18 @@ def pq_topk(
     )
 
 
-def ivf_pq_topk(
+def ivf_pq_scored(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 5,
     centroid_mod: int = 29,
     nprobe: int = 2,
     num_subspaces: int = 4,
     num_codewords: int = 8,
     code_stride: int = 37,
+    with_probe_rank: bool = False,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the production-scale ANN
     composition: a coarse inverted-file quantizer cuts the SCAN (only
@@ -838,6 +838,13 @@ def ivf_pq_topk(
     encode is per-row argmin folds over the same projection; scoring
     joins the code stream of the PROBED LISTS ONLY against the broadcast
     ADC maps and ranks per query (the top-k window is the only exchange).
+
+    This function returns the SCORED relation (q_id, n_id, adc_micro)
+    before the top-k cut; ivf_pq_topk adds the rank window.
+    `with_probe_rank=True` additionally carries `pr` — the 1-based probe
+    rank of the candidate's list for that query — which makes ONE
+    all-lists relation (nprobe = K) servable at every smaller nprobe by
+    a filter: the factoring the recall-vs-cost curve gate sweeps over.
     """
     sub = dim // num_subspaces
     if sub * num_subspaces != dim:
@@ -919,8 +926,11 @@ def ivf_pq_topk(
     # query probes: nprobe nearest coarse lists per query
     # (_probe_centroids = the old rank window's exact order), residual
     # per probed list — the probed centroid rides in the sort struct
-    probe_lists = _probe_centroids(queries, cmodel, nprobe, with_vec=True).select(
+    probe_lists = _probe_centroids(
+        queries, cmodel, nprobe, with_vec=True, with_rank=with_probe_rank
+    ).select(
         "q_id",
+        *([(F.col("pr") + 1).cast("long").alias("pr")] if with_probe_rank else []),
         F.col("p")["c_id"].alias("c_list"),
         res(F.col("q_vec"), F.col("p")["c_vec"]).alias("qr"),
     )
@@ -941,6 +951,7 @@ def ivf_pq_topk(
 
     adc_wide = probe_lists.crossJoin(rcb1).select(
         "q_id",
+        *(["pr"] if with_probe_rank else []),
         "c_list",
         F.map_from_entries(F.transform(F.col("model"), _adc_entry)).alias("amap"),
     )
@@ -952,10 +963,38 @@ def ivf_pq_topk(
             + F.element_at(F.col("cmap"), F.lit(m).cast("long")),
         )
         adc_sum = term if adc_sum is None else adc_sum + term
-    scored = (
+    return (
         codes_wide.join(F.broadcast(adc_wide), "c_list")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("adc_micro", adc_sum)
+        .select(
+            "q_id",
+            "n_id",
+            *(["pr"] if with_probe_rank else []),
+            "adc_micro",
+        )
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroid_mod: int = 29,
+    nprobe: int = 2,
+    num_subspaces: int = 4,
+    num_codewords: int = 8,
+    code_stride: int = 37,
+) -> DataFrame:
+    """IVFADC top-k: ivf_pq_scored's candidate relation (see there for the
+    full composition/scale notes) cut by the per-query rank window
+    (adc_micro ASC, n_id ASC)."""
+    scored = ivf_pq_scored(
+        vectors, queries, dim, vec_col, id_col, centroid_mod, nprobe,
+        num_subspaces, num_codewords, code_stride,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
     return (

@@ -1771,6 +1771,214 @@ def _lsh_collision_short_sql(
     """
 
 
+# --- IVFADC recall-vs-cost operating curve (r10 verdict item 5) -------------
+
+_CURVE_NPROBES = (1, 4, None)  # None = probe ALL K lists
+_CURVE_RS = (20, 100)
+
+
+def sim_ann_ivfpq_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality/cost tradeoff a 100-TB IVFADC operator actually tunes,
+    measured and VALUE-HASHED: for each (nprobe ∈ {1, 4, K}, R ∈ {20,
+    100}) operating point, the two-stage serve's recall@10 (ADC shortlist
+    at k=R → exact re-rank, vs brute-force ground truth) next to
+    rows_read — the number of (query, candidate) code rows the ADC stage
+    scores at that nprobe (similarity.ivf_candidate_rows; the scan-cost
+    axis).  Output: one row per operating point (nprobe, r_shortlist,
+    hits, recall_at_10, rows_read), the eval-style curve the CodecDB
+    papers report for encoding choices.  The DuckDB oracle replays the
+    whole sweep from ONE materialized all-lists ADC relation, so every
+    point is bit-exact gated.
+
+    K (and the nprobe=K row's label) is the corpus's centroid count — a
+    bounded meta fetch, like the centroid collects elsewhere.  Cost
+    factoring mirrors the oracle: ONE all-lists ADC relation with each
+    candidate's probe rank (similarity.ivf_pq_scored at nprobe=K,
+    with_probe_rank) is lazily checkpointed, and every operating point is
+    a filter + window over it — the sweep scores the corpus once, not
+    six times; rows_read is a filtered count of the same relation."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _query_vectors(emb)
+    kk = emb.filter(F.col("vec_id") % 29 == 0).count()
+    scored = S.ivf_pq_scored(
+        emb, q, dim=64, nprobe=kk, with_probe_rank=True
+    ).localCheckpoint(eager=False)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).localCheckpoint(eager=False)
+    denom = float(_N_QUERIES * _RECALL_K)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_micro").asc(), F.col("n_id").asc()
+    )
+    combos = []
+    for np_req in _CURVE_NPROBES:
+        np_eff = kk if np_req is None else np_req
+        sub = scored.filter(F.col("pr") <= np_eff)
+        rows_read = sub.agg(F.count(F.lit(1)).cast("long").alias("rows_read"))
+        for r in _CURVE_RS:
+            short = (
+                sub.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= r)
+                .select("q_id", "n_id")
+            )
+            rr = S.exact_rerank(emb, q, short, k=_RECALL_K)
+            rec = _recall_df(exact, rr, _RECALL_K).agg(
+                F.sum("hits").cast("long").alias("hits")
+            )
+            combos.append(
+                rec.crossJoin(rows_read).select(
+                    F.lit(np_eff).cast("long").alias("nprobe"),
+                    F.lit(r).cast("long").alias("r_shortlist"),
+                    "hits",
+                    (F.col("hits").cast("double") / F.lit(denom)).alias(
+                        "recall_at_10"
+                    ),
+                    "rows_read",
+                )
+            )
+    out = combos[0]
+    for c in combos[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def _ivfpq_curve_sql(
+    dim: int = 64,
+    centroid_mod: int = 29,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    stride: int = 37,
+    k: int = _RECALL_K,
+) -> str:
+    """The whole (nprobe × R) sweep from ONE all-lists ADC relation:
+    `scored` carries each candidate pair's probe rank `pr`, so every
+    operating point is a windowed SELECT over it (pr <= nprobe → ADC rank
+    <= R → exact re-rank → recall vs exact), and rows_read is a filtered
+    count of the same relation.  The per-stage expressions are verbatim
+    _ivf_pq_sql / _reranked_sql mirrors; MATERIALIZED everywhere the
+    branches share (DuckDB would otherwise inline the ADC body six
+    times)."""
+    sub = dim // m_sub
+
+    def dotvc(va: str, vb: str) -> str:
+        return " + ".join(
+            f"CAST({va}[{d + 1}] AS DOUBLE) * CAST({vb}[{d + 1}] AS DOUBLE)"
+            for d in range(dim)
+        )
+
+    def res_el(v: str, c: str, idx: str) -> str:
+        return f"(CAST({v}[{idx}] AS DOUBLE) - CAST({c}[{idx}] AS DOUBLE))"
+
+    def l2sq_res(v: str, c: str, sv: str, svc: str) -> str:
+        terms = []
+        for j in range(1, sub + 1):
+            idx = f"ms.m*{sub} + {j}"
+            t = f"({res_el(v, c, idx)} - {res_el(sv, svc, idx)})"
+            terms.append(f"({t} * {t})")
+        return " + ".join(terms)
+
+    sim = f"({dotvc('v.embedding', 'c.c_vec')}) / sqrt({dotvc('c.c_vec', 'c.c_vec')})"
+    qsim = f"({dotvc('q.embedding', 'c.c_vec')}) / sqrt({dotvc('c.c_vec', 'c.c_vec')})"
+    nq_k = float(_N_QUERIES * k)
+
+    branches = []
+    i = 0
+    for np_req in _CURVE_NPROBES:
+        cond = "TRUE" if np_req is None else f"pr <= {np_req}"
+        np_out = "(SELECT kk FROM kcnt)" if np_req is None else f"CAST({np_req} AS BIGINT)"
+        for r in _CURVE_RS:
+            branches.append(f"""
+        short{i} AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY adc_micro ASC, n_id ASC) AS rk
+                FROM scored WHERE {cond}) WHERE rk <= {r}),
+        rr{i} AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY cosine DESC, n_id ASC) AS rk
+                FROM (
+                    SELECT s.q_id, s.n_id,
+                           ({dotvc('q.embedding', 'n.embedding')}) / (q.nrm * n.nrm)
+                             AS cosine
+                    FROM short{i} s
+                    JOIN nvr q ON q.vec_id = s.q_id
+                    JOIN nvr n ON n.vec_id = s.n_id)) WHERE rk <= {k}),
+        pt{i} AS (
+            SELECT {np_out} AS nprobe,
+                   CAST({r} AS BIGINT) AS r_shortlist,
+                   (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                    JOIN rr{i} a ON a.q_id = e.q_id AND a.n_id = e.n_id) AS hits,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM scored WHERE {cond}) AS rows_read)""")
+            i += 1
+    union = " UNION ALL ".join(
+        f"SELECT nprobe, r_shortlist, hits, CAST(hits AS DOUBLE) / {nq_k} AS recall_at_10, rows_read FROM pt{j}"
+        for j in range(i)
+    )
+    return f"""
+        WITH cents AS MATERIALIZED (
+            SELECT vec_id AS c_id, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {centroid_mod} = 0),
+        kcnt AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM cents),
+        ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+        assign AS MATERIALIZED (
+            SELECT n_id, c_id AS c_list FROM (
+                SELECT v.vec_id AS n_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {sim} DESC, c.c_id ASC) AS r
+                FROM embeddings v CROSS JOIN cents c) WHERE r = 1),
+        rcbsrc AS MATERIALIZED (
+            SELECT CAST(v.vec_id // {stride} AS BIGINT) AS pq_c,
+                   v.embedding AS sve, cv.c_vec AS svcv
+            FROM embeddings v
+            JOIN assign a ON v.vec_id = a.n_id
+            JOIN cents cv ON cv.c_id = a.c_list
+            WHERE v.vec_id % {stride} = 0 AND v.vec_id < {stride * k_codes}),
+        codes AS MATERIALIZED (
+            SELECT n_id, c_list, m, pq_c FROM (
+                SELECT v.vec_id AS n_id, a.c_list, ms.m, r.pq_c,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, ms.m
+                           ORDER BY ({l2sq_res('v.embedding', 'cv.c_vec', 'r.sve', 'r.svcv')}) ASC,
+                                    r.pq_c ASC) AS rn
+                FROM embeddings v
+                JOIN assign a ON v.vec_id = a.n_id
+                JOIN cents cv ON cv.c_id = a.c_list
+                CROSS JOIN ms CROSS JOIN rcbsrc r) WHERE rn = 1),
+        probes AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, c.c_id AS c_list,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {qsim} DESC, c.c_id ASC) AS pr
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < {_N_QUERIES}),
+        adc AS MATERIALIZED (
+            SELECT p.q_id, p.c_list, p.pr, ms.m, r.pq_c,
+                   CAST(round(1e6 * ({l2sq_res('q.embedding', 'cv.c_vec', 'r.sve', 'r.svcv')})) AS BIGINT)
+                     AS contrib
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.q_id
+            JOIN cents cv ON cv.c_id = p.c_list
+            CROSS JOIN ms CROSS JOIN rcbsrc r),
+        scored AS MATERIALIZED (
+            SELECT a.q_id, c.n_id, a.pr,
+                   CAST(sum(a.contrib) AS BIGINT) AS adc_micro
+            FROM codes c
+            JOIN adc a ON a.c_list = c.c_list AND a.m = c.m AND a.pq_c = c.pq_c
+            WHERE a.q_id <> c.n_id
+            GROUP BY a.q_id, c.n_id, a.pr),
+        nvr AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt({dotvc('embedding', 'embedding')}) AS nrm
+            FROM embeddings),
+        exact AS MATERIALIZED ({_sim_topk_sql(k=k)}),
+        {','.join(branches)}
+        {union}
+    """
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -7346,6 +7554,7 @@ QUERIES = {
     "sim_ann_recall_ivf_reranked": sim_ann_recall_ivf_reranked,
     "sim_ann_lsh_reranked": sim_ann_lsh_reranked,
     "sim_ann_recall_lsh_reranked": sim_ann_recall_lsh_reranked,
+    "sim_ann_ivfpq_curve": sim_ann_ivfpq_curve,
     "sim_ann_pq_trained": sim_ann_pq_trained,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_ann_ivf_lloyd": sim_ann_ivf_lloyd,
@@ -7515,6 +7724,7 @@ ORACLE: dict[str, str] = {
     "sim_ann_recall_lsh_reranked": _recall_sql(
         _reranked_sql(_lsh_collision_short_sql(), k=_RECALL_K)
     ),
+    "sim_ann_ivfpq_curve": _ivfpq_curve_sql(),
     "sim_ann_ivf_lloyd": _ivf_lloyd_sql(),
     "sim_ann_ivf_lloyd_indexed": _ivf_lloyd_sql(),
     "sim_ann_pq_lloyd": _pq_lloyd_sql(),

@@ -95,6 +95,10 @@ EXPECT_NESTED = {
     "sim_ann_ivf_reranked",
     "sim_ann_recall_ivf_reranked",
     "sim_ann_recall_lsh_reranked",
+    # the operating-curve sweep: one all-lists ADC relation (ivfpq's
+    # broadcast-model shape) + the brute-force ground-truth leg + 1-row
+    # (hits × rows_read) aggregate crossjoins per operating point
+    "sim_ann_ivfpq_curve",
     # the exact-Lloyd tier and the trained-quantizer invariant gates reuse
     # the same all-vectors × broadcast(model) assignment shape
     "sim_ann_ivf_lloyd",

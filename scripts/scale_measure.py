@@ -641,6 +641,7 @@ def main() -> int:
     from codecdb_queryengine_spark.queries.pipeline import _recall_df
 
     recall: dict[str, dict[int, float]] = {}
+    curve_rows_read: dict[str, dict[int, int]] = {}
     for f in FACTORS:
         emb = spark.read.parquet(os.path.join(dirs[f], "embeddings"))
         q = _serve_queries(spark, dirs[f])
@@ -663,6 +664,42 @@ def main() -> int:
             recall.setdefault(tier, {})[f] = sum(vals) / len(vals)
             print(
                 f"recall {tier} x{f}: {recall[tier][f]:.2f}",
+                file=sys.stderr, flush=True,
+            )
+
+        # IVFADC operating-curve stability (r10 verdict item 5): the gated
+        # curve (sim_ann_ivfpq_curve) sweeps nprobe x R at one SF; here the
+        # same two-stage points run across the scale step under the fixed-K
+        # discipline expressed through the mod dial (centroid_mod scales
+        # with the factor, so K ≈ 69 lists and nprobe/K stay constant).
+        # Curve SHAPE must hold — recall ordering across operating points
+        # stable — while rows_read (the ADC scan-cost axis) tracks the
+        # corpus ~linearly (lists grow, their count doesn't).
+        from pyspark.sql import Window as _W
+
+        curve_scored = SIM.ivf_pq_scored(
+            emb, q, dim=64, centroid_mod=29 * f, nprobe=4, with_probe_rank=True
+        ).localCheckpoint(eager=False)
+        wcurve = _W.partitionBy("q_id").orderBy(
+            F.col("adc_micro").asc(), F.col("n_id").asc()
+        )
+        for np_, r_ in ((1, 20), (4, 20), (4, 100)):
+            sub = curve_scored.filter(F.col("pr") <= np_)
+            short = (
+                sub.withColumn("rk", F.row_number().over(wcurve))
+                .filter(F.col("rk") <= r_)
+                .select("q_id", "n_id")
+            )
+            rrk = SIM.exact_rerank(emb, q, short, k=10)
+            vals = [
+                x["recall_at_10"] for x in _recall_df(exact, rrk, 10).collect()
+            ]
+            tier = f"ivfpq_curve_np{np_}_r{r_}"
+            recall.setdefault(tier, {})[f] = sum(vals) / len(vals)
+            curve_rows_read.setdefault(tier, {})[f] = sub.count()
+            print(
+                f"curve {tier} x{f}: recall {recall[tier][f]:.2f} "
+                f"rows_read {curve_rows_read[tier][f]}",
                 file=sys.stderr, flush=True,
             )
 
@@ -740,6 +777,27 @@ def main() -> int:
     for tier, vals in recall.items():
         lines.append(
             f"| {tier} | " + " | ".join(f"{vals[f]:.2f}" for f in FACTORS) + " |"
+        )
+    lines += [
+        "",
+        "The `ivfpq_curve_*` rows are the gated operating curve",
+        "(sim_ann_ivfpq_curve's nprobe × R sweep) measured across the scale",
+        "step under the fixed-K mod dial: the curve SHAPE — which operating",
+        "point buys how much recall — must stay readable as data grows,",
+        "and its cost axis must stay ~linear.  rows_read (ADC-scored",
+        "candidate pairs; the cost each recall point pays):",
+        "",
+        "| curve point | "
+        + " | ".join(f"rows_read at {f}x" for f in FACTORS)
+        + " | g |",
+        "|---|" + "---|" * (len(FACTORS) + 1),
+    ]
+    for tier, vals in curve_rows_read.items():
+        g = vals[fN] / vals[f0] if vals[f0] else float("inf")
+        lines.append(
+            f"| {tier} | "
+            + " | ".join(f"{vals[f]:,}" for f in FACTORS)
+            + f" | {g:.1f}x |"
         )
     lines.append("")
 

@@ -405,3 +405,33 @@ def test_two_stage_rerank_flat_tiers(spark, sf_dir):
         for q, (hits, _) in got[name].items():
             stage1_hits = len(stage1.get(q, set()) & exact10[q])
             assert hits >= stage1_hits, (name, q, hits, stage1_hits)
+
+
+def test_ivfpq_operating_curve_pinned(spark, sf_dir):
+    """r11: the recall-vs-cost operating curve gate (nprobe x R sweep over
+    ONE all-lists ADC relation).  Pins the sf0.001 points and the curve's
+    structural laws: rows_read grows with nprobe and is R-independent
+    (it's the ADC scan cost), and recall at FIXED nprobe is non-decreasing
+    in R (a larger shortlist is a superset, and the exact re-rank of a
+    superset can only keep or improve recall@10).  Recall is NOT asserted
+    monotone in nprobe at fixed R: more lists means more quantization-
+    noise impostors competing for the R ADC slots — visible in the pinned
+    values (nprobe 18, R=20 scores 0.20 under nprobe 1's 0.24), the
+    honest ADC artifact the curve exists to expose."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    rows = P.QUERIES["sim_ann_ivfpq_curve"](spark, sf_dir).collect()
+    got = {(r.nprobe, r.r_shortlist): (r.hits, r.recall_at_10, r.rows_read)
+           for r in rows}
+    assert got == {
+        (1, 20): (12, 0.24, 139),
+        (1, 100): (17, 0.34, 139),
+        (4, 20): (12, 0.24, 571),
+        (4, 100): (26, 0.52, 571),
+        (18, 20): (10, 0.2, 2495),
+        (18, 100): (24, 0.48, 2495),
+    }, got
+    for np_ in (1, 4, 18):
+        assert got[(np_, 20)][2] == got[(np_, 100)][2]  # cost is R-free
+        assert got[(np_, 100)][0] >= got[(np_, 20)][0]  # recall mono in R
+    assert got[(1, 20)][2] < got[(4, 20)][2] < got[(18, 20)][2]
