@@ -4697,9 +4697,12 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlay through the journaled whole-layout swap and drops docgen and
     the delta directories (asserted gone).  The gate then serves the
     RANKED top-10 over the purged layout — tf and doclens folds included —
-    against the bit-exact BM25 oracle over the mutated corpus, and pins
-    that the boolean search result is unchanged by the purge (overlay and
-    folded base must be the same relation)."""
+    against the bit-exact BM25 oracle over the mutated corpus.  The
+    pre/post-purge BOOLEAN parity check (overlay and folded base must be
+    the same relation) lives in tests/test_text_index.py since r11
+    (verdict item 7): executing the boolean serving plan twice inside the
+    gate purely for an assert double-charged ~5 s of the timed lifecycle
+    without gating anything the ranked oracle doesn't already."""
     import os as _os
 
     from codecdb_queryengine_spark.sources import text_index as TI
@@ -4710,14 +4713,11 @@ def docs_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N layouts should never mean N corpus scans)
     TI.text_index_build_all(docs, path, layouts=("postings", "postings_tf"))
     _text_index_mutate(spark, sf_dir, path)
-    pre = {r["doc_id"] for r in TI.text_index_search_all(spark, path, _SEARCH_TERMS).collect()}
     folded = TI.text_index_purge(spark, path)
     assert sorted(folded) == ["postings", "postings_tf"], folded
     assert not _os.path.exists(TI._docgen_path(path)), "docgen survived purge"
     assert not _os.path.exists(TI._delta_root(path, "postings")), "delta survived"
     assert not _os.path.exists(TI._delta_root(path, "doclens")), "doclens delta survived"
-    post = {r["doc_id"] for r in TI.text_index_search_all(spark, path, _SEARCH_TERMS).collect()}
-    assert post == pre, "purge changed the boolean search result"
     return TI.text_index_search_ranked(spark, path, _SEARCH_TERMS, k=10)
 
 

@@ -116,8 +116,18 @@ def write_bucketed(
             shutil.rmtree(target)
         except FileNotFoundError:
             pass  # no stale location — the normal case
-    writer = df.write.format("parquet").mode("overwrite")
     cols = list(bucket_by)
+    # One file per bucket (r10 verdict item 8 — q3/q18_bucketed swung
+    # 1.9→5.2 s between runs on commit-phase file churn): repartition on
+    # the bucket keys into exactly num_buckets partitions.  repartition's
+    # partition id is pmod(murmur3(keys), n) — the SAME function Spark's
+    # bucket spec uses for the bucket id — so each write task holds one
+    # whole bucket and emits one file, instead of every input task
+    # emitting a sliver of every bucket (up to tasks × buckets files).
+    # At scale the dial is num_buckets itself; the write exchange this
+    # adds is the layout cost the gates charge honestly anyway.
+    df = df.repartition(num_buckets, *[F.col(c) for c in cols])
+    writer = df.write.format("parquet").mode("overwrite")
     writer = writer.bucketBy(num_buckets, cols[0], *cols[1:])
     s = list(sort_by)
     if s:

@@ -303,6 +303,34 @@ def test_purge_folds_overlay_and_is_idempotent(spark, tmp_path):
     assert TI.text_index_purge(spark, path) == []  # no-op on unmutated
 
 
+def test_gate_purge_boolean_parity_on_sf_corpus(spark, sf_dir, tmp_path):
+    """The pre/post-purge BOOLEAN parity assert moved out of the
+    docs_search_purged gate (r10 verdict item 7: it re-executed the
+    boolean serving plan twice inside the timed lifecycle purely for an
+    assert).  This replays the gate's exact sequence — build_all both
+    layouts over the sf corpus, the gate's own two mutation generations,
+    purge — and pins that the folded base serves the same boolean
+    relation as the overlay did."""
+    from codecdb_queryengine_spark.catalog import load_tables
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "ti_gate_purge")
+    TI.text_index_build_all(docs, path, layouts=("postings", "postings_tf"))
+    P._text_index_mutate(spark, sf_dir, path)
+    pre = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(spark, path, P._SEARCH_TERMS).collect()
+    }
+    assert TI.text_index_purge(spark, path)
+    post = {
+        r["doc_id"]
+        for r in TI.text_index_search_all(spark, path, P._SEARCH_TERMS).collect()
+    }
+    assert post == pre
+    assert pre, "parity check is vacuous: the gate terms match no docs"
+
+
 def test_upsert_retry_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
     """Crash AFTER the delta write, BEFORE the docgen commit: the orphan
     delta generation is invisible, and the retry's directory overwrite
