@@ -90,6 +90,44 @@ def rerank_stage(spark, sf_dir: str, index_dir: str, k: int = 5,
     return reranked, len(hits & exact) / len(exact)
 
 
+def operating_curve(spark, sf_dir: str, n_queries: int = 5):
+    """Tune before you scale (r11): sweep (nprobe, R) over ONE all-lists
+    ADC relation carrying each candidate's probe rank
+    (similarity.ivf_pq_scored at nprobe=K) — every operating point is a
+    filter + window over it, so the whole sweep scores the corpus once.
+    Prints recall@10 next to rows_read (the ADC-scored pairs that point
+    pays): the same quality-vs-cost table the gated sim_ann_ivfpq_curve
+    value-hashes, here as the tuning workflow."""
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    kk = emb.filter(F.col("vec_id") % 29 == 0).count()
+    scored = S.ivf_pq_scored(
+        emb, queries, dim=64, nprobe=kk, with_probe_rank=True
+    ).localCheckpoint(eager=False)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in S.brute_force_topk(emb, queries, k=10).select("q_id", "n_id").collect()
+    }
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
+    print(f"{'nprobe':>6} {'R':>4} {'recall@10':>9} {'rows_read':>9}")
+    for np_ in (1, 4, kk):
+        sub = scored.filter(F.col("pr") <= np_)
+        rows_read = sub.count()
+        for r_ in (20, 100):
+            short = (
+                sub.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= r_).select("q_id", "n_id")
+            )
+            rr = S.exact_rerank(emb, queries, short, k=10)
+            hits = {(x.q_id, x.n_id) for x in rr.select("q_id", "n_id").collect()}
+            print(f"{np_:>6} {r_:>4} {len(hits & exact) / len(exact):>9.2f} "
+                  f"{rows_read:>9}")
+
+
 def main() -> None:
     from codecdb_queryengine_spark.session import get_spark
 
@@ -102,6 +140,7 @@ def main() -> None:
     reranked.show(10)
     print(f"index: {index_dir}")
     print(f"recall@5 vs exact scan: ADC {recall:.2f} -> reranked {recall_r:.2f}")
+    operating_curve(spark, sf_dir)
 
 
 if __name__ == "__main__":
