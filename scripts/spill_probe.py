@@ -249,10 +249,15 @@ def _splice_md(out: dict) -> None:
     lines += [
         "",
         "Reading it: the constricted config must COMPLETE every query with",
-        "identical row counts and non-zero spill — state exceeding the pool",
-        "lands on disk and the job finishes slower, never OOM.  That is the",
-        "behavior a 1000-executor job needs when a skewed partition or an",
-        "under-provisioned executor squeezes the execution pool.",
+        "identical row counts — state exceeding the pool lands on disk",
+        "(non-zero spill columns) and the job finishes slower, never OOM.",
+        "That is the behavior a 1000-executor job needs when a skewed",
+        "partition or an under-provisioned executor squeezes the execution",
+        "pool.  A ZERO-spill constricted row is the complementary receipt:",
+        "that build's per-task state never exceeds even the 5% pool —",
+        "sim_ann_ivfpq_lloyd_indexed's training/encode runs on broadcast",
+        "model folds and O(touched-list) writes, so there is nothing",
+        "corpus-sized to spill (the memory discipline, measured).",
         "",
         _END,
     ]
