@@ -56,17 +56,21 @@ BENCH_SKIP |= {
 # covered by scripts/check_correctness.py over the full surface
 # (ORACLE_NDIGITS=exact for the bit-exact standard).
 DRIVER_FIRST = [
-    # part 1: the five r11 gates — two-stage retrieval on the FLAT tiers
+    # part 1: the seven r11 gates — two-stage retrieval on the FLAT tiers
     # (coarse-rank / band-collision stage 1 → exact re-rank, plus their
-    # recall@10 gates) and the IVFADC recall-vs-cost operating curve
-    # (nprobe × R sweep with rows_read, every point value-hashed)
+    # recall@10 gates), the IVFADC recall-vs-cost operating curve
+    # (nprobe × R sweep with rows_read, every point value-hashed), and the
+    # two post-close additions: ExactSubstr span removal and DSIR
+    # importance resampling
+    "docs_dedup_substrings",
+    "docs_dsir_sample",
     "sim_ann_ivf_reranked",
     "sim_ann_recall_ivf_reranked",
     "sim_ann_lsh_reranked",
     "sim_ann_recall_lsh_reranked",
     "sim_ann_ivfpq_curve",
-    # part 2: the 45 stalest names (the 8 last green r5, then the first
-    # 37 of r6's 46, alphabetical within a round)
+    # part 2: the 43 stalest names (the 8 last green r5, then the first
+    # 35 of r6's 46, alphabetical within a round)
     "q2_plan",
     "q3_plan",
     "sim_ann_ivf_indexed",
@@ -110,8 +114,6 @@ DRIVER_FIRST = [
     "q7_sql",
     "q8_sql",
     "q9_sql",
-    "ssb_q1_1_sql",
-    "ssb_q1_2_sql",
 ]
 
 

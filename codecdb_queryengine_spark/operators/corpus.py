@@ -14,6 +14,12 @@ is TPC-H/SSB); these are driver-mandated extensions, built Spark-first:
 - redact             lexicon + PII masking via one alternation regex
                      (counts, masked length, and an md5 of the masked text
                      so the rewrite itself is oracle-pinned).
+- dsir_weights /     DSIR importance resampling (Xie et al. 2023,
+  gumbel_topk        arXiv:2302.03169): hashed-bigram importance
+                     log-weights of every raw doc against a target domain,
+                     then deterministic Gumbel-top-k sampling without
+                     replacement — the data-selection pass that picks
+                     which slice of a 100 TB crawl to train on.
 
 Everything is pure `pyspark.sql.functions` column algebra so each operator
 has an exact DuckDB mirror in queries/pipeline.py.
@@ -425,3 +431,117 @@ def chunk_sliding(
         chunk_len.cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169 §3):
+    estimate bag-of-hashed-bigram distributions for a TARGET domain (the
+    rows where `is_target` holds) and the RAW pool (all rows), both with
+    +1 Laplace smoothing over `buckets` hash buckets, then score every
+    raw document with its importance log-weight
+        log w(d) = Σ_ngram  ln( p_target[bucket] / p_raw[bucket] ).
+
+    Cross-engine float discipline (the lm_scores pattern): the per-BUCKET
+    log-ratio is quantized to integer micro-nats — one double chain
+    round(1e6·ln((t+1)(R+B) / ((r+1)(T+B)))) on a model-sized table —
+    BEFORE the per-doc sum, so each document's weight is an order-free
+    BIGINT sum, bit-reproducible under any partitioning.
+
+    Scale shape: ONE bigram-keyed shuffle builds both distributions
+    (conditional counts in the same aggregate — the target pass is not a
+    second scan); the bucket→weight map is `buckets` rows crossed with a
+    1-row total (broadcast, no collect) and broadcast back onto the
+    bigram stream; one keyed per-doc aggregation with map-side combine.
+    Nothing grows with corpus size except the two linear passes.
+
+    Returns (id_col, is_target, n_bigrams, logw_micro).  Docs with < 2
+    tokens have no features and drop out (no weight is defined for them),
+    exactly as in the reference implementation.
+    """
+    bg = df.select(
+        F.col(id_col),
+        is_target.alias("is_target"),
+        F.explode(
+            T.word_shingles_all_from_tokens(T.tokens(text_col), 2)
+        ).alias("bigram"),
+    ).withColumn(
+        "b", F.pmod(T.md5_slice32("dsir|", F.col("bigram")), F.lit(buckets))
+    )
+    bucket_counts = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.col("is_target").cast("long")).alias("t_cnt"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    w = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "w_micro",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    (
+                        (F.col("t_cnt") + 1).cast("double")
+                        * (F.col("r_tot") + buckets).cast("double")
+                    )
+                    / (
+                        (F.col("r_cnt") + 1).cast("double")
+                        * (F.col("t_tot") + buckets).cast("double")
+                    )
+                )
+            ).cast("long"),
+        )
+        .select("b", "w_micro")
+    )
+    return (
+        bg.join(F.broadcast(w), "b")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w_micro").alias("logw_micro"),
+        )
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    weight_col: str = "logw_micro",
+    id_col: str = "doc_id",
+    k: int = 50,
+    salt: str = "dsirg|",
+) -> DataFrame:
+    """Gumbel-top-k resampling — the without-replacement sampler DSIR
+    pairs with its importance weights (Xie et al. 2023 §3; Vieira 2014):
+    add independent Gumbel(0,1) noise to each log-weight and take the
+    top k, which draws k items WITHOUT replacement with probability
+    proportional to their (softmax) weights.
+
+    The noise is deterministic and content-stable (the sample_hash
+    argument — a row's draw never changes with partitioning or corpus
+    growth): u = (md5_slice32(salt, id) + 0.5) / 2^32 ∈ (0,1), then the
+    standard inverse-CDF g = −ln(−ln u), micro-quantized through the one
+    fixed double chain so the final score is BIGINT arithmetic.
+
+    Scale: a pure projection plus one TakeOrdered top-k — no shuffle
+    beyond the bounded-heap gather.  Ties broken by id for a total order.
+    """
+    h = T.md5_slice32(salt, F.col(id_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    out = (
+        scored.withColumn(
+            "gumbel_micro",
+            F.round(F.lit(1e6) * -F.log(-F.log(u))).cast("long"),
+        )
+        .withColumn(
+            "score_micro", F.col(weight_col) + F.col("gumbel_micro")
+        )
+    )
+    return out.orderBy(F.desc("score_micro"), F.col(id_col)).limit(k)

@@ -26,6 +26,12 @@ SURVEY.md §2); these are the driver-mandated extensions, built Spark-first:
                        place of newline splitting): keep-first across the
                        whole corpus, rebuild each document from surviving
                        segments.
+- exact_substring_dedup  ExactSubstr span removal (Lee et al. 2022,
+                       arXiv:2107.06499 §4.1): remove every token covered
+                       by a duplicated k-gram window that is not the
+                       corpus-wide first occurrence, rebuild the document
+                       from the surviving positions.  The surgery half of
+                       docs_dup_spans' measurement.
 
 Everything is built from pyspark.sql.functions so each operator has an
 exact DuckDB mirror in queries/pipeline.py.
@@ -866,4 +872,97 @@ def segment_dedup(
             ),
             " ",
         ).alias("text_dedup"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring deduplication with span REMOVAL and document
+    reconstruction — the surgery half of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 §4.1
+    ExactSubstr), completing docs_dup_spans' measurement half.  The paper
+    removes every duplicated ≥50-token substring from all but one
+    occurrence; here at k-gram granularity (k=5 at gate scale — a real
+    corpus raises k, same plan): a token is removed iff it is covered by
+    a k-token window whose text occurs elsewhere in the corpus AND that
+    window is not the corpus-wide FIRST occurrence of its text (ordered
+    by (id, position) — exact keep-first, same canonical rule as
+    segment_dedup, no hashing, no floats).
+
+    Unlike segment_dedup's disjoint segments, k-gram windows OVERLAP, so
+    removal works on the covered-position SET: duplicate windows explode
+    to their k covered token positions, distinct, then an anti-join
+    against the positioned token stream keeps the survivors and each
+    document is rebuilt in original token order.
+
+    Scale shape: the window stream is n_tokens rows (one per start
+    offset); ONE partition-by-span-text shuffle for the global
+    first-occurrence window (high-cardinality key — skew bounded by true
+    duplication, exactly like any exact dedup); the covered-position set
+    is ≤ k·dup_windows rows keyed by (id, position) — the distinct and
+    the anti-join share that partitioning (one exchange, AQE-reused); one
+    partition-by-id rebuild.  Everything is linear in corpus token count
+    — the property that lets ExactSubstr run over a 100 TB crawl (the
+    paper's suffix-array machinery is a single-node construction; the
+    keyed-shuffle formulation is the distributed equivalent at fixed k).
+
+    Returns (id_col, n_tokens, n_removed, clean_ntok, clean_md5) — the
+    md5 pins the exact reconstructed text without hashing megabyte
+    strings through the compare gate (the redact discipline).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), T.tokens(text_col).alias("tk"))
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            T.word_shingles_all_from_tokens(F.col("tk"), k)
+        ).alias("pos", "sh"),
+    )
+    first = Window.partitionBy("sh").orderBy(id_col, "pos")
+    removed = (
+        spans.withColumn("rn", F.row_number().over(first))
+        # rn >= 2 already implies the span text occurs >= 2 times
+        .filter(F.col("rn") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(id_col, F.posexplode("tk").alias("p", "tok"))
+    rebuilt = (
+        tokpos.join(removed, [id_col, "p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("kept_ntok"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean"),
+        )
+    )
+    return (
+        base.select(id_col, F.size("tk").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("kept_ntok"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("kept_ntok"), F.lit(0)).cast("long").alias(
+                "clean_ntok"
+            ),
+            F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_md5"),
+        )
     )

@@ -4015,6 +4015,64 @@ _MIXTURE_SQL = """
 """
 
 
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/corpus.dsir_weights + gumbel_topk,
+    Xie et al. 2023 arXiv:2302.03169): hashed-bigram (4096 buckets,
+    md5_slice32) importance log-weights of every document against the
+    English-language target domain, +1-smoothed, micro-nat-quantized per
+    BUCKET before the order-free per-doc BIGINT sum; then deterministic
+    Gumbel-top-k (content-stable md5 noise) draws the 50-doc training
+    sample without replacement.  Every output column is an exact BIGINT
+    (plus the target flag) — the full selection pass is value-gated,
+    noise included."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = C.dsir_weights(
+        docs, F.col("lang") == "en", "text", "doc_id", buckets=4096
+    )
+    return C.gumbel_topk(scored, "logw_micro", "doc_id", k=50)
+
+
+_DSIR_SQL = f"""
+    WITH bg AS MATERIALIZED (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               ('0x' || substring(md5('dsir|' || bigram), 1, 8))::BIGINT
+                   % 4096 AS b
+        FROM (SELECT doc_id, lang,
+                     unnest({_sql_word_shingles_all(2)}) AS bigram
+              FROM documents)),
+    bc AS MATERIALIZED (
+        SELECT b, count(*) AS r_cnt,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_cnt
+        FROM bg GROUP BY b),
+    tot AS MATERIALIZED (
+        SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot,
+               CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM bc),
+    w AS MATERIALIZED (
+        SELECT b,
+               CAST(round(1e6 * ln(
+                   (CAST(t_cnt + 1 AS DOUBLE) * CAST(r_tot + 4096 AS DOUBLE))
+                   / (CAST(r_cnt + 1 AS DOUBLE)
+                      * CAST(t_tot + 4096 AS DOUBLE)))) AS BIGINT) AS w_micro
+        FROM bc CROSS JOIN tot),
+    pd AS MATERIALIZED (
+        SELECT doc_id, is_target,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(w_micro) AS BIGINT) AS logw_micro
+        FROM bg JOIN w USING (b) GROUP BY doc_id, is_target),
+    g AS (
+        SELECT doc_id, is_target, n_bigrams, logw_micro,
+               CAST(round(1e6 * -ln(-ln(
+                   (('0x' || substring(md5('dsirg|' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT + 0.5) / 4294967296.0))) AS BIGINT)
+                   AS gumbel_micro
+        FROM pd)
+    SELECT doc_id, is_target, n_bigrams, logw_micro, gumbel_micro,
+           logw_micro + gumbel_micro AS score_micro
+    FROM g ORDER BY score_micro DESC, doc_id LIMIT 50
+"""
+
+
 def _cooc_edges(docs: DataFrame, min_support: int = 3) -> DataFrame:
     """Symmetrized term co-occurrence graph: distinct directed edges both
     ways between words adjacent in ≥ `min_support` bigram occurrences —
@@ -4367,6 +4425,62 @@ _DEDUP_SEGMENTS_SQL = f"""
            coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
                         FILTER (WHERE kept), '') AS text_dedup
     FROM flagged GROUP BY doc_id
+"""
+
+
+def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (operators/dedup.exact_substring_dedup):
+    the surgery half of Lee et al. 2022 — every token covered by a
+    duplicated 5-gram window that is not the window text's corpus-wide
+    first occurrence (keep-first by (doc_id, pos)) is removed, and each
+    document is rebuilt from the surviving positions in original order.
+    All-integer + md5-pinned reconstructed text — value-gated end to end,
+    overlap semantics included (overlapping duplicate windows remove the
+    union of their covered positions, not double-count it)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.exact_substring_dedup(docs, "text", "doc_id", k=5)
+
+
+_DEDUP_SUBSTRINGS_SQL = f"""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    sp AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(tk[pos + 1 : pos + 5], ' ') AS sh
+        FROM (SELECT doc_id, tk,
+                     unnest(CASE WHEN len(tk) >= 5
+                                 THEN generate_series(0, len(tk) - 5)
+                                 ELSE [] END) AS pos
+              FROM tk)),
+    dup_occ AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY sh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM sp)
+        WHERE rn >= 2),
+    removed AS MATERIALIZED (
+        SELECT DISTINCT doc_id, pos + d AS p
+        FROM (SELECT doc_id, pos, unnest(generate_series(0, 4)) AS d
+              FROM dup_occ)),
+    tokpos AS MATERIALIZED (
+        SELECT doc_id, CAST(p AS INT) AS p, tk[p + 1] AS tok
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(0, len(tk) - 1)) AS p
+              FROM tk)),
+    rebuilt AS MATERIALIZED (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS kept_ntok,
+               string_agg(t.tok, ' ' ORDER BY t.p) AS clean
+        FROM tokpos t
+        ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+        GROUP BY t.doc_id)
+    SELECT k.doc_id,
+           CAST(len(k.tk) AS BIGINT) AS n_tokens,
+           CAST(len(k.tk) - coalesce(b.kept_ntok, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(b.kept_ntok, 0) AS BIGINT) AS clean_ntok,
+           md5(coalesce(b.clean, '')) AS clean_md5
+    FROM tk k LEFT JOIN rebuilt b USING (doc_id)
 """
 
 
@@ -7462,6 +7576,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "docs_dedup_segments": docs_dedup_segments,
+    "docs_dedup_substrings": docs_dedup_substrings,
     "docs_search_index": docs_search_index,
     "docs_search_phrase": docs_search_phrase,
     "docs_search_ranked": docs_search_ranked,
@@ -7487,6 +7602,7 @@ QUERIES = {
     "docs_bigrams": docs_bigrams,
     "docs_pmi": docs_pmi,
     "docs_mixture_weights": docs_mixture_weights,
+    "docs_dsir_sample": docs_dsir_sample,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "graph_pagerank_ckpt": graph_pagerank_ckpt,
@@ -7617,6 +7733,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding": _emb_dup_auto_sql(),
     "dedup_semantic": _semdedup_sql(),
     "docs_dedup_segments": _DEDUP_SEGMENTS_SQL,
+    "docs_dedup_substrings": _DEDUP_SUBSTRINGS_SQL,
     "docs_search_index": _search_index_sql(),
     "docs_search_phrase": _search_phrase_sql(),
     "docs_search_ranked": _search_ranked_sql(),
@@ -7649,6 +7766,7 @@ ORACLE: dict[str, str] = {
     "docs_bigrams": _BIGRAMS_SQL,
     "docs_pmi": _PMI_SQL,
     "docs_mixture_weights": _MIXTURE_SQL,
+    "docs_dsir_sample": _DSIR_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _TRIANGLES_SQL,
     "graph_pagerank_ckpt": _pagerank_sql(),

@@ -56,6 +56,9 @@ EXPECT_NESTED = {
     # the corpus token total (text_lm_score) join every probe row by design
     "dedup_incremental",
     "text_lm_score",
+    # the 1-row (r_tot, t_tot) corpus totals cross the 4096-row bucket
+    # table to form the DSIR weight model — model-sized by construction
+    "docs_dsir_sample",
     # the r8 tie-margin precondition folds the 1-row centroid model into
     # every corpus row — the same all-vectors × broadcast(model) shape as
     # the IVF assignment it checks

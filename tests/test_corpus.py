@@ -265,3 +265,101 @@ def test_chunk_overlap_oracle_pair_drops_null_text(spark):
     )
     assert eng == oracle
     assert not any(t[0] == 1 for t in eng)  # the NULL-text doc emits nothing
+
+
+def _md5_bucket(prefix: str, s: str, mod: int) -> int:
+    return int(hashlib.md5((prefix + s).encode()).hexdigest()[:8], 16) % mod
+
+
+def _half_up(x: float) -> int:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR hashed-bigram importance log-weights (r11): per-bucket
+    micro-nat quantization mirrored in python (same md5 bucketing, same
+    HALF_UP rounding), per-doc sums exact."""
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (1, "the dog sat on the log", True),
+        (2, "alpha beta gamma delta beta", False),
+        (3, "the cat ran to the mat", False),
+    ]
+    B = 64
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r.doc_id: (r.is_target, r.n_bigrams, r.logw_micro)
+        for r in C.dsir_weights(
+            df, F.col("tgt"), "text", "doc_id", buckets=B
+        ).collect()
+    }
+
+    bigrams = {
+        i: [" ".join(t.split()[j : j + 2]) for j in range(len(t.split()) - 1)]
+        for i, t, _ in rows
+    }
+    r_cnt: dict = {}
+    t_cnt: dict = {}
+    for i, _, tgt in rows:
+        for bgm in bigrams[i]:
+            b = _md5_bucket("dsir|", bgm, B)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if tgt:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+    w = {
+        b: _half_up(
+            1e6
+            * math.log(
+                ((t_cnt.get(b, 0) + 1) * (r_tot + B))
+                / ((r_cnt[b] + 1) * (t_tot + B))
+            )
+        )
+        for b in r_cnt
+    }
+    for i, _, tgt in rows:
+        exp = (
+            tgt,
+            len(bigrams[i]),
+            sum(w[_md5_bucket("dsir|", bgm, B)] for bgm in bigrams[i]),
+        )
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_gumbel_topk_deterministic_without_replacement(spark):
+    """The Gumbel draw is content-stable: identical inputs produce the
+    identical sample (order included), and k >= n returns every row in
+    total (score desc, id) order with distinct ids."""
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 * 1000) for i in range(20)],
+        "doc_id long, logw_micro long",
+    )
+    a = C.gumbel_topk(df, "logw_micro", "doc_id", k=5).collect()
+    b = C.gumbel_topk(df, "logw_micro", "doc_id", k=5).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len({r.doc_id for r in a}) == 5
+    full = C.gumbel_topk(df, "logw_micro", "doc_id", k=99).collect()
+    assert len(full) == 20
+    scores = [(r.score_micro, -r.doc_id) for r in full]
+    assert scores == sorted(scores, reverse=True)
+    for r in full:
+        assert r.score_micro == r.logw_micro + r.gumbel_micro
+
+
+def test_dsir_gate_enriches_target_domain(spark, sf_dir):
+    """The gated end-to-end selection (sf0.001, pinned): the 50-doc
+    sample is 34/50 target-language vs the corpus' 38.6% base rate —
+    importance resampling measurably pulls the sample toward the target
+    domain even through the Gumbel noise."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    rows = P.QUERIES["docs_dsir_sample"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    n_target = sum(1 for r in rows if r.is_target)
+    assert n_target == 34
+    assert n_target / 50 > 0.386  # corpus target fraction at sf0.001
+    assert rows[0].doc_id == 263 and rows[0].score_micro == 2383595

@@ -466,3 +466,26 @@ def test_canonical_dedup_merges_formatting_variants(spark):
     )
     got = {r.keep_id: r.n_copies for r in D.canonical_dedup(df, "text", "doc_id").collect()}
     assert got == {1: 3, 4: 1}
+
+
+def test_exact_substring_dedup_consistent_with_dup_spans(spark, sf_dir):
+    """Measurement/surgery coupling (r11): a document whose 5-span dup
+    fraction is ZERO (docs_dup_spans) cannot lose a token to ExactSubstr
+    removal (docs_dedup_substrings) — removal only ever targets positions
+    covered by a span occurring >= 2 times.  Also pins the sf0.001
+    surgery totals (1470 tokens removed across 30 touched docs of 500)."""
+    from codecdb_queryengine_spark.queries import pipeline as P
+
+    spans = {
+        r.doc_id: r.dup_frac_micro
+        for r in P.QUERIES["docs_dup_spans"](spark, sf_dir).collect()
+    }
+    sub = P.QUERIES["docs_dedup_substrings"](spark, sf_dir).collect()
+    assert len(sub) == 500
+    for r in sub:
+        assert 0 <= r.n_removed <= r.n_tokens
+        assert r.clean_ntok == r.n_tokens - r.n_removed
+        if spans.get(r.doc_id, 0) == 0:
+            assert r.n_removed == 0, r.doc_id
+    assert sum(r.n_removed for r in sub) == 1470
+    assert sum(1 for r in sub if r.n_removed > 0) == 30

@@ -286,3 +286,41 @@ def test_pagerank_micro_matches_python_replay(spark, edges, iters):
     df = spark.createDataFrame(sym, "src long, dst long")
     got = {r["node"]: r["pr"] for r in pagerank_micro(df, iters=iters).collect()}
     assert got == pr
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy)
+def test_exact_substring_dedup_matches_python_reference(spark, docs):
+    """ExactSubstr removal (k=2) against a brute-force reference: a token
+    survives iff no duplicated 2-gram window covering it is a non-first
+    occurrence (first = min (doc_id, pos) over the window's text)."""
+    import hashlib
+
+    from codecdb_queryengine_spark.operators import dedup as D
+
+    k = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_ntok"],
+                      r["clean_md5"])
+        for r in D.exact_substring_dedup(df, "text", "doc_id", k=k).collect()
+    }
+
+    occs: dict = {}
+    for i, toks in enumerate(docs):
+        for pos in range(len(toks) - k + 1):
+            occs.setdefault(" ".join(toks[pos : pos + k]), []).append((i, pos))
+    removed: set = set()
+    for locs in occs.values():
+        for d, pos in sorted(locs)[1:]:
+            removed.update((d, p) for p in range(pos, pos + k))
+    for i, toks in enumerate(docs):
+        clean = [t for p, t in enumerate(toks) if (i, p) not in removed]
+        exp = (
+            len(toks),
+            len(toks) - len(clean),
+            len(clean),
+            hashlib.md5(" ".join(clean).encode()).hexdigest(),
+        )
+        assert got[i] == exp, (i, docs)
