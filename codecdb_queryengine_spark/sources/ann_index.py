@@ -134,7 +134,13 @@ def ivf_index_build(
         )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     lists = _assign(vectors, centroids, vec_col, id_col, meta_cols)
-    _write_lists(lists, path, max_list_rows)
+    # K from the just-written centroid artifact (metadata-only count under
+    # parquet aggregate pushdown) sizes the uncapped layout write; capped
+    # writes size from their own slot plan (see _write_lists).
+    n_lists = vectors.sparkSession.read.parquet(
+        os.path.join(path, "centroids")
+    ).count()
+    _write_lists(lists, path, max_list_rows, n_dirs_hint=int(n_lists))
 
 
 def _assign(
@@ -176,6 +182,27 @@ def _check_append_schema(assigned: DataFrame, existing: DataFrame) -> None:
 
 def _list_dir(values) -> list[str]:
     return [f"c_list={int(v)}" for v in sorted(values)]
+
+
+# Layout writes pay per-TASK overhead, not per-row, at maintenance scale: a
+# dynamic-partition write keyed repartition inherits spark.sql.shuffle.
+# partitions (64 locally), and 64 tasks writing ~140 tiny partition dirs
+# measured 3.2 s vs 1.05 s at 8 tasks for the identical layout (r11
+# optimization round, guide §2.2/§6 — fewer, larger write tasks).  Size the
+# exchange to the number of physical partition dirs instead: ~DIRS_PER_TASK
+# dirs per task, still capped by the session's shuffle parallelism so a
+# 100-TB index (millions of lists) saturates the cluster exactly as before.
+# Hash partitioning on the full partition-column tuple keeps every dir's
+# rows in ONE task, so the one-file-per-directory layout is unchanged.
+_DIRS_PER_TASK = max(1, int(os.environ.get("SPARK_GRAFT_DIRS_PER_WRITE_TASK", "16")))
+
+
+def _write_parts(spark: SparkSession, n_dirs: int) -> int:
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 64
+    return max(1, min(cap, -(-int(n_dirs) // _DIRS_PER_TASK)))
 
 
 def ivf_index_append(
@@ -224,9 +251,16 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
     lists_path = os.path.join(path, "lists")
     existing = spark.read.parquet(lists_path)
     _check_append_schema(assigned, existing)
+    # Per-list routing plan: batch-sized aggregate, shared by every path
+    # below (and, new in r11, it sizes the pre-write exchange — see
+    # _write_parts).
+    new_counts = {
+        int(r["c_list"]): int(r["_n"])
+        for r in assigned.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
     if "c_slot" not in existing.columns:
         (
-            assigned.repartition("c_list")
+            assigned.repartition(_write_parts(spark, len(new_counts)), "c_list")
             .write.mode("append")
             .partitionBy("c_list")
             .parquet(lists_path)
@@ -241,13 +275,6 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             "regrow hot lists past their cap; rebuild the index once with "
             "the current ivf_index_build to persist max_list_rows"
         )
-    # Per-list routing plan: both aggregates are K'-rows-sized however big
-    # the corpus or the batch (and the existing-side count scans only the
-    # touched lists' partitions).
-    new_counts = {
-        int(r["c_list"]): int(r["_n"])
-        for r in assigned.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
-    }
     touched = sorted(new_counts)
     old_stats = {
         int(r["c_list"]): (int(r["_n"]), int(r["_slots"]))
@@ -271,15 +298,15 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
         else:
             grow.append(c_list)
     if stay:
-        slots_df = spark.createDataFrame(
-            sorted(stay.items()), "c_list long, _slots long"
-        )
         (
-            assigned.filter(F.col("c_list").isin(sorted(stay)))
-            .join(F.broadcast(slots_df), "c_list")
-            .withColumn("c_slot", F.pmod(F.col("n_id"), F.col("_slots")))
-            .drop("_slots")
-            .repartition("c_list", "c_slot")
+            _apply_slots(
+                assigned.filter(F.col("c_list").isin(sorted(stay))),
+                spark,
+                sorted(stay.items()),
+            )
+            .repartition(
+                _write_parts(spark, sum(stay.values())), "c_list", "c_slot"
+            )
             .write.mode("append")
             .partitionBy("c_list", "c_slot")
             .parquet(lists_path)
@@ -292,10 +319,21 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             ]
         )
         merged = old_rows.unionByName(assigned.filter(F.col("c_list").isin(grow)))
+        # merged per-list counts are already known (old_stats + new_counts),
+        # so the slot plan needs no recount pass over the merged frame
+        plan = _slot_plan(
+            {
+                c: old_stats.get(c, (0, 0))[0] + new_counts[c]
+                for c in grow
+            },
+            cap,
+        )
         tmp = lists_path.rstrip("/") + ".growing"
         (
-            _with_slots(merged, cap)
-            .repartition("c_list", "c_slot")
+            _apply_slots(merged, spark, plan)
+            .repartition(
+                _write_parts(spark, sum(s for _, s in plan)), "c_list", "c_slot"
+            )
             .write.mode("overwrite")
             .partitionBy("c_list", "c_slot")
             .parquet(tmp)
@@ -411,18 +449,30 @@ def _upsert_assigned(
             "id (or split into two calls)"
         )
     mutated = del_df.unionByName(upd_ids).distinct()
-    located = (
+    # ONE pass over the thin (n_id, c_list) projection replaces the old
+    # locate-distinct collect AND the later _with_slots recount of the
+    # merged frame (r11 optimization round): per-list totals and mutated
+    # counts come back together, HAVING dead > 0 keeps the collected rows
+    # bounded by the mutation batch (never K') — survivors per touched
+    # list are then total - dead, in Python, with no second scan.
+    loc_stats = (
         existing.select("n_id", "c_list")
-        .join(F.broadcast(mutated), "n_id")
-        .select("c_list")
-        .distinct()
+        .join(F.broadcast(mutated.withColumn("_m", F.lit(1))), "n_id", "left")
+        .groupBy("c_list")
+        .agg(F.count(F.lit(1)).alias("_n"), F.count("_m").alias("_dead"))
+        .filter(F.col("_dead") > 0)
         .collect()
     )
-    touched = {int(r["c_list"]) for r in located}
+    surv_n = {int(r["c_list"]): int(r["_n"]) - int(r["_dead"]) for r in loc_stats}
+    new_n: dict[int, int] = {}
     if assigned is not None:
-        touched |= {
-            int(r["c_list"]) for r in assigned.select("c_list").distinct().collect()
+        new_n = {
+            int(r["c_list"]): int(r["_n"])
+            for r in assigned.groupBy("c_list")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
         }
+    touched = set(surv_n) | set(new_n)
     if not touched:
         return 0
     data_cols = [c for c in existing.columns if c != "c_slot"]
@@ -441,13 +491,20 @@ def _upsert_assigned(
         if assigned is not None
         else survivors
     )
+    merged_n = {
+        c: surv_n.get(c, 0) + new_n.get(c, 0) for c in touched
+    }
     part_cols = ["c_list"]
     if split:
-        merged = _with_slots(merged, cap)
+        plan = _slot_plan({c: n for c, n in merged_n.items() if n > 0}, cap)
+        merged = _apply_slots(merged, spark, plan)
         part_cols = ["c_list", "c_slot"]
+        n_dirs = sum(s for _, s in plan)
+    else:
+        n_dirs = sum(1 for n in merged_n.values() if n > 0)
     tmp = lists_path.rstrip("/") + ".upserting"
     (
-        merged.repartition(*part_cols)
+        merged.repartition(max(1, _write_parts(spark, n_dirs)), *part_cols)
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(tmp)
@@ -467,23 +524,24 @@ def _upsert_assigned(
     return len(touched)
 
 
-def _with_slots(lists: DataFrame, cap: int) -> DataFrame:
-    """Add the secondary `c_slot` partition column: each list spreads its
-    rows over ceil(n/cap) slots via pmod(n_id, n_slots) — no per-list
-    window, so a hot list never funnels through one task.  The per-list
-    count aggregate is K'-rows-sized however big the corpus, and it runs
-    as its OWN collected pass: joining the lazy aggregate back to its own
-    lineage lets the optimizer plant a dynamic-pruning filter across the
-    self-join, which Spark then fails to prepare under codegen on the
-    IVFADC upsert plan (`IN dynamicpruning#N has not finished`) — a
-    K'-row LocalRelation build side leaves nothing to plan a subquery
-    from, and is the two-pass shape the docstrings promise anyway."""
-    spark = lists.sparkSession
-    rows = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
-    slots = sorted(
-        (int(r["c_list"]), max(1, -(-int(r["_n"]) // cap))) for r in rows
+def _slot_plan(counts: dict[int, int], cap: int) -> list[tuple[int, int]]:
+    """Per-list slot counts from per-list row counts: ceil(n/cap), min 1 —
+    the one rule every capped write shares (build, append regrow, upsert
+    rewrite), so two paths can never disagree on a list's slot fanout."""
+    return sorted(
+        (int(c), max(1, -(-int(n) // cap))) for c, n in counts.items()
     )
-    sdf = spark.createDataFrame(slots, "c_list long, _slots long")
+
+
+def _apply_slots(lists: DataFrame, spark: SparkSession, slots) -> DataFrame:
+    """Attach the secondary `c_slot` partition column from an ALREADY
+    COLLECTED slot plan: pmod(n_id, n_slots) against a broadcast K'-row
+    LocalRelation — no per-list window, so a hot list never funnels
+    through one task, and the LocalRelation build side keeps Spark from
+    planting a dynamic-pruning subquery across a self-join (the
+    `IN dynamicpruning#N has not finished` codegen failure on the IVFADC
+    upsert plan)."""
+    sdf = spark.createDataFrame(sorted(slots), "c_list long, _slots long")
     return (
         lists.join(F.broadcast(sdf), "c_list")
         .withColumn("c_slot", F.pmod(F.col("n_id"), F.col("_slots")))
@@ -491,29 +549,60 @@ def _with_slots(lists: DataFrame, cap: int) -> DataFrame:
     )
 
 
-def _write_lists(lists: DataFrame, path: str, max_list_rows: int | None) -> None:
+def _write_lists(
+    lists: DataFrame,
+    path: str,
+    max_list_rows: int | None,
+    n_dirs_hint: int | None = None,
+) -> None:
     """Write the `lists/` layout, splitting oversized lists across a
     secondary `c_slot` partition level when `max_list_rows` is set (see
     ivf_index_build's docstring for the scale rationale).  The cap is
     persisted IN the layout (`lists_meta`, 1 row) so maintenance passes
     re-apply the layout's own setting instead of a caller's guess — the
     index-layout discipline that keeps append/upsert from silently
-    regrowing hot lists."""
+    regrowing hot lists.
+
+    The pre-write exchange is sized to the number of physical partition
+    directories (_write_parts): the capped path knows it exactly from its
+    own slot plan; the uncapped path uses `n_dirs_hint` (the centroid
+    count) and falls back to the keyed default when no hint is given."""
     spark = lists.sparkSession
     part_cols = ["c_list"]
+    n_dirs = n_dirs_hint
     if max_list_rows is not None:
-        lists = _with_slots(lists, max_list_rows)
+        rows = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
+        counts = {int(r["c_list"]): int(r["_n"]) for r in rows}
+        plan = _slot_plan(counts, max_list_rows)
+        n_dirs = sum(s for _, s in plan)
+        lists = _apply_slots(lists, spark, plan)
         part_cols = ["c_list", "c_slot"]
+    shaped = (
+        lists.repartition(_write_parts(spark, n_dirs), *part_cols)
+        if n_dirs is not None
+        else lists.repartition(*part_cols)
+    )
     (
-        lists.repartition(*part_cols)
-        .write.mode("overwrite")
+        shaped.write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(os.path.join(path, "lists"))
     )
     cap = None if max_list_rows is None else int(max_list_rows)
-    spark.createDataFrame([(cap,)], "max_list_rows long").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "lists_meta"))
+    meta = os.path.join(path, "lists_meta")
+    from codecdb_queryengine_spark.sources import io as IO
+
+    try:
+        import pyarrow as pa
+
+        done = IO.tiny_meta_write(
+            meta, pa.table({"max_list_rows": pa.array([cap], type=pa.int64())})
+        )
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        done = False
+    if not done:  # schemed storage: the Spark job is the portable path
+        spark.createDataFrame([(cap,)], "max_list_rows long").write.mode(
+            "overwrite"
+        ).parquet(meta)
     invalidate_layout(path)
 
 
@@ -523,8 +612,14 @@ def _read_layout_meta(spark: SparkSession, path: str) -> int | None:
     meta = os.path.join(path, "lists_meta")
     if not os.path.exists(meta):
         return None
-    rows = spark.read.parquet(meta).collect()
-    v = rows[0]["max_list_rows"] if rows else None
+    from codecdb_queryengine_spark.sources import io as IO
+
+    t = IO.tiny_meta_read(meta)
+    if t is not None:
+        v = t.column("max_list_rows")[0].as_py() if t.num_rows else None
+    else:
+        rows = spark.read.parquet(meta).collect()
+        v = rows[0]["max_list_rows"] if rows else None
     return None if v is None else int(v)
 
 
@@ -632,7 +727,7 @@ def ivf_index_build_micro(
         "v",
         F.expr(f"({_micro_argmin_sql('v', cents)}).c_id").alias("c_list"),
     )
-    _write_lists(assigned, path, max_list_rows)
+    _write_lists(assigned, path, max_list_rows, n_dirs_hint=len(cents))
 
 
 def ivf_index_topk_micro(
@@ -762,7 +857,7 @@ def ivfpq_index_build_micro(
         vectors, cents, cbs, dim=dim, vec_col=vec_col, id_col=id_col,
         num_subspaces=num_subspaces, meta_cols=meta_cols,
     )
-    _write_lists(codes, path, max_list_rows)
+    _write_lists(codes, path, max_list_rows, n_dirs_hint=len(cents))
 
 
 def ivfpq_index_topk_micro(

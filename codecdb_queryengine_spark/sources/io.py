@@ -26,6 +26,64 @@ from pyspark.sql import functions as F
 READ_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 
 
+# --- tiny metadata artifacts (r11 optimization round) ------------------------
+#
+# Index layouts persist 1-row metadata tables (bucket counts, slot caps) next
+# to the data.  Reading or writing one through a Spark job costs a full
+# job-launch round trip (~0.3-0.5 s measured locally) for a handful of bytes,
+# and the lifecycle gates touch several per maintenance pass.  On a LOCAL
+# filesystem the same parquet bytes can be moved driver-side through pyarrow
+# in single-digit milliseconds; on schemed storage (hdfs://, s3a://) these
+# helpers return None/False and callers fall back to the Spark path, so
+# cluster deployments behave exactly as before.  The on-disk format stays
+# plain parquet either way — both engines read each other's files.
+
+
+def _local_fs_path(path: str) -> str | None:
+    """The bare filesystem path when `path` is local, else None."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        return None
+    return path
+
+
+def tiny_meta_write(path: str, table) -> bool:
+    """Write a (tiny) pyarrow table as `<path>/part-00000.parquet`,
+    replacing the directory.  Returns False on schemed paths (caller
+    falls back to a Spark write)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    lp = _local_fs_path(path)
+    if lp is None:
+        return False
+    shutil.rmtree(lp, ignore_errors=True)
+    os.makedirs(lp, exist_ok=True)
+    pq.write_table(table, os.path.join(lp, "part-00000.parquet"))
+    return True
+
+
+def tiny_meta_read(path: str):
+    """Read a (tiny) parquet table directory driver-side: a pyarrow table
+    over every `*.parquet` part file (Spark's _SUCCESS markers skipped), or
+    None on schemed paths / missing dirs (caller falls back to Spark)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lp = _local_fs_path(path)
+    if lp is None or not os.path.isdir(lp):
+        return None
+    parts = sorted(glob.glob(os.path.join(lp, "*.parquet")))
+    if not parts:
+        return None
+    import pyarrow as pa
+
+    return pa.concat_tables([pq.read_table(p) for p in parts])
+
+
 def read(
     spark: SparkSession,
     path: str,

@@ -36,6 +36,26 @@ from pyspark.sql import functions as F
 from codecdb_queryengine_spark.functions import text as T
 
 
+# Bucket-partitioned layout writes pay per-TASK overhead, not per-row, at
+# maintenance scale: repartition("t_bucket") inherits spark.sql.shuffle.
+# partitions (64 locally) and 64 tasks writing ≤32 bucket dirs measured
+# 1.45 s vs 0.63 s at 8 tasks for the identical layout (r11 optimization
+# round, guide §2.2/§6 — fewer, larger write tasks).  ~BUCKETS_PER_TASK dirs
+# per task, capped by the session's shuffle parallelism so a cluster-scale
+# bucket count still saturates its executors.
+_BUCKETS_PER_TASK = max(
+    1, int(os.environ.get("SPARK_GRAFT_BUCKETS_PER_WRITE_TASK", "4"))
+)
+
+
+def _bucket_write_parts(spark: SparkSession, num_buckets: int) -> int:
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 64
+    return max(1, min(cap, -(-int(num_buckets) // _BUCKETS_PER_TASK)))
+
+
 def _bucket_of(term: str, num_buckets: int) -> int:
     """Driver-side mirror of functions/text.md5_slice32('ti|', term) —
     bit-identical to the JVM md5 build-side expression, so plan-time
@@ -71,9 +91,22 @@ def _write_meta(
     posting whose bucket doesn't collide — a wrong-answer class, not an
     error — so the layout records the constant and searches read it back
     instead of trusting their caller."""
-    spark.createDataFrame([(int(num_buckets),)], "num_buckets int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(_meta_path(path, layout))
+    from codecdb_queryengine_spark.sources import io as IO
+
+    meta = _meta_path(path, layout)
+    try:
+        import pyarrow as pa
+
+        done = IO.tiny_meta_write(
+            meta,
+            pa.table({"num_buckets": pa.array([int(num_buckets)], type=pa.int32())}),
+        )
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        done = False
+    if not done:  # schemed storage: the Spark job is the portable path
+        spark.createDataFrame([(int(num_buckets),)], "num_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(meta)
 
 
 def _read_buckets(
@@ -85,8 +118,13 @@ def _read_buckets(
     read error (permissions, corrupt parquet, transient FS failure)
     PROPAGATES instead of silently reintroducing the wrong-modulus prune
     the meta table guards against."""
+    from codecdb_queryengine_spark.sources import io as IO
+
     for meta in (_meta_path(path, layout), os.path.join(path, "meta")):
-        if _fs_exists(spark, meta):
+        t = IO.tiny_meta_read(meta)
+        if t is not None and t.num_rows:
+            return int(t.column("num_buckets")[0].as_py())
+        if t is None and _fs_exists(spark, meta):
             return int(spark.read.parquet(meta).first()["num_buckets"])
     return fallback
 
@@ -137,7 +175,9 @@ def text_index_build(
     partitioned by term bucket."""
     postings = postings_of(docs, text_col, id_col, num_buckets)
     (
-        postings.repartition("t_bucket")
+        postings.repartition(
+            _bucket_write_parts(docs.sparkSession, num_buckets), "t_bucket"
+        )
         .write.mode("overwrite")
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings"))
@@ -207,7 +247,9 @@ def text_index_build_positional(
     bucket-partitioned like the distinct layout."""
     (
         positional_postings_of(docs, text_col, id_col, num_buckets)
-        .repartition("t_bucket")
+        .repartition(
+            _bucket_write_parts(docs.sparkSession, num_buckets), "t_bucket"
+        )
         .write.mode("overwrite")
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings_pos"))
@@ -279,7 +321,9 @@ def text_index_build_ranked(
     scoring needs."""
     tf = tf_postings_of(docs, text_col, id_col, num_buckets)
     (
-        tf.repartition("t_bucket")
+        tf.repartition(
+            _bucket_write_parts(docs.sparkSession, num_buckets), "t_bucket"
+        )
         .write.mode("overwrite")
         .partitionBy("t_bucket")
         .parquet(os.path.join(path, "postings_tf"))
@@ -704,7 +748,8 @@ def text_index_upsert(
         # 32-way repartition would pay 32 tasks to write a few hundred rows
         # each — per-job overhead, not data, dominates maintenance cost
         nparts = max(1, min(32, int(g["n"]) // 2000 + 1))
-        for layout in layouts:
+
+        def _delta_write(layout: str) -> None:
             nb = _read_buckets(spark, path, 32, layout=layout)
             delta = _LAYOUTS[layout](updates, text_col, id_col, nb)
             (
@@ -713,7 +758,8 @@ def text_index_upsert(
                 .partitionBy("t_bucket")
                 .parquet(os.path.join(_delta_root(path, layout), f"gen={new_gen}"))
             )
-        if "postings_tf" in layouts:
+
+        def _doclens_delta() -> None:
             (
                 updates.select(
                     F.col(id_col).alias("doc_id"), T.token_count(text_col).alias("dl")
@@ -722,6 +768,20 @@ def text_index_upsert(
                 .write.mode("overwrite")
                 .parquet(os.path.join(_delta_root(path, "doclens"), f"gen={new_gen}"))
             )
+
+        # independent per-layout delta writes, 2 in flight (guide §2.6) —
+        # all of them land BEFORE the docgen swap below, so the commit
+        # protocol (and crash replay) is unchanged
+        writes = [lambda l=l: _delta_write(l) for l in layouts]
+        if "postings_tf" in layouts:
+            writes.append(_doclens_delta)
+        if len(writes) == 1:
+            writes[0]()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(lambda f: f(), writes))
 
     batch = batch.withColumn("gen", F.lit(new_gen).cast("int"))
     if old_dg is None:
@@ -753,24 +813,42 @@ def text_index_purge(spark: SparkSession, path: str) -> list[str]:
     if _read_docgen(spark, path) is None:
         return []
     layouts = [l for l in _LAYOUTS if _fs_exists(spark, os.path.join(path, l))]
-    for layout in layouts:
+
+    # Folds are independent whole-layout rewrites (any completion order is
+    # crash-safe — a folded base re-derives the same rows under the
+    # overlay), so run 2 in flight (guide §2.6) with the fold write sized
+    # to the bucket count like every other layout write.
+    def _fold(layout: str) -> None:
         base_path = os.path.join(path, layout)
         IO.recover_swap(base_path)
         live = _live_postings(spark, path, layout)
+        nb = _read_buckets(spark, path, 32, layout=layout)
         tmp = base_path + ".purging"
         (
-            live.repartition("t_bucket")
+            live.repartition(_bucket_write_parts(spark, nb), "t_bucket")
             .write.mode("overwrite")
             .partitionBy("t_bucket")
             .parquet(tmp)
         )
         IO.swap_layout(base_path, tmp)
-    if "postings_tf" in layouts:
+
+    def _fold_doclens() -> None:
         dl_path = os.path.join(path, "doclens")
         IO.recover_swap(dl_path)
         tmp = dl_path + ".purging"
         _live_doclens(spark, path).write.mode("overwrite").parquet(tmp)
         IO.swap_layout(dl_path, tmp)
+
+    folds = [lambda l=l: _fold(l) for l in layouts]
+    if "postings_tf" in layouts:
+        folds.append(_fold_doclens)
+    if len(folds) == 1:
+        folds[0]()
+    elif folds:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda f: f(), folds))
     shutil.rmtree(_docgen_path(path))
     for layout in [*layouts, "doclens"]:
         shutil.rmtree(_delta_root(path, layout), ignore_errors=True)
@@ -808,46 +886,70 @@ def text_index_build_all(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
     ).persist()
     bucket = (T.md5_slice32("ti|", F.col("term")) % num_buckets).cast("int")
+    nparts = _bucket_write_parts(spark, num_buckets)
+
+    # The per-layout writes are INDEPENDENT jobs over the one cached token
+    # pass — run 2 in flight (guide §2.6) so one write's task tail
+    # back-fills with the next write's tasks instead of idling the
+    # executors.  The cache is materialized first so concurrent jobs read
+    # it instead of racing to compute it.
+    def _build_pos() -> None:
+        pos = toks.select(
+            "doc_id", F.posexplode("__toks").alias("pos", "term")
+        ).withColumn("t_bucket", bucket)
+        (
+            pos.repartition(nparts, "t_bucket")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(os.path.join(path, "postings_pos"))
+        )
+        _write_meta(spark, path, num_buckets, layout="postings_pos")
+
+    def _build_distinct() -> None:
+        p = toks.select(
+            "doc_id", F.explode(F.array_distinct("__toks")).alias("term")
+        ).withColumn("t_bucket", bucket)
+        (
+            p.repartition(nparts, "t_bucket")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+        _write_meta(spark, path, num_buckets, layout="postings")
+
+    def _build_tf() -> None:
+        tf = (
+            toks.select("doc_id", F.posexplode("__toks").alias("pos", "term"))
+            .withColumn("t_bucket", bucket)
+            .groupBy("doc_id", "term", "t_bucket")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        (
+            tf.repartition(nparts, "t_bucket")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(os.path.join(path, "postings_tf"))
+        )
+        toks.select(
+            "doc_id", F.size("__toks").cast("long").alias("dl")
+        ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+        _write_meta(spark, path, num_buckets, layout="postings_tf")
+
+    builders = {
+        "postings_pos": _build_pos,
+        "postings": _build_distinct,
+        "postings_tf": _build_tf,
+    }
+    jobs = [builders[l] for l in builders if l in layouts]
     try:
-        if "postings_pos" in layouts:
-            pos = toks.select(
-                "doc_id", F.posexplode("__toks").alias("pos", "term")
-            ).withColumn("t_bucket", bucket)
-            (
-                pos.repartition("t_bucket")
-                .write.mode("overwrite")
-                .partitionBy("t_bucket")
-                .parquet(os.path.join(path, "postings_pos"))
-            )
-            _write_meta(spark, path, num_buckets, layout="postings_pos")
-        if "postings" in layouts:
-            p = toks.select(
-                "doc_id", F.explode(F.array_distinct("__toks")).alias("term")
-            ).withColumn("t_bucket", bucket)
-            (
-                p.repartition("t_bucket")
-                .write.mode("overwrite")
-                .partitionBy("t_bucket")
-                .parquet(os.path.join(path, "postings"))
-            )
-            _write_meta(spark, path, num_buckets, layout="postings")
-        if "postings_tf" in layouts:
-            tf = (
-                toks.select("doc_id", F.posexplode("__toks").alias("pos", "term"))
-                .withColumn("t_bucket", bucket)
-                .groupBy("doc_id", "term", "t_bucket")
-                .agg(F.count(F.lit(1)).alias("tf"))
-            )
-            (
-                tf.repartition("t_bucket")
-                .write.mode("overwrite")
-                .partitionBy("t_bucket")
-                .parquet(os.path.join(path, "postings_tf"))
-            )
-            toks.select(
-                "doc_id", F.size("__toks").cast("long").alias("dl")
-            ).write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-            _write_meta(spark, path, num_buckets, layout="postings_tf")
+        toks.count()  # materialize the cache once, before the parallel reads
+        if len(jobs) == 1:
+            jobs[0]()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(lambda f: f(), jobs))
     finally:
         toks.unpersist()
     invalidate_layout(path)
