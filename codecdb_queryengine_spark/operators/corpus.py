@@ -454,12 +454,18 @@ def dsir_weights(
     BEFORE the per-doc sum, so each document's weight is an order-free
     BIGINT sum, bit-reproducible under any partitioning.
 
-    Scale shape: ONE bigram-keyed shuffle builds both distributions
-    (conditional counts in the same aggregate — the target pass is not a
-    second scan); the bucket→weight map is `buckets` rows crossed with a
-    1-row total (broadcast, no collect) and broadcast back onto the
-    bigram stream; one keyed per-doc aggregation with map-side combine.
-    Nothing grows with corpus size except the two linear passes.
+    Scale shape: the corpus is tokenized ONCE into per-(doc, bucket)
+    feature counts (one keyed shuffle with map-side combine — the
+    standard aggregate-before-reuse move, guide §2.3: the r11
+    optimization round's rewrite of the original form, which evaluated
+    the full bigram/md5 stream twice, once per distribution pass and
+    once for scoring); both smoothed distributions derive from those
+    counts in a `buckets`-row aggregate (conditional counts in the same
+    pass — the target side is not a second scan), the bucket→weight map
+    is `buckets` rows crossed with a 1-row total (broadcast, no
+    collect), and each document's weight is Σ count·w_micro — the exact
+    same BIGINT sum as scoring every bigram occurrence individually.
+    Nothing grows with corpus size except the one linear pass.
 
     Returns (id_col, is_target, n_bigrams, logw_micro).  Docs with < 2
     tokens have no features and drop out (no weight is defined for them),
@@ -474,9 +480,16 @@ def dsir_weights(
     ).withColumn(
         "b", F.pmod(T.md5_slice32("dsir|", F.col("bigram")), F.lit(buckets))
     )
-    bucket_counts = bg.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(F.col("is_target").cast("long")).alias("t_cnt"),
+    # one evaluation of the (tokenize, shingle, md5) stream; everything
+    # below works off these counts
+    bgc = bg.groupBy(id_col, "is_target", "b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket_counts = bgc.groupBy("b").agg(
+        F.sum("_n").alias("r_cnt"),
+        F.sum(F.when(F.col("is_target"), F.col("_n")).otherwise(0)).alias(
+            "t_cnt"
+        ),
     )
     totals = bucket_counts.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
@@ -502,11 +515,11 @@ def dsir_weights(
         .select("b", "w_micro")
     )
     return (
-        bg.join(F.broadcast(w), "b")
+        bgc.join(F.broadcast(w), "b")
         .groupBy(id_col, "is_target")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("w_micro").alias("logw_micro"),
+            F.sum("_n").alias("n_bigrams"),
+            F.sum(F.col("_n") * F.col("w_micro")).alias("logw_micro"),
         )
     )
 
