@@ -753,10 +753,7 @@ def ivf_index_topk_micro(
         quantize_micro,
     )
 
-    cents = sorted(
-        (int(r["c_id"]), [int(x) for x in r["c"]])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-    )
+    cents = _collect_rows(spark, os.path.join(path, "centroids"), ("c_id", "c"))
     if not cents:
         raise ValueError(f"ivf_index_topk_micro: empty centroid artifact at {path}")
     lists = _scan(spark, os.path.join(path, "lists"), cached)
@@ -919,17 +916,40 @@ def _read_pq_models(spark: SparkSession, path: str) -> tuple[list, list]:
     against these — never a caller-supplied model — or serving would mix
     codes from two quantizers (the same index-layout discipline as
     ivf_index_append's centroid read-back)."""
-    cents = sorted(
-        (int(r["c_id"]), [int(x) for x in r["c"]])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cents = _collect_rows(
+        spark, os.path.join(path, "centroids"), ("c_id", "c")
     )
-    cbs = sorted(
-        (int(r["m"]), int(r["c_id"]), [int(x) for x in r["c_sub"]])
-        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    cbs = _collect_rows(
+        spark, os.path.join(path, "codebooks"), ("m", "c_id", "c_sub")
     )
     if not cents or not cbs:
         raise ValueError(f"empty IVFADC model artifacts at {path}")
     return cents, cbs
+
+
+def _collect_rows(
+    spark: SparkSession, table_dir: str, cols: tuple[str, ...]
+) -> list[tuple]:
+    """Sorted tuples of a (tiny) model artifact's columns — driver-side
+    through pyarrow on local paths (no Spark job per artifact read; a
+    serve/encode pass touches several), the usual collect on schemed
+    storage.  Ints stay ints and array cells become [int, ...] either
+    way, so the literal-model expressions are bit-identical."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    def _norm(v):
+        if isinstance(v, list):
+            return [int(x) for x in v]
+        return int(v)
+
+    t = IO.tiny_meta_read(table_dir)
+    if t is not None:
+        data = [t.column(c).to_pylist() for c in cols]
+        return sorted(tuple(_norm(v) for v in row) for row in zip(*data))
+    return sorted(
+        tuple(_norm(r[c]) for c in cols)
+        for r in spark.read.parquet(table_dir).collect()
+    )
 
 
 def _encode_against_layout(

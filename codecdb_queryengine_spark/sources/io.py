@@ -84,6 +84,36 @@ def tiny_meta_read(path: str):
     return pa.concat_tables([pq.read_table(p) for p in parts])
 
 
+def tiny_meta_col_max(path: str, col: str):
+    """Exact max of an integer column from the parquet row-group
+    statistics of a (tiny) local table directory — no data read, no Spark
+    job.  None on schemed paths / missing dirs / absent stats (caller
+    falls back to a Spark aggregate)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lp = _local_fs_path(path)
+    if lp is None or not os.path.isdir(lp):
+        return None
+    parts = sorted(glob.glob(os.path.join(lp, "*.parquet")))
+    if not parts:
+        return None
+    best = None
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None  # stats unavailable: let Spark compute it
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def read(
     spark: SparkSession,
     path: str,

@@ -735,9 +735,18 @@ def text_index_upsert(
         )
 
     old_dg = _read_docgen(spark, path)
-    new_gen = (
-        1 if old_dg is None else old_dg.agg(F.max("gen")).first()[0] + 1
-    )
+    if old_dg is None:
+        new_gen = 1
+    else:
+        # exact int64 max from the docgen parquet row-group statistics —
+        # no Spark job on local paths; the aggregate remains the schemed-
+        # storage fallback
+        from codecdb_queryengine_spark.sources import io as IO
+
+        mx = IO.tiny_meta_col_max(_docgen_path(path), "gen")
+        new_gen = (
+            int(mx) if mx is not None else old_dg.agg(F.max("gen")).first()[0]
+        ) + 1
 
     layouts = [l for l in _LAYOUTS if _fs_exists(spark, os.path.join(path, l))]
     if not layouts:

@@ -94,8 +94,14 @@ def stream_apply_text_mutations(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         upd = batch_df.filter(F.col("op") == "u").select("doc_id", "text")
         dels = batch_df.filter(F.col("op") == "d").select("doc_id")
-        has_u = bool(upd.limit(1).count())
-        has_d = bool(dels.limit(1).count())
+        # ONE presence probe for both op kinds (was two limit(1).count()
+        # jobs per micro-batch — per-job overhead, not data, dominates a
+        # mutation batch)
+        g = batch_df.agg(
+            F.count(F.when(F.col("op") == "u", 1)).alias("nu"),
+            F.count(F.when(F.col("op") == "d", 1)).alias("nd"),
+        ).first()
+        has_u, has_d = bool(g["nu"]), bool(g["nd"])
         if not (has_u or has_d):
             return
         TI.text_index_upsert(
@@ -156,8 +162,12 @@ def stream_apply_vector_mutations(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         upd = batch_df.filter(F.col("op") == "u").select("vec_id", "embedding")
         dels = batch_df.filter(F.col("op") == "d").select("vec_id")
-        has_u = bool(upd.limit(1).count())
-        has_d = bool(dels.limit(1).count())
+        # ONE presence probe for both op kinds (see the text twin above)
+        g = batch_df.agg(
+            F.count(F.when(F.col("op") == "u", 1)).alias("nu"),
+            F.count(F.when(F.col("op") == "d", 1)).alias("nd"),
+        ).first()
+        has_u, has_d = bool(g["nu"]), bool(g["nd"])
         if not (has_u or has_d):
             return
         upsert(
