@@ -18,6 +18,8 @@ Spark's own range-boundary sampling.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -79,23 +81,12 @@ def zorder_write(
     and violations fail loudly; pre-bucket wide columns (e.g. `col % 2^b`
     or `col div scale`) before clustering.
     """
-    bounds = df.agg(
-        *[F.min(c).alias(f"{c}__mn") for c in cols],
-        *[F.max(c).alias(f"{c}__mx") for c in cols],
-    ).first()
-    for c in cols:
-        lo, hi = bounds[f"{c}__mn"], bounds[f"{c}__mx"]
-        if lo is not None and (lo < 0 or hi >= 2**bits):
-            raise ValueError(
-                f"zorder_write column {c!r} spans [{lo}, {hi}] which exceeds "
-                f"the {bits}-bit budget [0, {2**bits}); pre-bucket it or raise bits"
-            )
+    n_rows = _check_bounds(df, cols, bits, "zorder_write")
     z = z_value([F.col(c) for c in cols], bits).alias("__z")
     zdf = df.withColumn("__z", z)
-    if num_files:
-        zdf = zdf.repartitionByRange(num_files, "__z")
-    else:
-        zdf = zdf.repartitionByRange("__z")
+    zdf = zdf.repartitionByRange(
+        num_files or _sort_write_parts(df.sparkSession, n_rows), "__z"
+    )
     zdf.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
 
 
@@ -136,14 +127,34 @@ def _zmeta_path(path: str) -> str:
 def _write_zmeta(
     df: DataFrame, path: str, cols: Sequence[str], bits: int, prefix_bits: int
 ) -> None:
-    df.sparkSession.createDataFrame(
-        [(list(cols), int(bits), int(prefix_bits))],
-        "cols array<string>, bits int, prefix_bits int",
-    ).coalesce(1).write.mode("overwrite").parquet(_zmeta_path(path))
+    from codecdb_queryengine_spark.sources import io as IO
+
+    try:
+        import pyarrow as pa
+
+        done = IO.tiny_meta_write(
+            _zmeta_path(path),
+            pa.table(
+                {
+                    "cols": pa.array([list(cols)], type=pa.list_(pa.string())),
+                    "bits": pa.array([int(bits)], type=pa.int32()),
+                    "prefix_bits": pa.array([int(prefix_bits)], type=pa.int32()),
+                }
+            ),
+        )
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        done = False
+    if not done:  # schemed storage: the Spark job is the portable path
+        df.sparkSession.createDataFrame(
+            [(list(cols), int(bits), int(prefix_bits))],
+            "cols array<string>, bits int, prefix_bits int",
+        ).coalesce(1).write.mode("overwrite").parquet(_zmeta_path(path))
 
 
 def _read_zmeta(spark, path: str) -> tuple[list[str], int, int]:
     import os
+
+    from codecdb_queryengine_spark.sources import io as IO
 
     if not os.path.exists(_zmeta_path(path)):
         raise ValueError(
@@ -151,12 +162,42 @@ def _read_zmeta(spark, path: str) -> tuple[list[str], int, int]:
             "layout (flat zorder_write layouts have no append path; rebuild "
             "or re-write partitioned)"
         )
+    t = IO.tiny_meta_read(_zmeta_path(path))
+    if t is not None and t.num_rows:
+        return (
+            [str(c) for c in t.column("cols")[0].as_py()],
+            int(t.column("bits")[0].as_py()),
+            int(t.column("prefix_bits")[0].as_py()),
+        )
     r = spark.read.parquet(_zmeta_path(path)).first()
     return list(r["cols"]), int(r["bits"]), int(r["prefix_bits"])
 
 
-def _check_bounds(df: DataFrame, cols: Sequence[str], bits: int, who: str) -> None:
+# A sort-write's range exchange pays per-task overhead like every layout
+# write (see ann_index._write_parts): size it to the rows it is about to
+# sort instead of inheriting spark.sql.shuffle.partitions.  Row count rides
+# on the bounds aggregate the writers already run (no extra job); the env
+# knob is the local default — at cluster scale the shuffle-partitions cap
+# keeps big tables saturating their executors.
+_SORT_ROWS_PER_TASK = max(
+    1, int(os.environ.get("SPARK_GRAFT_SORT_ROWS_PER_TASK", "32768"))
+)
+
+
+def _sort_write_parts(spark, n_rows: int) -> int:
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 64
+    return max(1, min(cap, -(-int(n_rows) // _SORT_ROWS_PER_TASK)))
+
+
+def _check_bounds(df: DataFrame, cols: Sequence[str], bits: int, who: str) -> int:
+    """Validate the bit budget and return the frame's row count (the count
+    rides in the same aggregate — callers size their range exchange with
+    it for free)."""
     bounds = df.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(c).alias(f"{c}__mn") for c in cols],
         *[F.max(c).alias(f"{c}__mx") for c in cols],
     ).first()
@@ -167,6 +208,7 @@ def _check_bounds(df: DataFrame, cols: Sequence[str], bits: int, who: str) -> No
                 f"{who} column {c!r} spans [{lo}, {hi}] which exceeds the "
                 f"{bits}-bit budget [0, {2**bits}); pre-bucket it or raise bits"
             )
+    return int(bounds["__n"])
 
 
 def _z_hi_frame(
@@ -191,13 +233,13 @@ def zorder_write_partitioned(
     within) and persist the interleave parameters in `_zmeta`."""
     if not 0 < prefix_bits <= bits * len(cols):
         raise ValueError(f"prefix_bits {prefix_bits} out of (0, bits*n]")
-    _check_bounds(df, cols, bits, "zorder_write_partitioned")
+    n_rows = _check_bounds(df, cols, bits, "zorder_write_partitioned")
     zdf = _z_hi_frame(df, cols, bits, prefix_bits)
     # range-partition on the full z, not hash on z_hi: tasks get contiguous
     # z-slices (parallel within a big directory, since z_hi is a z prefix)
     # and every file covers a disjoint z-rectangle
     (
-        zdf.repartitionByRange("__z")
+        zdf.repartitionByRange(_sort_write_parts(df.sparkSession, n_rows), "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
@@ -213,13 +255,13 @@ def zorder_append(df: DataFrame, path: str) -> None:
     interleave parameters and its files land in the z_hi directories it
     spans — no base file is read or rewritten."""
     cols, bits, prefix_bits = _read_zmeta(df.sparkSession, path)
-    _check_bounds(df, cols, bits, "zorder_append")
+    n_rows = _check_bounds(df, cols, bits, "zorder_append")
     zdf = _z_hi_frame(df, cols, bits, prefix_bits)
     # range-partition on the full z, not hash on z_hi: tasks get contiguous
     # z-slices (parallel within a big directory, since z_hi is a z prefix)
     # and every file covers a disjoint z-rectangle
     (
-        zdf.repartitionByRange("__z")
+        zdf.repartitionByRange(_sort_write_parts(df.sparkSession, n_rows), "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("append")
