@@ -194,15 +194,13 @@ def _list_dir(values) -> list[str]:
 # 100-TB index (millions of lists) saturates the cluster exactly as before.
 # Hash partitioning on the full partition-column tuple keeps every dir's
 # rows in ONE task, so the one-file-per-directory layout is unchanged.
-_DIRS_PER_TASK = max(1, int(os.environ.get("SPARK_GRAFT_DIRS_PER_WRITE_TASK", "16")))
+# (io.write_task_count is the one shared sizing rule.)
 
 
 def _write_parts(spark: SparkSession, n_dirs: int) -> int:
-    try:
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        cap = 64
-    return max(1, min(cap, -(-int(n_dirs) // _DIRS_PER_TASK)))
+    from codecdb_queryengine_spark.sources import io as IO
+
+    return IO.write_task_count(spark, n_dirs)
 
 
 def ivf_index_append(

@@ -39,6 +39,26 @@ READ_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 # plain parquet either way — both engines read each other's files.
 
 
+# Dynamic-partition writes pay per-TASK overhead AND per-file serial cost
+# within a task: one task writing ~140 partition dirs measured 3.1 s vs
+# 1.05 s spread over 8 tasks for the identical one-file-per-dir layout (r11
+# optimization round).  Size such writes to ~DIRS_PER_TASK directories per
+# task, capped by the session's shuffle parallelism (the cluster-scale
+# knob).  Shared by the index layouts (ann_index/text_index keep their own
+# thin wrappers) and the partitioned compaction below.
+_DIRS_PER_WRITE_TASK = max(
+    1, int(os.environ.get("SPARK_GRAFT_DIRS_PER_WRITE_TASK", "16"))
+)
+
+
+def write_task_count(spark: SparkSession, n_dirs: int) -> int:
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 64
+    return max(1, min(cap, -(-int(n_dirs) // _DIRS_PER_WRITE_TASK)))
+
+
 def _local_fs_path(path: str) -> str | None:
     """The bare filesystem path when `path` is local, else None."""
     if path.startswith("file://"):
@@ -558,16 +578,25 @@ def compact_partitioned(
         if f.is_file() and "_spark_metadata" not in f.parts
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    # floor the task count at the directory-derived parallelism: with a
+    # sub-target-size layout n_files is 1, and ONE task writing every
+    # partition directory serializes the per-file open/commit cost (the
+    # measured-slow shape) — hash clustering on the partition columns keeps
+    # one file per directory at any task count, so only wall time changes
+    n_tasks = max(
+        n_files,
+        write_task_count(spark, len(_leaf_partition_dirs(path, len(partition_by)))),
+    )
     tmp = path.rstrip("/") + ".compacting"
     (
-        df.repartition(n_files, *[F.col(c) for c in partition_by])
+        df.repartition(n_tasks, *[F.col(c) for c in partition_by])
         .write.format(fmt)
         .mode("overwrite")
         .partitionBy(*partition_by)
         .save(tmp)
     )
     swap_layout(path, tmp)
-    return n_files
+    return n_tasks
 
 
 def _leaf_partition_dirs(path: str, depth: int) -> list[str]:
