@@ -6865,10 +6865,14 @@ def events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codecdb_queryengine_spark.streaming import sinks
 
     base = _stream_tmpdir("sg_stream_rollup", sf_dir)
-    q = sinks.materialize_rollup(
-        E.read_events_stream(spark, sf_dir), f"{base}/out", f"{base}/ckpt"
-    )
-    q.awaitTermination()
+    # stateful windowed agg behind a FILE sink: pin the state-store count
+    # like run_to_memory does for the memory-sink gates (64 stores of
+    # per-microbatch load/commit overhead otherwise — r11 optimization)
+    with E.state_partition_scope(spark):
+        q = sinks.materialize_rollup(
+            E.read_events_stream(spark, sf_dir), f"{base}/out", f"{base}/ckpt"
+        )
+        q.awaitTermination()
     return sinks.read_parquet_sink(spark, f"{base}/out").orderBy(
         "window_start", "event_type"
     )

@@ -20,6 +20,36 @@ from pyspark.sql import functions as F
 from codecdb_queryengine_spark.catalog import _fix_nanos
 
 
+def default_state_partitions(spark: SparkSession) -> int:
+    """The state-store partition count policy run_to_memory documents:
+    the `spark_graft.streaming.statePartitions` conf when set, else
+    max(8, defaultParallelism // 2) — sized to the STATE, since every
+    store pays a fixed load/commit cost per microbatch."""
+    conf_v = spark.conf.get("spark_graft.streaming.statePartitions", None)
+    return int(conf_v) if conf_v else max(8, spark.sparkContext.defaultParallelism // 2)
+
+
+class state_partition_scope:
+    """Context manager pinning spark.sql.shuffle.partitions for a
+    STATEFUL streaming query's lifetime (a streaming query snapshots the
+    conf at start and gets no AQE coalescing — see run_to_memory).  The
+    scope must stay open until the query has fully drained
+    (awaitTermination), because microbatches plan asynchronously after
+    start()."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None) -> None:
+        self.spark = spark
+        self.n = n if n is not None else default_state_partitions(spark)
+
+    def __enter__(self) -> "state_partition_scope":
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """File-source stream over one sf-dir parquet table
     (one-file-per-trigger).
@@ -250,16 +280,7 @@ def run_to_memory(
     is fixed for the checkpoint's lifetime.
     """
     spark = stream_df.sparkSession
-    if state_partitions is None:
-        conf_v = spark.conf.get("spark_graft.streaming.statePartitions", None)
-        state_partitions = (
-            int(conf_v)
-            if conf_v
-            else max(8, spark.sparkContext.defaultParallelism // 2)
-        )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with state_partition_scope(spark, state_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
@@ -270,6 +291,4 @@ def run_to_memory(
         # microbatches plan asynchronously after start() — only restore the
         # conf once the query has fully drained
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
