@@ -1128,6 +1128,35 @@ _UPSERTED_PRE_CTE = f"""mutated AS (
             FROM embeddings WHERE NOT {_UPS_DEL}),"""
 
 
+def _write_mutation_files(base: str, src: str, gens) -> None:
+    """Stage CDC event files for the vector-mutation streams: one 1-file
+    parquet write per generation, renamed into `src` with strictly
+    increasing mtimes so the file stream drains them in generation order
+    (one micro-batch each under maxFilesPerTrigger=1).  The per-generation
+    writes are independent jobs — run them 2-in-flight (guide §2.6); the
+    mtimes are set explicitly, so completion order is irrelevant."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    now = _time.time()
+    os.makedirs(src, exist_ok=True)
+
+    def _one(i_g) -> None:
+        i, g = i_g
+        tmp = os.path.join(base, f"mut{i}")
+        g.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src, f"{i:03d}_gen.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_one, enumerate(gens)))
+
+
 def emb_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC into the persisted IVF VECTOR index (r9 — the vector-side
     mirror of docs_stream_mutations): the same mutation slices as
@@ -1142,8 +1171,6 @@ def emb_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutation and the gate serves under the VERBATIM sim_ann_ivf_upserted
     oracle: a lost event, a double-applied update, or a batch applied
     against stale centroids each flip the hash."""
-    import time as _time
-
     from pyspark.sql import types as PT
 
     from codecdb_queryengine_spark.sources import ann_index as AI
@@ -1168,18 +1195,7 @@ def emb_stream_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("array<float>").alias("embedding"),
     )
     src = os.path.join(base, "mutations")
-    now = _time.time()
-    for i, g in enumerate((gen1, gen2)):
-        tmp = os.path.join(base, f"mut{i}")
-        g.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        os.makedirs(src, exist_ok=True)
-        dst = os.path.join(src, f"{i:03d}_gen.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (now + i, now + i))
+    _write_mutation_files(base, src, (gen1, gen2))
 
     schema = PT.StructType(
         [
@@ -1209,8 +1225,6 @@ def emb_stream_pq_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained state equals the one-batch mutation, so the oracle is
     sim_ann_ivfpq_upserted's verbatim IVFADC-Lloyd replay over the
     mutated-corpus CTE."""
-    import time as _time
-
     from pyspark.sql import types as PT
 
     from codecdb_queryengine_spark.sources import ann_index as AI
@@ -1231,18 +1245,7 @@ def emb_stream_pq_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("array<float>").alias("embedding"),
     )
     src = os.path.join(base, "mutations")
-    now = _time.time()
-    for i, g in enumerate((gen1, gen2)):
-        tmp = os.path.join(base, f"mut{i}")
-        g.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        os.makedirs(src, exist_ok=True)
-        dst = os.path.join(src, f"{i:03d}_gen.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (now + i, now + i))
+    _write_mutation_files(base, src, (gen1, gen2))
 
     schema = PT.StructType(
         [
