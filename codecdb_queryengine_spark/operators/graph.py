@@ -36,11 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _round_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
-    """Eagerly materialize + truncate lineage for one iteration round."""
+def _round_ckpt(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
+    """Materialize + truncate lineage for one iteration round.
+
+    `eager=False` (honored only for the localCheckpoint mode) marks the
+    round's frame for checkpointing WITHOUT spending a job on it: the
+    caller's very next action — every iteration loop here runs one
+    (convergence probe / signature aggregate) — computes the round once
+    and caches its blocks, so the per-round action count halves (r12,
+    guide §1.2).  Reliable checkpoints stay eager: a lazy reliable
+    checkpoint re-computes the whole plan a second time to write the
+    checkpoint files unless the RDD is also cached."""
     if reliable:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def _release_ckpt(df: DataFrame) -> None:
@@ -141,6 +150,8 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # lazy round checkpoint: the convergence probe right below is the
+        # materializing action, so each round costs ONE job, not two
         new_ck = _round_ckpt(
             labels.join(nbr_min, on="n", how="left").select(
                 "n",
@@ -150,6 +161,7 @@ def connected_components(
                 (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
             ),
             reliable,
+            eager=reliable,
         )
         changed = new_ck.agg(F.sum(F.col("_changed").cast("int")).alias("c")).first()["c"]
         _release_ckpt(labels)  # superseded round state — drop its cached blocks
@@ -262,8 +274,10 @@ def connected_components_star(
     for _ in range(max_iter):
         # one fused checkpoint per round: the large-star output is consumed
         # exactly once (by small-star), so materializing it separately was
-        # pure per-round overhead
-        ss = _round_ckpt(_small_star(_large_star(e)), reliable)
+        # pure per-round overhead; the checkpoint itself is LAZY — the
+        # signature aggregate right below is the materializing action, so
+        # each round costs one job (r12)
+        ss = _round_ckpt(_small_star(_large_star(e)), reliable, eager=reliable)
         sig = _sig(ss)
         stable = sig == prev_sig and (
             # Exact symmetric-difference probe in ONE job (both sides are
@@ -347,7 +361,15 @@ def pagerank_micro(
         reliable,
     )
     try:
-        for _ in range(iters):
+        # Checkpoint every SECOND round (and the last): pagerank's round
+        # plan grows linearly in the un-truncated depth (one join + one
+        # agg per round, the pr frame referenced once), so a depth-2
+        # lineage is safe for Catalyst and task retry while halving the
+        # per-round materialization jobs (r12, guide §1.2).  Reliable
+        # mode keeps the every-round cadence — its checkpoints are the
+        # durability contract, not a local cache.
+        prev_ck = pr
+        for i in range(iters):
             nxt = (
                 ed.join(pr, ed[src] == pr["node"])
                 .groupBy(F.col(dst).alias("out_node"))
@@ -359,8 +381,10 @@ def pagerank_micro(
                 )
                 .select(F.col("out_node").alias("node"), "pr")
             )
-            nxt = _round_ckpt(nxt, reliable)
-            _release_ckpt(pr)
+            if reliable or i % 2 == 1 or i == iters - 1:
+                nxt = _round_ckpt(nxt, reliable)
+                _release_ckpt(prev_ck)
+                prev_ck = nxt
             pr = nxt
         return pr
     finally:

@@ -1493,6 +1493,11 @@ def kmeans_lloyd_micro(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
     spark = vectors.sparkSession
+    # persist BEFORE the init collect (r12): the init sample job then fills
+    # the cache as a side effect, so round 1 reads cached quantized blocks
+    # instead of re-scanning + re-quantizing the corpus
+    if iters > 1:
+        vm = vm.persist()
     cents = [
         (int(r["n_id"]) // stride, [int(x) for x in r["v"]])
         for r in vm.filter(
@@ -1500,8 +1505,6 @@ def kmeans_lloyd_micro(
         ).collect()
     ]
     cents.sort()
-    if iters > 1:
-        vm = vm.persist()
     try:
         cents = _lloyd_rounds(spark, vm, (), cents, dim, iters)
     finally:

@@ -5392,6 +5392,7 @@ def docs_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "postings"),
         os.path.join(base, "ckpt"),
         partition_by=("t_bucket",),
+        n_write_tasks=TI._bucket_write_parts(spark, 32),
     )
     q.awaitTermination()
     TI._write_meta(spark, base, 32)
@@ -5541,6 +5542,7 @@ def docs_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings_path,
         os.path.join(base, "ckpt"),
         partition_by=("t_bucket",),
+        n_write_tasks=TI._bucket_write_parts(spark, 32),
     )
     q.awaitTermination()
     TI._write_meta(spark, base, 32)
@@ -7110,6 +7112,7 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated by the same exact sim_ann_ivf oracle.
     """
     from codecdb_queryengine_spark.sources import ann_index as AI
+    from codecdb_queryengine_spark.sources import io as IO
     from codecdb_queryengine_spark.streaming import events as E
     from codecdb_queryengine_spark.streaming import sinks as SK
 
@@ -7138,6 +7141,9 @@ def emb_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "lists"),
         os.path.join(base, "ckpt"),
         partition_by=("c_list",),
+        # the quantizer is already driver-side: size each micro-batch's
+        # write to the K directories it creates (guide §2.2/§6)
+        n_write_tasks=IO.write_task_count(spark, len(cents)),
     )
     q.awaitTermination()
     return AI.ivf_index_topk(spark, base, _query_vectors(emb), k=_TOP_K, nprobe=2)
@@ -7185,7 +7191,10 @@ def emb_stream_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lists_path = os.path.join(base, "lists")
     q = SK.stream_to_parquet(
-        enc, lists_path, os.path.join(base, "ckpt"), partition_by=("c_list",)
+        enc, lists_path, os.path.join(base, "ckpt"), partition_by=("c_list",),
+        # each of the four micro-batches writes ~K list dirs from what
+        # would otherwise be ONE input-file task (guide §2.2/§6)
+        n_write_tasks=IO.write_task_count(spark, len(cents)),
     )
     q.awaitTermination()
     files_before = IO.data_file_count(lists_path)

@@ -249,14 +249,15 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
     lists_path = os.path.join(path, "lists")
     existing = spark.read.parquet(lists_path)
     _check_append_schema(assigned, existing)
-    # Per-list routing plan: batch-sized aggregate, shared by every path
-    # below (and, new in r11, it sizes the pre-write exchange — see
-    # _write_parts).
-    new_counts = {
-        int(r["c_list"]): int(r["_n"])
-        for r in assigned.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
-    }
     if "c_slot" not in existing.columns:
+        # Per-list routing plan: batch-sized aggregate; it sizes the
+        # pre-write exchange (see _write_parts).
+        new_counts = {
+            int(r["c_list"]): int(r["_n"])
+            for r in assigned.groupBy("c_list")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
         (
             assigned.repartition(_write_parts(spark, len(new_counts)), "c_list")
             .write.mode("append")
@@ -273,19 +274,43 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             "regrow hot lists past their cap; rebuild the index once with "
             "the current ivf_index_build to persist max_list_rows"
         )
-    touched = sorted(new_counts)
-    old_stats = {
-        int(r["c_list"]): (int(r["_n"]), int(r["_slots"]))
-        for r in (
-            existing.filter(F.col("c_list").isin(touched))
-            .groupBy("c_list")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                (F.max("c_slot") + 1).alias("_slots"),
-            )
-            .collect()
+    # ONE fused stats pass (r12; was two sequential collects — the batch's
+    # per-list counts, then the touched lists' existing counts+slots): the
+    # batch and the thin (c_list, c_slot) projection of the layout union
+    # into one aggregate, and only lists the batch actually touches
+    # (_new > 0) are collected — still bounded by the batch's target
+    # lists, never K'.
+    stats = (
+        assigned.select(
+            F.col("c_list").cast("long").alias("c_list"),
+            F.lit(None).cast(existing.schema["c_slot"].dataType).alias("c_slot"),
+            F.lit(1).alias("_b"),
         )
+        .unionByName(
+            existing.select(
+                F.col("c_list").cast("long").alias("c_list"),
+                "c_slot",
+                F.lit(0).alias("_b"),
+            )
+        )
+        .groupBy("c_list")
+        .agg(
+            F.sum("_b").alias("_new"),
+            F.count(F.when(F.col("_b") == 0, 1)).alias("_old"),
+            (F.max(F.when(F.col("_b") == 0, F.col("c_slot"))) + 1).alias("_slots"),
+        )
+        .filter(F.col("_new") > 0)
+        .collect()
+    )
+    new_counts = {int(r["c_list"]): int(r["_new"]) for r in stats}
+    old_stats = {
+        int(r["c_list"]): (
+            int(r["_old"]),
+            int(r["_slots"]) if r["_slots"] is not None else 0,
+        )
+        for r in stats
     }
+    touched = sorted(new_counts)
     stay: dict[int, int] = {}
     grow: list[int] = []
     for c_list in touched:
@@ -295,7 +320,11 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             stay[c_list] = cur_slots
         else:
             grow.append(c_list)
-    if stay:
+
+    # The stay append and the grow re-shard are independent writes over
+    # DISJOINT c_list directories (the grow rewrite stages under its own
+    # .growing root until the swap) — run them 2-in-flight (guide §2.6).
+    def _write_stay() -> None:
         (
             _apply_slots(
                 assigned.filter(F.col("c_list").isin(sorted(stay))),
@@ -309,7 +338,8 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             .partitionBy("c_list", "c_slot")
             .parquet(lists_path)
         )
-    if grow:
+
+    def _write_grow() -> None:
         old_rows = existing.filter(F.col("c_list").isin(grow)).select(
             *[
                 F.col(c).cast("long") if c == "c_list" else F.col(c)
@@ -320,10 +350,7 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
         # merged per-list counts are already known (old_stats + new_counts),
         # so the slot plan needs no recount pass over the merged frame
         plan = _slot_plan(
-            {
-                c: old_stats.get(c, (0, 0))[0] + new_counts[c]
-                for c in grow
-            },
+            {c: old_stats.get(c, (0, 0))[0] + new_counts[c] for c in grow},
             cap,
         )
         tmp = lists_path.rstrip("/") + ".growing"
@@ -337,6 +364,15 @@ def _append_assigned(spark: SparkSession, path: str, assigned: DataFrame) -> Non
             .parquet(tmp)
         )
         IO.swap_partition_dirs(lists_path, tmp, promote=_list_dir(grow))
+
+    writes = ([_write_stay] if stay else []) + ([_write_grow] if grow else [])
+    if len(writes) == 1:
+        writes[0]()
+    elif writes:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda f: f(), writes))
     invalidate_layout(path)
 
 
@@ -380,7 +416,10 @@ def ivf_index_upsert(
         assigned = _assign(updates, centroids, vec_col, id_col, meta_cols)
     else:
         assigned = None
-    return _upsert_assigned(spark, path, assigned, delete_ids)
+    return _upsert_assigned(
+        spark, path, assigned, delete_ids,
+        upd_id_frame=updates.select(id_col) if updates is not None else None,
+    )
 
 
 def _upsert_assigned(
@@ -388,6 +427,7 @@ def _upsert_assigned(
     path: str,
     assigned: DataFrame | None,
     delete_ids: DataFrame | list[int] | None,
+    upd_id_frame: DataFrame | None = None,
 ) -> int:
     """Layout-agnostic upsert core shared by the flat-IVF and IVFADC
     indexes: `assigned` is the update batch already in the layout's own
@@ -418,58 +458,109 @@ def _upsert_assigned(
         )
     if assigned is not None:
         _check_append_schema(assigned, existing)
-        upd_ids = assigned.select("n_id")
+        # the raw update-id frame when the caller has one: the assignment
+        # (IVF centroid fold / IVFADC re-encode) is a 1:1 projection of the
+        # updates, so the id set is identical — but deriving ids from
+        # `assigned` would drag the quantizer-model subtree into every
+        # broadcast that only needs ids (the locate join, the anti-join)
+        upd_ids = (
+            upd_id_frame.select(F.col(upd_id_frame.columns[0]).alias("n_id"))
+            if upd_id_frame is not None
+            else assigned.select("n_id")
+        )
     else:
         upd_ids = spark.createDataFrame([], "n_id long")
-    # Batch-sanity guard — the exact contract text_index_upsert enforces
-    # (r9 ADVICE items 1+2): within ONE batch an id updated AND deleted is
-    # ambiguous latest state (the anti-join+union below would silently
-    # resurrect it update-wins), duplicate update ids would survive as
-    # multiple served candidate rows, and a NULL id can never match an
-    # anti-join (silent loss).  Deletes are deduped above (idempotent);
-    # everything else raises.  One small aggregate on the happy path.
-    batch = del_df.withColumn("_d", F.lit(True)).unionByName(
-        upd_ids.withColumn("_d", F.lit(False))
+    mutated = del_df.unionByName(upd_ids).distinct()
+    # TWO jobs, overlapped (r12 optimization round; was four sequential —
+    # guard agg, per-list update counts, locate stats, each a ~0.3-0.5 s
+    # fixed-floor action at maintenance batch sizes):
+    #
+    # 1. ONE rollup aggregate over the batch events answers together the
+    #    batch-sanity guard text_index_upsert mirrors (r9 ADVICE items
+    #    1+2: NULL ids, duplicate update ids, an id both updated and
+    #    deleted — each a silent wrong-answer class for the anti-join +
+    #    union below), the per-op presence, AND the per-target-list new
+    #    row counts the slot plan needs.  Grand-total/per-op rows come
+    #    from grouping_id; collect is bounded by the batch's target lists.
+    # 2. ONE pass over the thin (n_id, c_list) projection of the layout
+    #    returns per-list totals and mutated counts together.  The filter
+    #    keeps the collected rows bounded by the mutation batch PLUS the
+    #    batch's target lists (never K'): a list touched only via
+    #    `assigned` (vector moved/inserted with no mutated existing row
+    #    there) keeps all its existing rows in the rewrite, so its
+    #    existing count MUST enter merged_n or the slot plan undersizes
+    #    and rows-per-slot silently exceed the persisted cap (r11 ADVICE,
+    #    high).  The target-list bound is a broadcast semi-join against
+    #    the batch's own distinct lists, so this job shares nothing with
+    #    job 1 and the two run concurrently (guide §2.6).
+    ev = del_df.select(
+        "n_id", F.lit(None).cast("long").alias("c_list"), F.lit(1).alias("_d")
     )
-    g = batch.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("n_id").alias("nd"),
-        F.count(F.when(F.col("n_id").isNull(), 1)).alias("n_null"),
-    ).first()
-    if g["n_null"]:
+    if assigned is not None:
+        ev = ev.unionByName(
+            assigned.select(
+                "n_id", F.col("c_list").cast("long").alias("c_list"),
+                F.lit(0).alias("_d"),
+            )
+        )
+
+    def _batch_stats():
+        return (
+            ev.rollup("_d", "c_list")
+            .agg(
+                F.grouping_id().alias("_gid"),
+                F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("n_id").alias("_nd"),
+                F.count(F.when(F.col("n_id").isNull(), 1)).alias("_null"),
+            )
+            .collect()
+        )
+
+    def _loc_stats():
+        base = (
+            existing.select("n_id", "c_list")
+            .join(F.broadcast(mutated.withColumn("_m", F.lit(1))), "n_id", "left")
+            .groupBy("c_list")
+            .agg(F.count(F.lit(1)).alias("_n"), F.count("_m").alias("_dead"))
+        )
+        keep = F.col("_dead") > 0
+        if assigned is not None:
+            tgt = assigned.select(F.col("c_list").cast("long").alias("c_list")).distinct()
+            base = base.join(
+                F.broadcast(tgt.withColumn("_t", F.lit(1))), "c_list", "left"
+            )
+            keep = keep | F.col("_t").isNotNull()
+        return base.filter(keep).collect()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_batch = pool.submit(_batch_stats)
+        f_loc = pool.submit(_loc_stats)
+        stats = f_batch.result()
+        loc_stats = f_loc.result()
+    g = next((r for r in stats if r["_gid"] == 3), None)
+    if g is None or not g["_n"]:
+        return 0  # empty mutation batch (e.g. a drained CDC stream's tail)
+    if g["_null"]:
         raise ValueError("index upsert: NULL id in the mutation batch")
-    if g["n"] != g["nd"]:
-        if assigned is not None and upd_ids.count() != upd_ids.distinct().count():
-            raise ValueError("index upsert: duplicate id in updates")
+    sub = {int(r["_d"]): r for r in stats if r["_gid"] == 1}
+    u_row, d_row = sub.get(0), sub.get(1)
+    nd_u = int(u_row["_nd"]) if u_row else 0
+    if u_row and int(u_row["_n"]) != nd_u:
+        raise ValueError("index upsert: duplicate id in updates")
+    if int(g["_nd"]) != nd_u + (int(d_row["_nd"]) if d_row else 0):
         raise ValueError(
             "index upsert: id in both updates and delete_ids — ambiguous "
             "latest state; pre-reduce the batch to one terminal event per "
             "id (or split into two calls)"
         )
-    mutated = del_df.unionByName(upd_ids).distinct()
-    # ONE pass over the thin (n_id, c_list) projection replaces the old
-    # locate-distinct collect AND the later _with_slots recount of the
-    # merged frame (r11 optimization round): per-list totals and mutated
-    # counts come back together, HAVING dead > 0 keeps the collected rows
-    # bounded by the mutation batch (never K') — survivors per touched
-    # list are then total - dead, in Python, with no second scan.
-    loc_stats = (
-        existing.select("n_id", "c_list")
-        .join(F.broadcast(mutated.withColumn("_m", F.lit(1))), "n_id", "left")
-        .groupBy("c_list")
-        .agg(F.count(F.lit(1)).alias("_n"), F.count("_m").alias("_dead"))
-        .filter(F.col("_dead") > 0)
-        .collect()
-    )
+    new_n = {
+        int(r["c_list"]): int(r["_n"])
+        for r in stats
+        if r["_gid"] == 0 and int(r["_d"]) == 0 and r["c_list"] is not None
+    }
     surv_n = {int(r["c_list"]): int(r["_n"]) - int(r["_dead"]) for r in loc_stats}
-    new_n: dict[int, int] = {}
-    if assigned is not None:
-        new_n = {
-            int(r["c_list"]): int(r["_n"])
-            for r in assigned.groupBy("c_list")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        }
     touched = set(surv_n) | set(new_n)
     if not touched:
         return 0
@@ -1030,4 +1121,7 @@ def ivfpq_index_upsert(
         if updates is not None
         else None
     )
-    return _upsert_assigned(spark, path, assigned, delete_ids)
+    return _upsert_assigned(
+        spark, path, assigned, delete_ids,
+        upd_id_frame=updates.select(id_col) if updates is not None else None,
+    )

@@ -17,6 +17,7 @@ Scale notes baked in:
 from __future__ import annotations
 
 import os
+import re
 
 from collections.abc import Iterable, Sequence
 
@@ -59,12 +60,24 @@ def write_task_count(spark: SparkSession, n_dirs: int) -> int:
     return max(1, min(cap, -(-int(n_dirs) // _DIRS_PER_WRITE_TASK)))
 
 
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
 def _local_fs_path(path: str) -> str | None:
-    """The bare filesystem path when `path` is local, else None."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    if "://" in path:
-        return None
+    """The bare filesystem path when `path` is local, else None.  Any
+    scheme prefix (`hdfs:`, `s3a://`, …) is non-local EXCEPT the file
+    scheme, which Spark accepts in single-slash form (`file:/x`) as well
+    as `file://...` — both must resolve to the same os path the Spark
+    fallback would use (r11 ADVICE)."""
+    if _SCHEME_RE.match(path):
+        if not path.startswith("file:"):
+            return None
+        from urllib.parse import urlparse
+
+        p = urlparse(path)
+        if p.netloc not in ("", "localhost"):
+            return None
+        return p.path
     return path
 
 

@@ -122,9 +122,14 @@ def _read_buckets(
 
     for meta in (_meta_path(path, layout), os.path.join(path, "meta")):
         t = IO.tiny_meta_read(meta)
-        if t is not None and t.num_rows:
+        if t is not None:
+            if not t.num_rows:
+                # An existing meta dir with zero rows is a read anomaly,
+                # not a pre-meta layout: a silently-wrong modulus is a
+                # wrong-answer prune, so it must propagate (r11 ADVICE).
+                raise ValueError(f"{meta}: bucket meta table has no rows")
             return int(t.column("num_buckets")[0].as_py())
-        if t is None and _fs_exists(spark, meta):
+        if _fs_exists(spark, meta):
             return int(spark.read.parquet(meta).first()["num_buckets"])
     return fallback
 
@@ -664,19 +669,34 @@ def _live_doclens(spark: SparkSession, path: str, cached: bool = False) -> DataF
     return live
 
 
-def _commit_docgen(spark: SparkSession, path: str, new_dg: DataFrame) -> None:
-    """Replace the docgen table atomically: stage the full new generation,
-    then promote it via the journaled swap (or a bare rename when no docgen
-    exists yet — the rename itself is the atomic commit)."""
+def _stage_docgen(path: str, new_dg: DataFrame) -> str:
+    """Write the new docgen generation to its staging sibling WITHOUT
+    committing.  Safe to run concurrently with the delta writes: nothing
+    reads `.staging`, and a crash before _promote_docgen leaves no
+    manifest — recover_swap is a no-op and the orphaned staging dir is
+    simply overwritten by the next upsert."""
+    staging = _docgen_path(path) + ".staging"
+    new_dg.coalesce(1).write.mode("overwrite").parquet(staging)
+    return staging
+
+
+def _promote_docgen(spark: SparkSession, path: str, staging: str) -> None:
+    """The atomic docgen commit: journaled swap (or a bare rename when no
+    docgen exists yet — the rename itself is the atomic commit).  Must
+    run only after every delta of the generation has fully landed."""
     from codecdb_queryengine_spark.sources import io as IO
 
     dg = _docgen_path(path)
-    staging = dg + ".staging"
-    new_dg.coalesce(1).write.mode("overwrite").parquet(staging)
     if _fs_exists(spark, dg):
         IO.swap_layout(dg, staging)
     else:
         os.rename(staging, dg)
+
+
+def _commit_docgen(spark: SparkSession, path: str, new_dg: DataFrame) -> None:
+    """Replace the docgen table atomically: stage the full new generation,
+    then promote it (see _stage_docgen/_promote_docgen)."""
+    _promote_docgen(spark, path, _stage_docgen(path, new_dg))
 
 
 def text_index_upsert(
@@ -694,7 +714,8 @@ def text_index_upsert(
     section comment): re-tokenized delta postings land first under
     `<layout>_delta/gen=N` (directory overwrite — a replayed batch cannot
     double-post), then the docgen swap commits the generation.  Returns
-    the committed generation number.
+    the committed generation number, or 0 for an EMPTY mutation batch
+    (no generation is committed — the CDC sink's drained-tail case).
 
     A document may be updated and deleted across calls in any order; within
     ONE call a doc_id in both frames raises (ambiguous latest state), as do
@@ -715,20 +736,26 @@ def text_index_upsert(
             F.col(delete_ids.columns[0]).alias("doc_id")
         ).distinct().withColumn("deleted", F.lit(True))
         batch = del_ids if batch is None else batch.unionByName(del_ids)
-    # one aggregate pass for the happy path; the precise diagnosis below
-    # only runs once a guard has already tripped
+    # ONE aggregate pass answers the whole guard (r12: the per-op
+    # distinct counts ride along, so the precise dup/overlap diagnosis no
+    # longer needs follow-up jobs) plus op presence — an EMPTY batch (a
+    # drained CDC stream's tail) returns 0 without committing a
+    # generation, and a delete-only batch skips the delta writes below.
     g = batch.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("nd"),
         F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_null"),
+        F.count(F.when(~F.col("deleted"), 1)).alias("n_upd"),
+        F.countDistinct(F.when(~F.col("deleted"), F.col("doc_id"))).alias("nd_upd"),
+        F.countDistinct(F.when(F.col("deleted"), F.col("doc_id"))).alias("nd_del"),
     ).first()
+    if not g["n"]:
+        return 0
     if g["n_null"]:
         raise ValueError("text_index_upsert: NULL doc_id in the mutation batch")
-    if g["n"] != g["nd"]:
-        if updates is not None:
-            upd_ids = updates.select(F.col(id_col).alias("doc_id"))
-            if upd_ids.count() != upd_ids.distinct().count():
-                raise ValueError("text_index_upsert: duplicate doc_id in updates")
+    if g["n_upd"] != g["nd_upd"]:
+        raise ValueError("text_index_upsert: duplicate doc_id in updates")
+    if g["nd"] != g["nd_upd"] + g["nd_del"]:
         raise ValueError(
             "text_index_upsert: doc_id in both updates and delete_ids — "
             "ambiguous latest state; split into two calls"
@@ -751,7 +778,7 @@ def text_index_upsert(
     layouts = [l for l in _LAYOUTS if _fs_exists(spark, os.path.join(path, l))]
     if not layouts:
         raise ValueError(f"text_index_upsert: no index layouts at {path}")
-    if updates is not None:
+    if updates is not None and g["n_upd"]:
         # size the delta shuffle to the BATCH (the guard agg already knows
         # it): a typical mutation batch is thousands of docs, and a fixed
         # 32-way repartition would pay 32 tasks to write a few hundred rows
@@ -778,19 +805,11 @@ def text_index_upsert(
                 .parquet(os.path.join(_delta_root(path, "doclens"), f"gen={new_gen}"))
             )
 
-        # independent per-layout delta writes, 2 in flight (guide §2.6) —
-        # all of them land BEFORE the docgen swap below, so the commit
-        # protocol (and crash replay) is unchanged
         writes = [lambda l=l: _delta_write(l) for l in layouts]
         if "postings_tf" in layouts:
             writes.append(_doclens_delta)
-        if len(writes) == 1:
-            writes[0]()
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                list(pool.map(lambda f: f(), writes))
+    else:
+        writes = []
 
     batch = batch.withColumn("gen", F.lit(new_gen).cast("int"))
     if old_dg is None:
@@ -802,7 +821,21 @@ def text_index_upsert(
         new_dg = survivors.select("doc_id", "gen", "deleted").unionByName(
             batch.select("doc_id", "gen", "deleted")
         )
-    _commit_docgen(spark, path, new_dg)
+    # Independent writes — the per-layout deltas AND the docgen STAGING —
+    # run up to 3 in flight (guide §2.6).  The commit protocol is
+    # unchanged: nothing reads the staging sibling, so only the promote
+    # below (after every delta of the generation has fully landed)
+    # publishes the new generation; crash replay is as before.
+    staged: list[str] = []
+    writes.append(lambda: staged.append(_stage_docgen(path, new_dg)))
+    if len(writes) == 1:
+        writes[0]()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(lambda f: f(), writes))
+    _promote_docgen(spark, path, staged[0])
     invalidate_layout(path)
     return new_gen
 
@@ -856,7 +889,7 @@ def text_index_purge(spark: SparkSession, path: str) -> list[str]:
     elif folds:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             list(pool.map(lambda f: f(), folds))
     shutil.rmtree(_docgen_path(path))
     for layout in [*layouts, "doclens"]:

@@ -19,13 +19,25 @@ def stream_to_parquet(
     checkpoint: str,
     partition_by: tuple[str, ...] = (),
     available_now: bool = True,
+    n_write_tasks: int | None = None,
 ) -> StreamingQuery:
     """Append a stream to a partitioned parquet table with exactly-once
     semantics (file-sink commit log under `checkpoint`).
 
     Partitioning by a low-cardinality derived column (hour/day) keeps
     file counts bounded and gives downstream scans partition pruning.
+
+    `n_write_tasks` repartitions each micro-batch by the partition
+    columns before the sink (r12, guide §2.2/§6): a micro-batch read
+    from one input file is ONE task, and one task serially writing ~K
+    partition directories is the measured-slow write shape (3.1 s for a
+    ~140-dir layout vs 1.05 s spread over 8 tasks).  Callers size it
+    from their known directory count (io.write_task_count), which keeps
+    the knob scale-adaptive — the stateless shuffle itself is a few
+    bytes per row and does not touch the commit-log protocol.
     """
+    if partition_by and n_write_tasks:
+        df = df.repartition(int(n_write_tasks), *partition_by)
     w = df.writeStream.format("parquet").option("path", path).option(
         "checkpointLocation", checkpoint
     )
@@ -92,22 +104,13 @@ def stream_apply_text_mutations(
     from codecdb_queryengine_spark.sources import text_index as TI
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        upd = batch_df.filter(F.col("op") == "u").select("doc_id", "text")
-        dels = batch_df.filter(F.col("op") == "d").select("doc_id")
-        # ONE presence probe for both op kinds (was two limit(1).count()
-        # jobs per micro-batch — per-job overhead, not data, dominates a
-        # mutation batch)
-        g = batch_df.agg(
-            F.count(F.when(F.col("op") == "u", 1)).alias("nu"),
-            F.count(F.when(F.col("op") == "d", 1)).alias("nd"),
-        ).first()
-        has_u, has_d = bool(g["nu"]), bool(g["nd"])
-        if not (has_u or has_d):
-            return
+        # No pre-probe job (r12): text_index_upsert's own fused guard
+        # aggregate answers op presence — an empty batch returns 0 without
+        # writing, a delete-only batch skips the delta writes.
         TI.text_index_upsert(
             index_path,
-            updates=upd if has_u else None,
-            delete_ids=dels if has_d else None,
+            updates=batch_df.filter(F.col("op") == "u").select("doc_id", "text"),
+            delete_ids=batch_df.filter(F.col("op") == "d").select("doc_id"),
         )
 
     return (
@@ -160,20 +163,16 @@ def stream_apply_vector_mutations(
     upsert = AI.ivf_index_upsert if index_kind == "ivf" else AI.ivfpq_index_upsert
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        upd = batch_df.filter(F.col("op") == "u").select("vec_id", "embedding")
-        dels = batch_df.filter(F.col("op") == "d").select("vec_id")
-        # ONE presence probe for both op kinds (see the text twin above)
-        g = batch_df.agg(
-            F.count(F.when(F.col("op") == "u", 1)).alias("nu"),
-            F.count(F.when(F.col("op") == "d", 1)).alias("nd"),
-        ).first()
-        has_u, has_d = bool(g["nu"]), bool(g["nd"])
-        if not (has_u or has_d):
-            return
+        # No pre-probe job (r12): the upsert core's fused rollup guard
+        # answers op presence itself — an empty batch returns 0 before any
+        # locate or rewrite, so the sink submits no extra action per
+        # micro-batch.  A delete-only batch rides its (empty) update frame
+        # through the same plan; the re-assignment expressions evaluate
+        # inside the jobs the upsert already runs.
         upsert(
             index_path,
-            updates=upd if has_u else None,
-            delete_ids=dels if has_d else None,
+            updates=batch_df.filter(F.col("op") == "u").select("vec_id", "embedding"),
+            delete_ids=batch_df.filter(F.col("op") == "d").select("vec_id"),
             spark=batch_df.sparkSession,
         )
 

@@ -139,16 +139,18 @@ def test_crash_before_docgen_commit_replays_clean(spark, tmp_path, monkeypatch):
     (orphan deltas are invisible), and a checkpoint restart replays the
     batch — generation directories overwritten, not merged."""
     base, path, src, ckpt = _fresh(spark, tmp_path, "a")
-    real = TI._commit_docgen
+    # the commit point is _promote_docgen since r12 (staging overlaps the
+    # delta writes; promotion still runs strictly after every delta lands)
+    real = TI._promote_docgen
     state = {"armed": True}
 
-    def boom(spark_, p, new_dg):
+    def boom(spark_, p, staging):
         if state["armed"]:
             state["armed"] = False
             raise RuntimeError("injected crash before docgen commit")
-        return real(spark_, p, new_dg)
+        return real(spark_, p, staging)
 
-    monkeypatch.setattr(TI, "_commit_docgen", boom)
+    monkeypatch.setattr(TI, "_promote_docgen", boom)
     err = _drain(spark, src, path, ckpt)
     assert err is not None and "before docgen commit" in str(err)
     # crashed mid-batch-0: no generation committed, base serving intact

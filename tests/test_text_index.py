@@ -337,16 +337,18 @@ def test_upsert_retry_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
     replaces it — replay cannot double-post."""
     path = str(tmp_path / "ti")
     TI.text_index_build(_corpus(spark), path, num_buckets=8)
-    real_commit = TI._commit_docgen
+    # the commit point is _promote_docgen since r12 (the staging write
+    # overlaps the delta writes; promotion is still strictly last)
+    real_commit = TI._promote_docgen
     boom = {"armed": True}
 
-    def crashing(spark_, path_, new_dg):
+    def crashing(spark_, path_, staging):
         if boom["armed"]:
             boom["armed"] = False
             raise RuntimeError("injected crash before docgen commit")
-        real_commit(spark_, path_, new_dg)
+        real_commit(spark_, path_, staging)
 
-    monkeypatch.setattr(TI, "_commit_docgen", crashing)
+    monkeypatch.setattr(TI, "_promote_docgen", crashing)
     upd = spark.createDataFrame([(1, "alpha omega")], "doc_id long, text string")
     try:
         TI.text_index_upsert(path, updates=upd)
