@@ -1464,6 +1464,7 @@ def kmeans_lloyd_micro(
     k: int = 8,
     stride: int = 37,
     iters: int = 2,
+    init_cents: list[tuple[int, list[int]]] | None = None,
 ) -> list[tuple[int, list[int]]]:
     """TRAINED coarse quantizer with a cross-engine-exact Lloyd iteration —
     the value-gateable counterpart of kmeans_centroids (whose KMeans‖ init
@@ -1498,13 +1499,18 @@ def kmeans_lloyd_micro(
     # instead of re-scanning + re-quantizing the corpus
     if iters > 1:
         vm = vm.persist()
-    cents = [
-        (int(r["n_id"]) // stride, [int(x) for x in r["v"]])
-        for r in vm.filter(
-            (F.col("n_id") % stride == 0) & (F.col("n_id") < stride * k)
-        ).collect()
-    ]
-    cents.sort()
+    if init_cents is not None:
+        # caller already collected the deterministic stride sample (e.g.
+        # ivfpq_train_micro shares ONE sample collect between both
+        # quantizers' inits) — identical tuples, one fewer action
+        cents = sorted(init_cents)
+    else:
+        cents = sorted(
+            (int(r["n_id"]) // stride, [int(x) for x in r["v"]])
+            for r in vm.filter(
+                (F.col("n_id") % stride == 0) & (F.col("n_id") < stride * k)
+            ).collect()
+        )
     try:
         cents = _lloyd_rounds(spark, vm, (), cents, dim, iters)
     finally:
@@ -1860,12 +1866,30 @@ def ivfpq_train_micro(
     consume.  See ivf_pq_topk_lloyd_micro for the exactness story."""
     sub = dim // num_subspaces
     spark = vectors.sparkSession
+    # ONE stride-sample collect feeds BOTH quantizers' inits (r12; was two
+    # — the coarse init inside kmeans_lloyd_micro plus a residual-slice
+    # collect here): the coarse init is the sampled micro vectors
+    # verbatim, and the residual-codebook init is those same vectors
+    # minus their nearest FINAL centroid — exact BIGINT arithmetic the
+    # driver mirrors bit-for-bit (same (d, c_id)-lexicographic argmin as
+    # _micro_argmin_sql, same integer subtraction and slicing), so the
+    # recurrence and its SQL oracle are unchanged.
+    n_sample = max(k_coarse, num_codewords)
+    vm = vectors.select(
+        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+    )
+    sample = {
+        int(r["n_id"]): [int(x) for x in r["v"]]
+        for r in vm.filter(
+            (F.col("n_id") % stride == 0) & (F.col("n_id") < stride * n_sample)
+        ).collect()
+    }
     cents = kmeans_lloyd_micro(
         vectors, vec_col=vec_col, id_col=id_col, dim=dim, k=k_coarse,
         stride=stride, iters=iters,
-    )
-    vm = vectors.select(
-        F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
+        init_cents=[
+            (nid // stride, v) for nid, v in sample.items() if nid < stride * k_coarse
+        ],
     )
     # residuals: nearest coarse centroid (integer L2, min-c_id ties), r = v − c
     # (one argmin into a struct column; the later projection reads both
@@ -1877,7 +1901,7 @@ def ivfpq_train_micro(
             f"({best}).c_id AS c_list",
             f"zip_with(v, ({best}).c, (x,y)->x-y) AS r",
         )
-        .persist()  # feeds codebook init + the Lloyd stats rounds
+        .persist()  # feeds the Lloyd stats rounds
     )
     try:
         ms = F.explode(
@@ -1889,12 +1913,21 @@ def ivfpq_train_micro(
             "m",
             F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub).alias("v_sub"),
         )
-        init = (
-            rm.filter((F.col("n_id") % stride == 0) & (F.col("n_id") < stride * num_codewords))
-            .select((F.col("n_id") / stride).cast("long").alias("c_id"), "m", F.col("v_sub").alias("c"))
-            .collect()
-        )
-        cbs = sorted((int(r["m"]), int(r["c_id"]), [int(x) for x in r["c"]]) for r in init)
+        cbs = []
+        for nid, v in sample.items():
+            if nid >= stride * num_codewords:
+                continue
+            # exact argmin with ties to the smaller c_id (the
+            # _micro_argmin_sql (d, c_id)-lexicographic rule, mirrored)
+            best_d, best_cid, best_c = None, None, None
+            for cid, cv in cents:
+                d = sum((a - int(b)) * (a - int(b)) for a, b in zip(v, cv))
+                if best_d is None or d < best_d or (d == best_d and cid < best_cid):
+                    best_d, best_cid, best_c = d, cid, cv
+            r = [a - int(b) for a, b in zip(v, best_c)]
+            for m in range(num_subspaces):
+                cbs.append((m, nid // stride, r[m * sub:(m + 1) * sub]))
+        cbs = sorted(cbs)
         cbs = _lloyd_rounds(
             spark,
             rm.select("n_id", "m", F.col("v_sub").alias("v")),
@@ -1905,11 +1938,11 @@ def ivfpq_train_micro(
         )
         return cents, cbs
     finally:
-        # Operator-owned cache lifetime: the persisted residuals were read
-        # 3× during training (init + the stats rounds); release them NOW
-        # rather than leak into the caller's session.  Consumers recompute
-        # residuals from the returned model — one extra pass, the price of
-        # not parking cache on the caller.
+        # Operator-owned cache lifetime: the persisted residuals feed the
+        # stats rounds; release them NOW rather than leak into the
+        # caller's session.  Consumers recompute residuals from the
+        # returned model — one extra pass, the price of not parking cache
+        # on the caller.
         res.unpersist(False)
 
 

@@ -7227,12 +7227,14 @@ def emb_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh: the file sink's commit log must not see a prior invocation's
     # ingested lists or the stream would (correctly) append nothing new
     base = _scratch_dir("ivfpq_stream_index", sf_dir, fresh=True)
-    spark.createDataFrame(cents, "c_id long, c array<long>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "centroids"))
-    spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "codebooks"))
+    AI._write_model_table(
+        spark, os.path.join(base, "centroids"), sorted(cents),
+        (("c_id", "long"), ("c", "array")),
+    )
+    AI._write_model_table(
+        spark, os.path.join(base, "codebooks"), sorted(cbs),
+        (("m", "long"), ("c_id", "long"), ("c_sub", "array")),
+    )
     stream = E.read_table_stream(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )

@@ -132,15 +132,40 @@ def ivf_index_build(
             F.col(vec_col).alias("c_vec"),
             norm(F.col(vec_col)).alias("c_norm"),
         )
-    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     lists = _assign(vectors, centroids, vec_col, id_col, meta_cols)
-    # K from the just-written centroid artifact (metadata-only count under
-    # parquet aggregate pushdown) sizes the uncapped layout write; capped
-    # writes size from their own slot plan (see _write_lists).
-    n_lists = vectors.sparkSession.read.parquet(
-        os.path.join(path, "centroids")
-    ).count()
-    _write_lists(lists, path, max_list_rows, n_dirs_hint=int(n_lists))
+
+    def _write_cents() -> None:
+        centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    if max_list_rows is not None:
+        # Capped layout: the slot plan sizes the write, so the centroid
+        # count is never needed — and the centroid-artifact write and the
+        # per-list count pass are INDEPENDENT jobs (the assignment folds
+        # the centroid DataFrame, not the written artifact): overlap them
+        # (guide §2.6; was three sequential actions, now two overlapped +
+        # the lists write).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_c = pool.submit(_write_cents)
+            f_n = pool.submit(
+                lambda: lists.groupBy("c_list")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            f_c.result()
+            counts = {int(r["c_list"]): int(r["_n"]) for r in f_n.result()}
+        _write_lists(lists, path, max_list_rows, precomputed_counts=counts)
+    else:
+        _write_cents()
+        # K from the just-written centroid artifact (metadata-only count
+        # under parquet aggregate pushdown — re-counting the centroid
+        # DataFrame would re-run its corpus filter) sizes the uncapped
+        # layout write.
+        n_lists = vectors.sparkSession.read.parquet(
+            os.path.join(path, "centroids")
+        ).count()
+        _write_lists(lists, path, None, n_dirs_hint=int(n_lists))
 
 
 def _assign(
@@ -643,6 +668,7 @@ def _write_lists(
     path: str,
     max_list_rows: int | None,
     n_dirs_hint: int | None = None,
+    precomputed_counts: dict[int, int] | None = None,
 ) -> None:
     """Write the `lists/` layout, splitting oversized lists across a
     secondary `c_slot` partition level when `max_list_rows` is set (see
@@ -660,8 +686,13 @@ def _write_lists(
     part_cols = ["c_list"]
     n_dirs = n_dirs_hint
     if max_list_rows is not None:
-        rows = lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
-        counts = {int(r["c_list"]): int(r["_n"]) for r in rows}
+        if precomputed_counts is not None:
+            counts = precomputed_counts
+        else:
+            rows = (
+                lists.groupBy("c_list").agg(F.count(F.lit(1)).alias("_n")).collect()
+            )
+            counts = {int(r["c_list"]): int(r["_n"]) for r in rows}
         plan = _slot_plan(counts, max_list_rows)
         n_dirs = sum(s for _, s in plan)
         lists = _apply_slots(lists, spark, plan)
@@ -781,6 +812,49 @@ def ivf_index_topk(
 # --- exact-integer (Lloyd-trained) index variant ---------------------------
 
 
+def _write_model_table(
+    spark: SparkSession,
+    table_dir: str,
+    rows: list[tuple],
+    fields: tuple[tuple[str, str], ...],
+) -> None:
+    """Persist a tiny driver-side model artifact ([(ints and [int,...])
+    tuples]) — pyarrow on local paths (~5 ms vs a 0.3-0.5 s Spark job per
+    artifact; a trained build writes several), the Spark write kept as
+    the schemed-storage fallback.  `fields` is ((name, "long"|"array"),
+    ...).  Readers (_collect_rows / spark.read.parquet) see the same
+    values either way."""
+    from codecdb_queryengine_spark.sources import io as IO
+
+    done = False
+    if rows:
+        try:
+            import pyarrow as pa
+
+            cols = list(zip(*rows))
+            done = IO.tiny_meta_write(
+                table_dir,
+                pa.table(
+                    {
+                        name: pa.array(
+                            list(col),
+                            type=pa.list_(pa.int64()) if kind == "array" else pa.int64(),
+                        )
+                        for (name, kind), col in zip(fields, cols)
+                    }
+                ),
+            )
+        except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+            done = False
+    if not done:
+        schema = ", ".join(
+            f"{n} {'array<long>' if k == 'array' else 'long'}" for n, k in fields
+        )
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            table_dir
+        )
+
+
 def ivf_index_build_micro(
     vectors: DataFrame,
     path: str,
@@ -803,8 +877,10 @@ def ivf_index_build_micro(
     )
 
     spark = vectors.sparkSession
-    cdf = spark.createDataFrame(cents, "c_id long, c array<long>")
-    cdf.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _write_model_table(
+        spark, os.path.join(path, "centroids"), sorted(cents),
+        (("c_id", "long"), ("c", "array")),
+    )
     vm = vectors.select(
         F.col(id_col).alias("n_id"), quantize_micro(F.col(vec_col)).alias("v")
     )
@@ -933,12 +1009,14 @@ def ivfpq_index_build_micro(
     from codecdb_queryengine_spark.operators.similarity import ivfpq_encode_micro
 
     spark = vectors.sparkSession
-    spark.createDataFrame(cents, "c_id long, c array<long>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "centroids"))
-    spark.createDataFrame(cbs, "m long, c_id long, c_sub array<long>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "codebooks"))
+    _write_model_table(
+        spark, os.path.join(path, "centroids"), sorted(cents),
+        (("c_id", "long"), ("c", "array")),
+    )
+    _write_model_table(
+        spark, os.path.join(path, "codebooks"), sorted(cbs),
+        (("m", "long"), ("c_id", "long"), ("c_sub", "array")),
+    )
     codes = ivfpq_encode_micro(
         vectors, cents, cbs, dim=dim, vec_col=vec_col, id_col=id_col,
         num_subspaces=num_subspaces, meta_cols=meta_cols,

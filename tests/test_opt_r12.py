@@ -87,3 +87,75 @@ def test_read_buckets_zero_row_meta_raises(spark, tmp_path):
         TI._read_buckets(spark, path, 32)
     # pre-meta layouts still use the fallback
     assert TI._read_buckets(spark, str(tmp_path / "none"), 7) == 7
+
+
+def test_ivfpq_train_driver_side_init_mirrors_distributed(spark):
+    """The r12 shared-sample init: the residual-codebook init is computed
+    driver-side (one sample collect feeds both quantizers).  Pin it
+    bit-identical to the distributed form it replaced (residual slices of
+    the stride-sampled vectors under the _micro_argmin_sql tie rule)."""
+    from codecdb_queryengine_spark.operators import similarity as S
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13 - 6) / 3.0 for j in range(8)])
+        for i in range(0, 300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # iters=0: both quantizers return their INIT verbatim
+    cents, cbs = S.ivfpq_train_micro(
+        emb, dim=8, k_coarse=2, stride=37, iters=0,
+        num_subspaces=2, num_codewords=2,
+    )
+    vm = emb.select(
+        F.col("vec_id").alias("n_id"),
+        S.quantize_micro(F.col("embedding")).alias("v"),
+    )
+    best = S._micro_argmin_sql("v", cents, with_center=True)
+    res = vm.selectExpr(
+        "n_id", f"({best}).c_id AS c_list", f"zip_with(v, ({best}).c, (x,y)->x-y) AS r"
+    )
+    sub = 8 // 2
+    ms = F.explode(F.array(F.lit(0).cast("long"), F.lit(1).cast("long"))).alias("m")
+    rm = res.select("n_id", F.col("r"), ms).select(
+        "n_id", "m",
+        F.slice(F.col("r"), (F.col("m") * sub + 1).cast("int"), sub).alias("c"),
+    )
+    old_init = sorted(
+        (int(r["m"]), int(r["n_id"]) // 37, [int(x) for x in r["c"]])
+        for r in rm.filter(
+            (F.col("n_id") % 37 == 0) & (F.col("n_id") < 37 * 2)
+        ).collect()
+    )
+    assert cbs == old_init
+    # and the coarse init equals the sampled micro vectors verbatim
+    samp = {
+        int(r["n_id"]): [int(x) for x in r["v"]]
+        for r in vm.filter(
+            (F.col("n_id") % 37 == 0) & (F.col("n_id") < 37 * 2)
+        ).collect()
+    }
+    assert cents == sorted((nid // 37, v) for nid, v in samp.items())
+
+
+def test_kmeans_init_cents_param_is_equivalent(spark):
+    from codecdb_queryengine_spark.operators import similarity as S
+
+    rows = [
+        (i, [float((i * 5 + j) % 11 - 5) / 2.0 for j in range(4)])
+        for i in range(0, 250)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = S.kmeans_lloyd_micro(emb, dim=4, k=3, stride=37, iters=2)
+    vm = emb.select(
+        F.col("vec_id").alias("n_id"),
+        S.quantize_micro(F.col("embedding")).alias("v"),
+    )
+    init = sorted(
+        (int(r["n_id"]) // 37, [int(x) for x in r["v"]])
+        for r in vm.filter(
+            (F.col("n_id") % 37 == 0) & (F.col("n_id") < 37 * 3)
+        ).collect()
+    )
+    assert S.kmeans_lloyd_micro(
+        emb, dim=4, k=3, stride=37, iters=2, init_cents=init
+    ) == base
